@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * One parquet file per table under the scale-factor dir. Scans go through
+  * `spark.read.parquet` so Catalyst's DSv2 parquet source gives us
+  * vectorized reads, filter pushdown and column pruning for free — at
+  * 100 TB these would be directory-partitioned datasets and the same call
+  * sites keep working (partition pruning replaces file pruning).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw int64 nanos
+    * (legacy.parquet.nanosAsLong) and convert to a microsecond timestamp.
+    * ns→µs truncation is harmless for the declared queries (hour/day
+    * bucketing). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** A declared engine query: name, the Spark implementation, and (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle twin that the
+  * correctness harness runs on the same parquet files.
+  *
+  * Column names are aliased identically on both sides (the harness sorts
+  * columns by name before hashing); every query ends in a deterministic
+  * total order, and floating aggregates are rounded on both sides so the
+  * hash survives summation-order differences between engines.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  /** Non-SQL-expressible op → driver records a weaker rows-only check. */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

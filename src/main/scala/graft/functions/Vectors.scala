@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from Spark's
+  * higher-order array functions (zip_with / aggregate / transform). No UDFs:
+  * these stay Catalyst expressions, so they serialize into any plan,
+  * survive AQE re-planning, and avoid the UDF serialization wall. All math
+  * is done in double after an explicit cast so results match a
+  * double-precision oracle (DuckDB `list_cosine_similarity` on DOUBLE[]).
+  */
+object Vectors {
+
+  /** Cast an array<float> column to array<double> for stable math. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+}

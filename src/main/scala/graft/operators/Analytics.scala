@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Sorts, limits, top-k, windows, set ops, scalar/date/JSON functions
+  * (SURVEY.md §2.6-2.7). The reference exercises ORDER BY
+  * (`iceberg_queries.ipynb:296`) and show(n) truncation
+  * (`getting_started.ipynb:163`); windows/set-ops complete the declared
+  * analytics surface.
+  *
+  * Scale notes:
+  *  - Global ORDER BY uses range partitioning (sampled bounds) — scales to
+  *    any size; top-k uses TakeOrderedAndProject which keeps only k rows
+  *    per partition and never materializes a global sort.
+  *  - Window functions shuffle once on partitionBy keys; running-sum frames
+  *    are streaming (no buffering of the whole partition for sum/row_number).
+  */
+object Analytics {
+
+  /** Global sort + limit (ORDER BY of `iceberg_queries.ipynb:296` + show(n)
+    * truncation as an explicit LIMIT). */
+  val qOrderByLimit: Q = Q(
+    "q_orderby_limit",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+       FROM orders
+       ORDER BY price DESC, o_orderkey
+       LIMIT 100""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Top-k by aggregate: top 20 customers by spend. */
+  val qTopkCustomers: Q = Q(
+    "q_topk_customers",
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n
+       FROM orders
+       GROUP BY o_custkey
+       ORDER BY spend DESC, o_custkey
+       LIMIT 20""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"), count(lit(1)).as("n"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+      .limit(20)
+  }
+
+  /** Ranking window: top-3 orders by price within each priority class.
+    * Deterministic tie-break on o_orderkey. */
+  val qWindowRank: Q = Q(
+    "q_window_rank",
+    """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rn
+       FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn <= 3
+       ORDER BY o_orderpriority, rn""") { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running-sum window: cumulative spend per customer over time. Streaming
+    * frame (unboundedPreceding..currentRow) — constant memory per key. */
+  val qWindowRunning: Q = Q(
+    "q_window_running",
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+       FROM orders
+       ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Lag/lead window: gap in days between a customer's consecutive orders. */
+  val qWindowLag: Q = Q(
+    "q_window_lag",
+    """SELECT o_custkey, o_orderkey,
+              CAST(date_diff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+       FROM orders
+       ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate").cast("date"), 1).over(w))
+          .as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set ops: UNION / INTERSECT / EXCEPT over customer-key sets. */
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+            rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+            with_ord AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+       SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM rich)
+       UNION ALL
+       SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM with_ord)
+       UNION ALL
+       SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM rich EXCEPT SELECT * FROM with_ord)
+       ORDER BY op""") { (s, d) =>
+    val c = Tables.customer(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val withOrd = Tables.orders(s, d).select(col("o_custkey").as("c_custkey")).distinct()
+    val u = building.union(rich).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    val i = building.intersect(withOrd).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val e = rich.except(withOrd).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    u.unionAll(i).unionAll(e).orderBy("op")
+  }
+
+  /** ROLLUP grouping sets (subtotals + grand total). NULLS FIRST pinned on
+    * both sides because DuckDB defaults to NULLS LAST. */
+  val qRollup: Q = Q(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 2) AS qty
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Scalar string/math functions over part (§2.7 declared set). */
+  val qScalarFns: Q = Q(
+    "q_scalar_fns",
+    """SELECT p_partkey,
+              lower(p_brand) AS brand_lc,
+              upper(substring(p_name, 1, 8)) AS name_prefix,
+              concat(p_brand, '/', p_type) AS brand_type,
+              round(p_retailprice * 1.1, 2) AS marked_up,
+              CAST(length(p_name) AS INTEGER) AS name_len,
+              CAST(abs(p_size - 25) AS INTEGER) AS size_dist
+       FROM part
+       WHERE p_size BETWEEN 10 AND 40
+       ORDER BY p_partkey""") { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_size").between(10, 40))
+      .select(col("p_partkey"),
+        lower(col("p_brand")).as("brand_lc"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+        length(col("p_name")).as("name_len"),
+        abs(col("p_size") - 25).as("size_dist"))
+      .orderBy("p_partkey")
+  }
+
+  /** Date functions: month truncation, year/month extraction, grouped
+    * revenue by month (P7 CAST + §2.7 date fns). */
+  val qDateFns: Q = Q(
+    "q_date_fns",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              CAST(year(o_orderdate) AS INTEGER) AS yr,
+              CAST(month(o_orderdate) AS INTEGER) AS mo,
+              count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders
+       GROUP BY 1, 2, 3
+       ORDER BY month""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+  }
+
+  /** JSON extraction from the events.props payload + time bucketing of the
+    * ns-precision event timestamps (cast to date + hour for cross-engine
+    * stability). */
+  val qJsonEvents: Q = Q(
+    "q_json_events",
+    """SELECT event_type,
+              CAST(ts AS DATE) AS day,
+              CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+              count(*) AS n,
+              round(sum(value), 2) AS total_value,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+       FROM events
+       GROUP BY 1, 2, 3
+       ORDER BY event_type, day, hr""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"),
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
+      .orderBy("event_type", "day", "hr")
+  }
+
+  val all: Seq[Q] = Seq(
+    qOrderByLimit, qTopkCustomers, qWindowRank, qWindowRunning, qWindowLag,
+    qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents)
+}

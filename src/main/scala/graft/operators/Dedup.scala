@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators (SURVEY.md §2.9 N1/N2): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is a hash-partitioned groupBy on the dedup key — one
+  *    shuffle, map-side partial min() keeps the shuffle small.
+  *  - MinHash: signatures are computed per-document with no shuffle
+  *    (explode + single groupBy(doc_id) whose partial aggregation collapses
+  *    each doc's shingles locally); LSH banding turns the quadratic
+  *    all-pairs problem into an equi-join on (band_idx, band_hash) — the
+  *    only shuffle is on band keys, and skewed buckets (a common shingle
+  *    bucket holding thousands of docs) are handled by AQE skew-join
+  *    splitting. Candidate pairs are then verified with an exact Jaccard
+  *    join restricted to candidates (semi-join pruning), never all pairs.
+  *  - SimHash collapses each document to one 64-bit value per doc — a
+  *    near-dup key that groups by Hamming-adjacent prefixes without any
+  *    pairwise work.
+  *  - All hashing uses Spark's codegen'd xxhash64 with fixed literal seeds,
+  *    so results are deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  private val NumHashes = 32 // minhash permutations
+  private val NumBands = 8   // → 4 rows per band; P(candidate) = 1-(1-j^4)^8
+
+  /** Word 3-gram shingles of the normalized text, deduplicated per doc.
+    * Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    * docs (<3 tokens) get an explicit empty array instead. */
+  def shingles(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(idx, i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+  }
+
+  /** doc_id → exploded distinct shingles. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+
+  /** Exact dedup on full text: canonical (min) doc_id per distinct text. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS group_size
+       FROM documents
+       GROUP BY text
+       ORDER BY keep_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+      .select("keep_id", "group_size")
+      .orderBy("keep_id")
+  }
+
+  /** Exact dedup on a normalized fingerprint (case/whitespace-insensitive):
+    * the scalable form — group on a fixed-width hash, not the full text, so
+    * the shuffle carries 16 bytes per row instead of the document. */
+  val qDedupFingerprint: Q = Q(
+    "q_dedup_fingerprint",
+    """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+              min(doc_id) AS keep_id, count(*) AS group_size
+       FROM documents
+       GROUP BY 1
+       ORDER BY keep_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+        .cast("binary")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_size"))
+      .orderBy("keep_id")
+  }
+
+  /** MinHash signatures: per-document 32-hash signature over word-3-gram
+    * shingles. Deterministic (xxhash64, literal seeds). Always |docs| rows. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    docShingles(docs)
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, join docs sharing any band. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val bandStructs = (0 until NumBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a set of candidate pairs (shingle-join restricted to
+    * candidates). */
+  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("id_a", "id_b"), "inner")
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** MinHash signature dump (deterministic, oracle-less: xxhash64 has no
+    * DuckDB twin). First 4 signature components per doc as the stable
+    * verification surface; ScalaTest checks the LSH recall property. */
+  val qMinhashSignatures: Q = Q.noOracle("q_minhash_signatures") { (s, d) =>
+    minhashSignatures(Tables.documents(s, d))
+      .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_2"), col("mh_3"))
+      .orderBy("doc_id")
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification ≥ 0.5. */
+  val qMinhashDedup: Q = Q.noOracle("q_minhash_dedup") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val verified = exactJaccard(docs, lshCandidates(minhashSignatures(docs)))
+      .filter(col("jaccard") >= 0.5)
+    // Summary row keeps the result non-empty on corpora with no near-dups.
+    verified.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionAll(verified.agg(count(lit(1)).as("cnt")).select(
+        lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+        col("cnt").cast("double").as("jaccard")))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash: 64-bit per-document near-dup hash — per-bit majority vote of
+    * token hashes, computed as 64 conditional sums in one aggregation pass
+    * (no per-bit shuffle). */
+  val qSimhash: Q = Q.noOracle("q_simhash") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(lit(7), col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_$b"))
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle —
+    * the oracle-checkable exact counterpart of the MinHash path. The
+    * shingle equi-join prunes the pair space to co-occurring docs only. */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+       ORDER BY id_a, id_b""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("sa.n") + col("sb.n") - col("i"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(j >= 0.05)
+      .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
+    qSimhash, qNgramJaccard)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Multimodal column handling (SURVEY.md §2.9 N5): media as opaque `binary`
+  * columns with typed struct metadata, plus the decode / feature-extract /
+  * frame-sample plumbing of a training-data pipeline.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (`fakeDecode`) — but everything
+  * Spark-side is real and tested: the schema (binary payload + metadata
+  * struct), the partition-preserving `mapPartitions` batch shape (the Scala
+  * equivalent of `mapInPandas`: one iterator per partition, so a real
+  * decoder would amortize model/codec init per partition, not per row), and
+  * the columnar pre/post processing around it.
+  *
+  * Scale notes: payloads never shuffle — decode/feature steps are
+  * narrow transformations; only the small extracted features would ever be
+  * aggregated. Metadata filters (codec/width) prune before decode so
+  * undecodable rows never reach the expensive stage.
+  */
+object Multimodal {
+
+  /** Synthesize a media-shaped table from `documents`: payload bytes +
+    * typed metadata struct. Stands in for real image/audio ingestion. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (pmod(xxhash64(col("doc_id")), lit(1280)) + 64).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(1)), lit(720)) + 64).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "jpeg")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "png")
+          .otherwise("wav").as("codec"),
+        col("source").as("origin")).as("meta"))
+
+  /** STUB — deterministic fake decode. A real deployment would replace this
+    * with an image/audio codec call; signature and batch shape are the
+    * contract. Returns a fixed-length "feature" derived from the bytes. */
+  private def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    feat
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("codec", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Decode + feature-extract via mapPartitions: per-partition batch
+    * iteration (codec init once per partition — the mapInPandas shape). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .select(col("media_id"), col("meta.codec").as("codec"), col("payload"))
+      .rdd.mapPartitions { rows =>
+        // per-partition init would go here (codec handles, model weights)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("codec"),
+            bytes.length, fakeDecode(bytes).toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Frame sampling: every Nth byte-window of the payload as a "frame" —
+    * the video-frame-sampling plumbing with a byte-slice stand-in. Pure
+    * expression (no UDF): slice windows computed with sequence/transform. */
+  def sampleFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame =
+    media.select(col("media_id"),
+      posexplode(
+        transform(
+          sequence(lit(1), greatest(
+            floor((length(col("payload")) - frameLen) / stride).cast("int") + 1,
+            lit(1))),
+          i => substring(col("payload"), (i - lit(1)) * stride + 1, lit(frameLen))))
+        .as(Seq("frame_idx", "frame_bytes")))
+
+  /** End-to-end multimodal pipeline: metadata filter → decode stub →
+    * feature stats. Oracle-less (binary plumbing); ScalaTest checks the
+    * round-trip and batch shape. */
+  val qMultimodalPipeline: Q = Q.noOracle("q_multimodal_pipeline") { (s, d) =>
+    val media = mediaTable(s, d).filter(col("meta.width") >= 64)
+    decodeFeatures(media)
+      .select(col("media_id"), col("codec"), col("n_bytes"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+      .orderBy("media_id")
+  }
+
+  /** Metadata-only query — prunes to the struct columns, payload never
+    * read. Oracle-checkable because the synthesized metadata is
+    * hash-deterministic... but xxhash64 has no DuckDB twin, so rows-only. */
+  val qMediaMetadata: Q = Q.noOracle("q_media_metadata") { (s, d) =>
+    mediaTable(s, d)
+      .groupBy(col("meta.codec").as("codec"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("meta.width")).as("avg_width"),
+        sum(length(col("payload"))).as("total_bytes"))
+      .orderBy("codec")
+  }
+
+  /** Frame-sampling query: frames per media item. */
+  val qFrameSample: Q = Q.noOracle("q_frame_sample") { (s, d) =>
+    sampleFrames(mediaTable(s, d), frameLen = 32, stride = 16)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).as("sampled_bytes"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalPipeline, qMediaMetadata, qFrameSample)
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors._
+import graft.{Q, Tables}
+
+/** Embedding similarity search over `embeddings.embedding` (SURVEY.md §2.9
+  * N3): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH-bucketed approximate variant as the scale path.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - Brute force is an O(n·q) block: fine when the query side is small and
+  *    broadcast (as here — queries broadcast against the corpus, corpus
+  *    never shuffles); unusable for all-pairs at scale.
+  *  - LSH buckets each vector once (8 deterministic hyperplanes → 256
+  *    buckets). Candidate generation is an equi-join on the bucket id —
+  *    shuffle keyed by bucket, each bucket processed independently. For
+  *    higher recall, probe multiple buckets (here: exact bucket + all
+  *    1-bit-flip neighbors = 9 probes) — the standard multi-probe LSH
+  *    trade-off of recall vs fan-out.
+  *  - Top-k per query uses a row_number window partitioned by query id —
+  *    one shuffle on the query key; at k≪bucket size a per-partition
+  *    TakeOrdered would also work, the window form keeps it declarative.
+  *  - Ties at the k boundary are broken on (rounded sim, neighbor id) on
+  *    BOTH engine and oracle so the result is deterministic.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — identical on
+    * every executor and run). */
+  private[graft] lazy val planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Query vector ids: one per label's centroid region. */
+  private val queryIds = Seq(0L, 100L, 200L, 300L, 400L)
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+
+  /** Exact top-50 most-similar pairs across the corpus (brute force over
+    * the i<j triangle). The small-corpus baseline an ANN variant is judged
+    * against. */
+  val qCosineTopPairs: Q = Q(
+    "q_cosine_top_pairs",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, sim FROM p
+       ORDER BY sim DESC, id_a, id_b
+       LIMIT 50""") { (s, d) =>
+    val e = emb(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  /** Exact k-NN: top-10 neighbors for 5 query vectors. Query side broadcast;
+    * corpus side streams — the shape that scales to a huge corpus. */
+  val qKnnExact: Q = Q(
+    "q_knn_exact",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN (${queryIds.mkString(", ")})),
+        s AS (SELECT query_id, vec_id AS neighbor_id,
+                     round(list_cosine_similarity(qv, v), 6) AS sim,
+                     row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                                 vec_id) AS rn
+              FROM q JOIN e ON vec_id <> query_id)
+        SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
+        FROM s WHERE rn <= 10
+        ORDER BY query_id, rn""") { (s, d) =>
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sim = round(cosine(col("qv"), col("v")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  private val NumTables = 8   // independent LSH tables
+  private val BitsPerTable = 4 // 16 buckets/table; P(collide) = (1-θ/π)^4
+
+  /** Per-table LSH bucket ids: for each of the L tables, the sign bits of
+    * its 4 private hyperplanes packed into an int. Returns array<int> of
+    * length L. Collision prob for angle θ is (1-θ/π)^4 per table; a vector
+    * is a candidate if it collides in ANY table — the standard
+    * recall-amplifying OR-construction. */
+  private[graft] def tableBuckets(v: org.apache.spark.sql.Column) = {
+    val rnd = new scala.util.Random(1234)
+    val tablePlanes =
+      Seq.fill(NumTables, BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+    array(tablePlanes.map { ps =>
+      ps.zipWithIndex.map { case (p, i) =>
+        when(dot(v, typedlit(p.toSeq)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Approximate k-NN via multi-table random-hyperplane LSH: each vector is
+    * bucketed once per table (L=8 tables × 4 bits); a corpus vector is a
+    * candidate for a query iff they share a bucket in some table; exact
+    * cosine is computed only for candidates. Approximate → no SQL oracle;
+    * ScalaTest measures recall against q_knn_exact.
+    *
+    * Scale shape: corpus explodes ×L on (table_idx, bucket) — the join key
+    * is the shuffle key, buckets are processed independently, and the query
+    * side stays broadcast. At 100 TB the corpus-side explode is avoided by
+    * storing the L bucket ids as columns at ingest (computed once). */
+  val qKnnLsh: Q = Q.noOracle("q_knn_lsh") { (s, d) =>
+    val e = emb(s, d).withColumn("buckets", tableBuckets(col("v")))
+    val corpus = e.select(col("vec_id"), col("v"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(col("buckets")).as(Seq("qtbl", "qbucket")))
+    val sim = round(cosine(col("qv"), col("v")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+      .distinct() // a pair colliding in >1 table counts once
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Per-label centroid + distance-to-centroid stats: the IVF coarse
+    * quantizer's training step expressed declaratively (mean vector per
+    * label via elementwise aggregation). */
+  val qCentroids: Q = Q(
+    "q_label_centroids",
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+       u AS (SELECT label, i, avg(v[i]) AS c
+             FROM e, unnest(range(1, 65)) AS t(i)
+             GROUP BY label, i),
+       sq AS (SELECT label, round(sum(c * c), 6) AS centroid_sqnorm
+              FROM u GROUP BY label)
+       SELECT cnt.label AS label, cnt.n AS n, sq.centroid_sqnorm AS centroid_sqnorm
+       FROM cnt JOIN sq ON cnt.label = sq.label
+       ORDER BY label""") { (s, d) =>
+    val e = emb(s, d)
+    val byDim = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg("x").as("c"), count(lit(1)).as("cnt"))
+    byDim.groupBy("label")
+      .agg((max("cnt")).as("n"),
+        round(sum(col("c") * col("c")), 6).as("centroid_sqnorm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qCentroids)
+}

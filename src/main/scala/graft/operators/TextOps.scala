@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.9 N4 +
+  * the training-data-pipeline surface): tokenization, token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting, corpus
+  * word frequencies.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / regexp_extract_all / higher-order filter / md5) — no UDFs — so
+  * the whole pack stays inside WholeStageCodegen and scales linearly with
+  * input: per-document ops are embarrassingly parallel (no shuffle at all),
+  * and the only shuffling op is the corpus-level word-frequency aggregation
+  * whose map-side partial aggregation reduces each partition to its
+  * vocabulary first.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the (trimmed) text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+    * marks — a deterministic stand-in for a real BPE vocab's pre-splitter. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  private val stopEn = Seq("the", "a", "and", "of", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "zu")
+  private val stopEs = Seq("el", "la", "de", "y", "que")
+  private val stopFr = Seq("le", "la", "et", "les", "des")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Per-document stats: token counts (whitespace + BPE-ish), char length,
+    * average token length. */
+  val qTextStats: Q = Q(
+    "q_text_stats",
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+              CAST(length(text) AS INTEGER) AS n_chars_measured,
+              round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+       FROM documents
+       ORDER BY doc_id""") { (s, d) =>
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(t)).as("n_tokens"),
+        size(bpeTokens(t)).as("n_bpe_tokens"),
+        length(t).as("n_chars_measured"),
+        round(length(regexp_replace(trim(t), " ", "")).cast("double") /
+          size(tokens(t)), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, punctuation ratio, digit ratio, and a
+    * composite keep/drop signal — the usual cheap pre-filters of a training
+    * data pipeline. */
+  val qTextQuality: Q = Q(
+    "q_text_quality",
+    """WITH t AS (SELECT doc_id, text,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents)
+       SELECT doc_id,
+              round(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+                    / len(toks), 4) AS stopword_ratio,
+              round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                    / length(text), 4) AS punct_ratio,
+              round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / length(text), 4) AS digit_ratio,
+              CASE WHEN len(toks) BETWEEN 10 AND 100000
+                        AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                            / length(text) < 0.1
+                   THEN true ELSE false END AS keep
+       FROM t
+       ORDER BY doc_id""") { (s, d) =>
+    val t = col("text")
+    val toks = tokens(lower(t))
+    val punctRatio =
+      size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+        length(t)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(countIn(toks, stopEn).cast("double") / size(toks), 4)
+          .as("stopword_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") /
+          length(t), 4).as("digit_ratio"),
+        (size(toks).between(10, 100000) && punctRatio < 0.1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: score each language by stopword hits, pick the
+    * argmax with a fixed precedence (en > de > es > fr > zh). Compared with
+    * the labeled `lang` column so accuracy is measurable downstream. */
+  val qLangGuess: Q = Q(
+    "q_lang_guess",
+    """WITH t AS (SELECT doc_id, lang,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+            s AS (SELECT doc_id, lang,
+                         len(list_filter(toks, x -> x IN ('the','a','and','of','to')))  AS s_en,
+                         len(list_filter(toks, x -> x IN ('der','die','das','und','zu'))) AS s_de,
+                         len(list_filter(toks, x -> x IN ('el','la','de','y','que')))   AS s_es,
+                         len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr
+                  FROM t)
+       SELECT doc_id, lang,
+              CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS lang_guess
+       FROM s
+       ORDER BY doc_id""") { (s, d) =>
+    val toks = tokens(lower(col("text")))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        countIn(toks, stopEn).as("s_en"), countIn(toks, stopDe).as("s_de"),
+        countIn(toks, stopEs).as("s_es"), countIn(toks, stopFr).as("s_fr"))
+    scored.select(col("doc_id"), col("lang"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr").as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key for content-identical documents that differ only
+    * in spacing/case. */
+  val qFingerprint: Q = Q(
+    "q_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+       FROM documents
+       ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary"))
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level word frequency: top-50 tokens. Explode → map-side partial
+    * count → final count; the shuffle carries at most |vocab| rows per
+    * partition. */
+  val qWordFreq: Q = Q(
+    "q_word_freq",
+    """SELECT w, count(*) AS n
+       FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+       WHERE w <> ''
+       GROUP BY w
+       ORDER BY n DESC, w
+       LIMIT 50""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(
+    qTextStats, qTextQuality, qLangGuess, qFingerprint, qWordFreq)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.operators.Similarity
+
+/** Vector-math correctness + ANN recall vs the exact baseline
+  * (SURVEY.md §2.9 N3). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0, 0.0, 2.0), Seq(1.0, 0.0, 2.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    ).toDF("a", "b")
+    val got = df.select(round(Vectors.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+  }
+
+  test("l2 distance matches hand-computed value") {
+    val df = Seq((Seq(0.0, 3.0), Seq(4.0, 0.0))).toDF("a", "b")
+    assert(df.select(Vectors.l2Distance(col("a"), col("b"))).as[Double].head() == 5.0)
+  }
+
+  test("LSH kNN recall@10 >= 0.5 vs exact kNN (8 tables x 4 bits)") {
+    val exact = Similarity.qKnnExact.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.qKnnLsh.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // and every approx hit must be a real vector pair, not a fabrication
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("knn results are deterministic") {
+    val a = Similarity.qKnnExact.fn(spark, sf).collect()
+    val b = Similarity.qKnnExact.fn(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+}
