@@ -1,0 +1,257 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The Graft catalog: Spark-native replacement for the reference's
+  * Polaris REST catalog + Iceberg metadata + MinIO object store
+  * (SURVEY.md §0, §3.1 step 2). The three network hops (Spark→Polaris
+  * OAuth2, Polaris→PostgreSQL, Spark→MinIO S3A) collapse into one
+  * in-process `TableCatalog` over a warehouse directory:
+  *
+  * {{{
+  *   <warehouse>/<namespace>/<table>/{data/, metadata/}
+  * }}}
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft           = graft.lake.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *   spark.sql.defaultCatalog          = graft   // for 2-part names (S2)
+  * }}}
+  *
+  * Covers SURVEY.md §2.2 D1-D15: namespaces (create/list/drop CASCADE),
+  * tables (create with identity/days/months/years/bucket partitioning,
+  * drop, rename, describe, properties), schema evolution (ADD/DROP COLUMN,
+  * property changes) as metadata-only commits, time travel
+  * (`VERSION AS OF` → loadTable(ident, version), `TIMESTAMP AS OF` →
+  * loadTable(ident, micros)), and `history`/`snapshots`/`files` metadata
+  * tables resolved as a 4th name part.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(
+      Option(options.get("warehouse")).getOrElse("/tmp/graft-warehouse"))
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  // ---------- helpers ----------
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, e) => p.resolve(e))
+
+  private def tablePath(ident: Identifier): Path =
+    nsPath(ident.namespace()).resolve(ident.name())
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("metadata"))
+
+  private def store(ident: Identifier): SnapshotStore =
+    new SnapshotStore(tablePath(ident))
+
+  // ---------- namespaces (D2-D4) ----------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!Files.isDirectory(warehouse)) Array.empty
+    else Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      Array.empty // single-level namespaces (like the reference's)
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (Files.isDirectory(nsPath(namespace)) && !isTableDir(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    if (Files.exists(p)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(p)
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    // namespace properties are not persisted beyond location; accept no-ops
+  }
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new NonEmptyNamespaceException(namespace)
+    tables.foreach(dropTable)
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    true
+  }
+
+  // ---------- tables ----------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!Files.isDirectory(p)) Array.empty
+    else Files.list(p).iterator().asScala
+      .filter(isTableDir)
+      .map(d => Identifier.of(namespace, d.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  /** Resolves real tables AND `t.history` / `t.snapshots` / `t.files`
+    * metadata tables (extra trailing name part, SURVEY.md §2 S4-S5). */
+  override def loadTable(ident: Identifier): Table = {
+    if (tableExists(ident)) {
+      new GraftTable(fullName(ident), store(ident))
+    } else if (ident.namespace().length >= 1 &&
+        MetadataTables.names.contains(ident.name())) {
+      val base = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (tableExists(base))
+        MetadataTables.build(fullName(base), ident.name(), store(base))
+      else throw new NoSuchTableException(ident)
+    } else throw new NoSuchTableException(ident)
+  }
+
+  /** Time travel: `VERSION AS OF <n>` (S6). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val st = store(ident)
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(s"invalid version '$version'"))
+    if (!st.listVersions().contains(v))
+      throw new IllegalArgumentException(
+        s"no snapshot v$v for ${fullName(ident)}")
+    new GraftTable(fullName(ident), st, pinned = Some(st.read(v)))
+  }
+
+  /** Time travel: `TIMESTAMP AS OF <ts>` (S7, micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val st = store(ident)
+    val snap = st.asOfTimestamp(timestamp / 1000).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or before timestamp $timestamp for ${fullName(ident)}"))
+    new GraftTable(fullName(ident), st, pinned = Some(snap))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val spec = PartitionTransforms.fromTransforms(partitions)
+    spec.foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source column ${f.source} not in schema")
+    }
+    val st = store(ident)
+    st.init()
+    val props = properties.asScala.toMap -- Seq("provider", "owner", "location")
+    st.commit { _ =>
+      Snapshot(
+        version = 1L, parentVersion = None,
+        timestampMs = System.currentTimeMillis(),
+        operation = "create",
+        schemaJson = schema.json,
+        partitionSpec = spec,
+        properties = props,
+        files = Seq.empty,
+        summary = Map("total-records" -> "0", "total-files" -> "0"))
+    }
+    new GraftTable(fullName(ident), st)
+  }
+
+  /** Schema evolution as metadata-only snapshot commits (D12,
+    * `README.md:132-133`: add/drop columns without rewriting files; old
+    * files null-fill on read). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val st = store(ident)
+    st.commit { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new NoSuchTableException(ident))
+      var schema = prev.schema
+      var props = prev.properties
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "nested column evolution not supported")
+          schema = schema.add(add.fieldNames().head, add.dataType(),
+            nullable = true, Option(add.comment()).getOrElse(""))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1,
+            "nested column evolution not supported")
+          val name = del.fieldNames().head
+          require(schema.fieldNames.contains(name), s"no column $name")
+          require(!prev.partitionSpec.exists(_.source == name),
+            s"cannot drop partition source column $name")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        case sp: TableChange.SetProperty =>
+          props = props + (sp.property() -> sp.value())
+        case rp: TableChange.RemoveProperty =>
+          props = props - rp.property()
+        case c: TableChange.UpdateColumnComment => // metadata-only, accept
+        case other =>
+          throw new UnsupportedOperationException(
+            s"table change ${other.getClass.getSimpleName} not supported " +
+              "(column rename/retype requires field-id tracking)")
+      }
+      prev.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "evolve",
+        schemaJson = schema.json,
+        properties = props,
+        summary = Map("changes" -> changes.size.toString))
+    }
+    new GraftTable(fullName(ident), st)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) false
+    else { store(ident).drop(); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.move(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+}

@@ -1,0 +1,272 @@
+package graft.lake
+
+import java.util.{Collections, OptionalLong}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.{col, not => fnot}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A snapshot-versioned, hidden-partitioned lakehouse table on Spark's
+  * DSv2 connector surface (SURVEY.md §2 S1-S11, D6-D13, §3).
+  *
+  * Read path: DSv2 `ScanBuilder` performs filter+column pushdown and
+  * snapshot-stats file pruning, then delegates the actual parquet IO to
+  * Spark's built-in vectorized parquet source via the `V1Scan` bridge —
+  * the scan executes with the same columnar reader, row-group pruning and
+  * codegen as a plain `spark.read.parquet`, but only over the files this
+  * snapshot + pruning selected. Schema evolution null-fill falls out of
+  * reading with the snapshot's explicit schema.
+  *
+  * Write path: `V1Write` → staged parquet + stats + atomic snapshot commit
+  * (GraftWriter). DELETE is copy-on-write over only the files whose stats
+  * say they might match (SupportsDelete).
+  *
+  * @param pinned for time travel: the snapshot this handle is fixed at
+  *               (None = always read the current head at scan time)
+  */
+class GraftTable(
+    tableName: String,
+    val store: SnapshotStore,
+    pinned: Option[Snapshot] = None)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  def snapshot: Snapshot = pinned.orElse(store.head()).getOrElse(
+    throw new IllegalStateException(s"no snapshot for $tableName"))
+
+  override def name(): String = tableName
+  override def schema(): StructType = snapshot.schema
+  override def partitioning(): Array[Transform] =
+    PartitionTransforms.toTransforms(snapshot.partitionSpec)
+  override def properties(): java.util.Map[String, String] = {
+    val s = snapshot
+    val base = Map(
+      "provider" -> "graft",
+      "format" -> "parquet",
+      "current-version" -> s.version.toString,
+      "total-files" -> s.files.size.toString,
+      "total-records" -> s.totalRows.toString) ++ s.properties
+    base.asJava
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(snapshot, store)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(store)
+
+  // ---- DELETE FROM t WHERE ... (copy-on-write, stats-scoped) ----
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FilterTranslate.conjunction(filters.toSeq).isDefined || filters.isEmpty
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val s = snapshot
+    val (touched, untouched) = s.files.partition(f =>
+      filters.forall(StatsPruner.mightMatch(f, _, s.partitionSpec)))
+    val cond = FilterTranslate.conjunction(filters.toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"untranslatable delete condition: ${filters.mkString(", ")}"))
+    val rewritten: Seq[DataFile] =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
+        val kept = spark.read.schema(s.schema).parquet(paths: _*).filter(fnot(cond))
+        GraftWriter.writeFiles(spark, store, s.schema, s.partitionSpec, kept)
+      }
+    store.commit { prev =>
+      val p = prev.getOrElse(s)
+      // retry-safe only versus the snapshot we planned from
+      require(p.version == s.version,
+        s"concurrent commit during DELETE on $tableName; retry")
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "delete",
+        files = untouched ++ rewritten,
+        summary = Map(
+          "deleted-candidate-files" -> touched.size.toString,
+          "rewritten-files" -> rewritten.size.toString,
+          "total-records" -> (untouched ++ rewritten).map(_.rowCount).sum.toString))
+    }
+  }
+
+  override def toString: String = s"GraftTable($tableName)"
+}
+
+/** DSv2 pushdown: collects filters (for file pruning + re-push into the
+  * delegated parquet read) and the required column subset. We report no
+  * filters as fully pushed, so Spark keeps the Filter node — pruning stays
+  * a pure optimization and correctness never depends on stats. */
+final class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = snapshot.schema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all returned as post-scan filters (Spark re-applies them)
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan =
+    new GraftScan(snapshot, store, snapshot.schema, required, filters)
+}
+
+/** Scan over the pruned file set, bridged to Spark's parquet source. */
+final class GraftScan(
+    snapshot: Snapshot,
+    store: SnapshotStore,
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter])
+  extends V1Scan with SupportsReportStatistics {
+
+  private[lake] lazy val prunedFiles: Seq[DataFile] =
+    StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftRelation(context, store, snapshot, prunedFiles, fullSchema,
+      required, filters).asInstanceOf[T]
+
+  /** Snapshot-resident stats → the optimizer's broadcast decisions see real
+    * sizes without touching the FS (SURVEY.md §4 "snapshot-based stats"). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = prunedFiles.map(_.rowCount).sum
+    private val bytes = prunedFiles.map(_.sizeBytes).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+
+  override def description(): String =
+    s"GraftScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
+}
+
+/** V1 bridge relation: builds the final RDD by planning a parquet read of
+  * exactly the pruned files with the snapshot's schema (null-fill for
+  * evolved columns), the pushed filters re-applied (→ parquet row-group /
+  * page pruning), and the projection narrowed (→ column pruning). */
+final class GraftRelation(
+    ctx: SQLContext,
+    store: SnapshotStore,
+    snapshot: Snapshot,
+    files: Seq[DataFile],
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required).rdd
+    } else {
+      val paths = files.map(f => store.tableDir.resolve(f.path).toString)
+      var df: DataFrame = spark.read.schema(fullSchema).parquet(paths: _*)
+      FilterTranslate.conjunction(filters.toIndexedSeq).foreach(c => df = df.filter(c))
+      val projected =
+        if (required.isEmpty) df
+        else df.select(required.fieldNames.map(col).toIndexedSeq: _*)
+      projected.rdd
+    }
+  }
+}
+
+/** V1 write bridge: the driver-side InsertableRelation stages parquet and
+  * commits a snapshot. Handles INSERT INTO (append), INSERT OVERWRITE /
+  * truncate (replace). */
+final class GraftWriteBuilder(store: SnapshotStore)
+  extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+  with SupportsDynamicOverwrite {
+
+  private var overwriteAll = false
+  private var overwriteFilters: Option[Array[Filter]] = None
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      overwriteAll = true
+    else overwriteFilters = Some(filters)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    // dynamic partition overwrite ≈ delete matching partitions then append;
+    // with our COW writer a full-filter delete per touched partition would
+    // need the incoming data first — treat as append-after-delete at commit.
+    throw new UnsupportedOperationException(
+      "dynamic partition overwrite: use INSERT OVERWRITE with a predicate")
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          overwriteFilters match {
+            case Some(fs) =>
+              // INSERT OVERWRITE t WHERE-style static partition overwrite:
+              // delete matching rows (COW) then append the new data.
+              val head = store.head().get
+              val cond = FilterTranslate.conjunction(fs.toSeq).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"untranslatable overwrite filter"))
+              val (touched, untouched) = head.files.partition(f =>
+                fs.forall(StatsPruner.mightMatch(f, _, head.partitionSpec)))
+              val keptFiles =
+                if (touched.isEmpty) Seq.empty
+                else {
+                  val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
+                  val kept = spark.read.schema(head.schema)
+                    .parquet(paths: _*).filter(fnot(cond))
+                  GraftWriter.writeFiles(spark, store, head.schema,
+                    head.partitionSpec, kept)
+                }
+              val added = GraftWriter.writeFiles(spark, store, head.schema,
+                head.partitionSpec, data)
+              store.commit { prev =>
+                val p = prev.getOrElse(head)
+                p.copy(
+                  timestampMs = System.currentTimeMillis(),
+                  operation = "overwrite",
+                  files = untouched ++ keptFiles ++ added,
+                  summary = Map(
+                    "replaced-files" -> touched.size.toString,
+                    "added-files" -> added.size.toString))
+              }
+            case None =>
+              GraftWriter.insert(spark, store, data,
+                overwrite = overwrite || overwriteAll)
+          }
+        }
+      }
+  }
+}

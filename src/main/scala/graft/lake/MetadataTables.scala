@@ -1,0 +1,95 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Virtual metadata tables resolved as an extra name part after the table —
+  * `SELECT * FROM graft.ns.t.history` — mirroring the reference's
+  * `getting_started.ipynb:166,169` (`t.history`, `t.snapshots`) and
+  * `iceberg_queries.ipynb:318`; `files` added for operational visibility.
+  * Small by construction (one row per snapshot / data file), served from
+  * the driver. */
+object MetadataTables {
+
+  val names: Set[String] = Set("history", "snapshots", "files")
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("made_current_at", TimestampType),
+    StructField("snapshot_id", LongType),
+    StructField("parent_id", LongType),
+    StructField("is_current_ancestor", BooleanType)))
+
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("committed_at", TimestampType),
+    StructField("snapshot_id", LongType),
+    StructField("parent_id", LongType),
+    StructField("operation", StringType),
+    StructField("manifest_list", StringType),
+    StructField("summary", MapType(StringType, StringType))))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("record_count", LongType),
+    StructField("file_size_in_bytes", LongType)))
+
+  def build(tableName: String, metaName: String, store: SnapshotStore): Table = {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val all = store.listVersions().map(store.read)
+    metaName match {
+      case "history" =>
+        // every committed version is an ancestor of the current head in our
+        // linear history (no branch/rollback divergence yet)
+        val rows = all.map(s => Row(ts(s.timestampMs), s.version,
+          s.parentVersion.map(Long.box).orNull, true))
+        new LocalTable(s"$tableName.history", historySchema, rows)
+      case "snapshots" =>
+        val rows = all.map(s => Row(ts(s.timestampMs), s.version,
+          s.parentVersion.map(Long.box).orNull, s.operation,
+          s"metadata/v${s.version}.json", s.summary))
+        new LocalTable(s"$tableName.snapshots", snapshotsSchema, rows)
+      case "files" =>
+        val head = store.head().toSeq
+        val rows = head.flatMap(_.files).map(f =>
+          Row(f.path, f.partitionValues, f.rowCount, f.sizeBytes))
+        new LocalTable(s"$tableName.files", filesSchema, rows)
+      case other =>
+        throw new IllegalArgumentException(s"unknown metadata table $other")
+    }
+  }
+}
+
+/** Read-only table over driver-local rows (V1Scan bridge). */
+final class LocalTable(tableName: String, tschema: StructType, rows: Seq[Row])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tschema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = tschema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = tschema
+          override def buildScan(): RDD[Row] =
+            context.sparkSession.createDataFrame(
+              rows.asJava, tschema).rdd
+        }.asInstanceOf[T]
+    }
+}

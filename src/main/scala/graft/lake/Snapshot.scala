@@ -1,0 +1,62 @@
+package graft.lake
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Snapshot-log data model for Graft tables.
+  *
+  * Mirrors the metadata tree the reference documents for its Iceberg tables
+  * (`README.md:166-176`: `metadata/v1.metadata.json`, `v2.metadata.json`,
+  * manifest lists, parquet files under `data/`) — but with the manifest inlined in
+  * the version JSON instead of Avro manifest files: at our file counts the
+  * manifest is small, and the commit stays a single atomic file swap.
+  * A 100 TB deployment would page `files` out to separate manifest chunks
+  * keyed by partition (the same two-level tree Iceberg uses); the schema
+  * below already carries everything those chunks need (per-file partition
+  * values + column stats), so that change is storage-layout-only.
+  */
+final case class ColumnStats(
+    min: Option[String],
+    max: Option[String],
+    nullCount: Option[Long])
+
+/** One immutable data file. Stats are stringified in a type-normalized form
+  * (timestamps → epoch micros, dates → epoch days, numerics → plain decimal,
+  * strings raw) so pruning compares without re-parsing parquet footers. */
+final case class DataFile(
+    path: String,
+    rowCount: Long,
+    sizeBytes: Long,
+    partitionValues: Map[String, String],
+    stats: Map[String, ColumnStats])
+
+final case class PartitionField(
+    name: String,      // partition field name, e.g. "created_date" or "days(created_at)"
+    transform: String, // identity | days | months | years | bucket[N]
+    source: String)    // source column name
+
+final case class Snapshot(
+    version: Long,
+    parentVersion: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | overwrite | delete | replace | create | evolve
+    schemaJson: String,
+    partitionSpec: Seq[PartitionField],
+    properties: Map[String, String],
+    files: Seq[DataFile],
+    summary: Map[String, String]) {
+
+  lazy val schema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  def totalRows: Long = files.map(_.rowCount).sum
+  def totalBytes: Long = files.map(_.sizeBytes).sum
+}
+
+object Snapshot {
+  implicit val formats: Formats = DefaultFormats
+
+  def toJson(s: Snapshot): String = Serialization.writePretty(s)
+  def fromJson(json: String): Snapshot = Serialization.read[Snapshot](json)
+}

@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, FileAlreadyExistsException}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** Filesystem snapshot store with the reference's commit semantics
+  * (`README.md:124`: "atomic pointer swaps" + optimistic concurrency;
+  * layout `README.md:169-176`).
+  *
+  * Layout per table:
+  * {{{
+  *   <tableDir>/data/<uuid>.parquet
+  *   <tableDir>/metadata/v<N>.json          // immutable snapshot
+  *   <tableDir>/metadata/version-hint.text  // current version pointer
+  * }}}
+  *
+  * Commit protocol (§3.3 of SURVEY.md): write `v<N+1>.json` with
+  * CREATE_NEW (fails if a concurrent committer won the race), then swap the
+  * hint with an atomic move. A reader that catches the store between the
+  * two steps still resolves the head by scanning for max N — the hint is a
+  * hint, not the source of truth. Losing a race retries the commit function
+  * on the new head (optimistic concurrency). On object stores this maps to
+  * conditional PUT (if-none-match) — same protocol, different primitive.
+  */
+final class SnapshotStore(val tableDir: Path) {
+
+  private def metaDir: Path = tableDir.resolve("metadata")
+  def dataDir: Path = tableDir.resolve("data")
+  private def hintFile: Path = metaDir.resolve("version-hint.text")
+  private def versionFile(v: Long): Path = metaDir.resolve(s"v$v.json")
+
+  def exists: Boolean = Files.isDirectory(metaDir)
+
+  def init(): Unit = {
+    Files.createDirectories(metaDir)
+    Files.createDirectories(dataDir)
+  }
+
+  /** Head version by hint, verified/corrected by directory listing. */
+  def currentVersion(): Option[Long] = {
+    val hinted =
+      if (Files.exists(hintFile))
+        scala.util.Try(Files.readString(hintFile).trim.toLong).toOption
+      else None
+    // Trust the hint only if that snapshot exists; otherwise (or if newer
+    // snapshots exist past the hint — a crash between steps) scan.
+    val scanned = listVersions().maxOption
+    (hinted, scanned) match {
+      case (Some(h), Some(s)) => Some(math.max(h, s))
+      case (_, s)             => s
+    }
+  }
+
+  def listVersions(): Seq[Long] =
+    if (!Files.isDirectory(metaDir)) Seq.empty
+    else Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json")
+      }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .toSeq.sorted
+
+  def read(version: Long): Snapshot =
+    Snapshot.fromJson(Files.readString(versionFile(version)))
+
+  def head(): Option[Snapshot] = currentVersion().map(read)
+
+  /** Latest snapshot with commit timestamp <= tsMillis. */
+  def asOfTimestamp(tsMillis: Long): Option[Snapshot] =
+    listVersions().map(read).filter(_.timestampMs <= tsMillis)
+      .sortBy(_.version).lastOption
+
+  /** Optimistic-concurrency commit: builds the next snapshot from the
+    * current head, retries on lost races. Returns the committed snapshot. */
+  def commit(build: Option[Snapshot] => Snapshot, maxRetries: Int = 10): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val head0 = head()
+      val next0 = build(head0)
+      val next = next0.copy(
+        version = head0.map(_.version + 1).getOrElse(1L),
+        parentVersion = head0.map(_.version))
+      val target = versionFile(next.version)
+      val tmp = Files.createTempFile(metaDir, ".commit", ".tmp")
+      try {
+        Files.writeString(tmp, Snapshot.toJson(next), UTF_8)
+        // Hard-link creation is atomic and fails if the target exists —
+        // no TOCTOU window (Files.move without REPLACE_EXISTING stats the
+        // target first, which races). A lost race → retry on the new head.
+        Files.createLink(target, tmp)
+        Files.deleteIfExists(tmp)
+        swapHint(next.version)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"commit lost $maxRetries races on $tableDir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def swapHint(v: Long): Unit = {
+    val tmp = Files.createTempFile(metaDir, ".hint", ".tmp")
+    Files.writeString(tmp, v.toString, UTF_8)
+    Files.move(tmp, hintFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete the whole table directory tree. */
+  def drop(): Unit = {
+    if (Files.exists(tableDir)) {
+      Files.walk(tableDir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+}

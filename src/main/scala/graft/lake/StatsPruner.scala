@@ -1,0 +1,159 @@
+package graft.lake
+
+import org.apache.spark.sql.sources._
+
+/** File pruning from snapshot-resident stats (SURVEY.md §4):
+  *
+  *  1. **Hidden-partition pruning** — a predicate on the partition SOURCE
+  *     column is mapped through the transform to the partition-value domain
+  *     and compared against each file's exact partition value
+  *     (`README.md:127` "automatically prunes partitions",
+  *     `:178` "figures out exactly which files to read").
+  *  2. **Min/max stats pruning** — per-file column ranges recorded at write
+  *     time stand in for Iceberg's manifest stats (`README.md:138-139`).
+  *
+  * Conservative by construction: `mightMatch = false` only when the stats
+  * PROVE no row can match; any un-translatable predicate keeps the file.
+  * Since the engine re-applies every filter after the scan, pruning is a
+  * pure optimization and can never change results.
+  *
+  * Values compare in the normalized string domain written by the stats
+  * collector: timestamps as epoch micros, dates as epoch days (both
+  * fixed-width-numeric → compared as BigDecimal), numerics as plain
+  * decimal, strings raw (lexicographic; matches Spark's UTF8String
+  * ordering for the ASCII fixture data — see compare()).
+  */
+object StatsPruner {
+
+  /** Normalize a literal from a source Filter to the stats domain. */
+  def normalize(value: Any): Option[Either[BigDecimal, String]] = value match {
+    case null => None
+    case t: java.sql.Timestamp =>
+      Some(Left(BigDecimal(t.getTime / 1000 * 1000000L + t.getNanos / 1000)))
+    case i: java.time.Instant =>
+      Some(Left(BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000)))
+    case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
+    case d: java.time.LocalDate => Some(Left(BigDecimal(d.toEpochDay)))
+    case n: java.lang.Number => Some(Left(BigDecimal(n.toString)))
+    case b: Boolean => Some(Right(b.toString))
+    case s: String => Some(Right(s))
+    case u => Some(Right(String.valueOf(u)))
+  }
+
+  private def cmp(stat: String, lit: Either[BigDecimal, String]): Option[Int] =
+    lit match {
+      case Left(num) =>
+        scala.util.Try(BigDecimal(stat)).toOption.map(_.compare(num))
+      case Right(s) => Some(stat.compareTo(s))
+    }
+
+  /** Can any row in `file` match `filter`? (false ⇒ safe to skip file) */
+  def mightMatch(file: DataFile, filter: Filter, spec: Seq[PartitionField]): Boolean =
+    filter match {
+      case And(l, r) =>
+        mightMatch(file, l, spec) && mightMatch(file, r, spec)
+      case Or(l, r) =>
+        mightMatch(file, l, spec) || mightMatch(file, r, spec)
+      case Not(EqualTo(a, v)) =>
+        // only provably-excludable when the file is constant at v
+        !provablyAllEqual(file, a, v, spec)
+      case EqualTo(a, v)            => rangeMatch(file, a, v, spec, eq = true)
+      case EqualNullSafe(a, v)      =>
+        if (v == null) mightHaveNulls(file, a) else rangeMatch(file, a, v, spec, eq = true)
+      case GreaterThan(a, v)        => boundMatch(file, a, v, spec, lower = false, strict = true)
+      case GreaterThanOrEqual(a, v) => boundMatch(file, a, v, spec, lower = false, strict = false)
+      case LessThan(a, v)           => boundMatch(file, a, v, spec, lower = true, strict = true)
+      case LessThanOrEqual(a, v)    => boundMatch(file, a, v, spec, lower = true, strict = false)
+      case In(a, vs) =>
+        vs.isEmpty || vs.exists(v => rangeMatch(file, a, v, spec, eq = true))
+      case IsNull(a)    => mightHaveNulls(file, a)
+      case IsNotNull(a) =>
+        file.stats.get(a).flatMap(_.nullCount) match {
+          case Some(nc) => nc < file.rowCount
+          case None     => true
+        }
+      case StringStartsWith(a, p) =>
+        file.stats.get(a) match {
+          case Some(st) =>
+            // [min, max] must overlap the prefix range
+            st.min.forall(m => m.take(p.length) <= p) &&
+              st.max.forall(m => m.take(p.length) >= p)
+          case None => true
+        }
+      case _ => true // unsupported → keep file
+    }
+
+  private def mightHaveNulls(file: DataFile, col: String): Boolean =
+    file.stats.get(col).flatMap(_.nullCount).forall(_ > 0)
+
+  private def provablyAllEqual(
+      file: DataFile, col: String, v: Any, spec: Seq[PartitionField]): Boolean = {
+    // identity-partition value is exact per file
+    spec.find(f => f.transform == "identity" && f.source == col)
+      .flatMap(f => file.partitionValues.get(f.name))
+      .exists(pv => pv == String.valueOf(v)) ||
+    file.stats.get(col).exists(st =>
+      (for { mn <- st.min; mx <- st.max; l <- normalize(v) }
+        yield cmp(mn, l).contains(0) && cmp(mx, l).contains(0) &&
+          st.nullCount.forall(_ == 0L)).getOrElse(false))
+  }
+
+  /** Equality / point containment against partition value + min/max. */
+  private def rangeMatch(
+      file: DataFile, col: String, v: Any, spec: Seq[PartitionField],
+      eq: Boolean): Boolean = {
+    // 1. partition-transform pruning (exact)
+    val partOk = spec.filter(_.source == col).forall { f =>
+      file.partitionValues.get(f.name) match {
+        case Some(pv) =>
+          f.transform match {
+            case b if b.startsWith("bucket[") =>
+              true // bucket equality requires the hash fn; skip (conservative)
+            case _ =>
+              PartitionTransforms.literalToPartitionValue(f, v)
+                .forall(lv => pv == lv)
+          }
+        case None => true
+      }
+    }
+    // 2. min/max containment
+    val statsOk = file.stats.get(col).forall { st =>
+      normalize(v).forall { l =>
+        st.min.flatMap(m => cmp(m, l)).forall(_ <= 0) &&
+          st.max.flatMap(m => cmp(m, l)).forall(_ >= 0)
+      }
+    }
+    partOk && statsOk
+  }
+
+  /** One-sided bound: col > v (lower=false) or col < v (lower=true). */
+  private def boundMatch(
+      file: DataFile, col: String, v: Any, spec: Seq[PartitionField],
+      lower: Boolean, strict: Boolean): Boolean = {
+    // partition pruning for order-preserving transforms (identity/days/...)
+    val partOk = spec.filter(_.source == col).forall { f =>
+      if (f.transform.startsWith("bucket[")) true
+      else (file.partitionValues.get(f.name),
+            PartitionTransforms.literalToPartitionValue(f, v)) match {
+        case (Some(pv), Some(lv)) =>
+          // day-granular: strictness can't exclude the boundary partition
+          if (lower) pv <= lv else pv >= lv
+        case _ => true
+      }
+    }
+    val statsOk = file.stats.get(col).forall { st =>
+      normalize(v).forall { l =>
+        if (lower) // need some value < v (or <= v): min must be below bound
+          st.min.flatMap(m => cmp(m, l)).forall(c => if (strict) c < 0 else c <= 0)
+        else
+          st.max.flatMap(m => cmp(m, l)).forall(c => if (strict) c > 0 else c >= 0)
+      }
+    }
+    partOk && statsOk
+  }
+
+  /** Files that might contain rows matching ALL filters. */
+  def prune(files: Seq[DataFile], filters: Seq[Filter],
+      spec: Seq[PartitionField]): Seq[DataFile] =
+    files.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.lake.GraftCatalog
+import graft.{Q, Tables}
+
+/** Catalog-backed queries for the driver's oracle gate: each pushes fixture
+  * data through the FULL lakehouse path — CREATE TABLE → INSERT (staged
+  * parquet + stats + snapshot commit) → catalog scan (pruning + V1 bridge)
+  * — and returns rows that must hash-match DuckDB reading the ORIGINAL
+  * parquet. Any corruption anywhere in the write/commit/read pipeline
+  * breaks the match.
+  */
+object LakeOps {
+
+  private val Cat = "graft"
+
+  private def ensureCatalog(s: SparkSession): Unit = {
+    if (s.conf.getOption(s"spark.sql.catalog.$Cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$Cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$Cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-wh-verify").toString)
+    }
+  }
+
+  /** Full write→commit→scan roundtrip of the nation table. */
+  val qLakeRoundtrip: Q = Q(
+    "q_lake_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       ORDER BY n_nationkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nation")
+    s.sql(s"""CREATE TABLE $Cat.verify.nation
+              (n_nationkey INT, n_name STRING, n_regionkey INT)
+              USING graft""")
+    Tables.nation(s, d).createOrReplaceTempView("graft_src_nation")
+    s.sql(s"INSERT INTO $Cat.verify.nation SELECT * FROM graft_src_nation")
+    s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+              FROM $Cat.verify.nation ORDER BY n_nationkey""")
+  }
+
+  /** Time travel correctness: append region twice, read VERSION AS OF the
+    * first append — must equal the original region exactly. */
+  val qLakeTimeTravel: Q = Q(
+    "q_lake_timetravel",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.region")
+    s.sql(s"""CREATE TABLE $Cat.verify.region
+              (r_regionkey INT, r_name STRING) USING graft""")
+    Tables.region(s, d).createOrReplaceTempView("graft_src_region")
+    s.sql(s"INSERT INTO $Cat.verify.region SELECT * FROM graft_src_region")
+    s.sql(s"INSERT INTO $Cat.verify.region SELECT * FROM graft_src_region")
+    // v1=create, v2=first append, v3=duplicate append
+    s.sql(s"""SELECT r_regionkey, r_name
+              FROM $Cat.verify.region VERSION AS OF 2 ORDER BY r_regionkey""")
+  }
+
+  /** Hidden-partition pruning correctness on a partitioned lake table:
+    * supplier partitioned by bucket + filter must equal the plain filter on
+    * the source parquet. */
+  val qLakePartitioned: Q = Q(
+    "q_lake_partitioned",
+    """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+       FROM supplier WHERE s_nationkey >= 10
+       ORDER BY s_suppkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.supplier")
+    s.sql(s"""CREATE TABLE $Cat.verify.supplier
+              (s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE)
+              USING graft PARTITIONED BY (s_nationkey)""")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_src_supplier")
+    s.sql(s"INSERT INTO $Cat.verify.supplier SELECT * FROM graft_src_supplier")
+    s.sql(s"""SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+              FROM $Cat.verify.supplier WHERE s_nationkey >= 10
+              ORDER BY s_suppkey""")
+  }
+
+  /** Schema evolution: ADD COLUMN then read old rows (null-fill) plus new
+    * rows — oracle reproduces with a UNION. */
+  val qLakeEvolution: Q = Q(
+    "q_lake_evolution",
+    """SELECT r_regionkey, r_name, CAST(NULL AS INTEGER) AS extra
+       FROM region
+       UNION ALL
+       SELECT 99, 'NEWLAND', 7
+       ORDER BY r_regionkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.region_evo")
+    s.sql(s"""CREATE TABLE $Cat.verify.region_evo
+              (r_regionkey INT, r_name STRING) USING graft""")
+    Tables.region(s, d).createOrReplaceTempView("graft_src_region_evo")
+    s.sql(s"INSERT INTO $Cat.verify.region_evo SELECT * FROM graft_src_region_evo")
+    s.sql(s"ALTER TABLE $Cat.verify.region_evo ADD COLUMN extra INT")
+    s.sql(s"INSERT INTO $Cat.verify.region_evo VALUES (99, 'NEWLAND', 7)")
+    s.sql(s"""SELECT r_regionkey, r_name, extra
+              FROM $Cat.verify.region_evo ORDER BY r_regionkey""")
+  }
+
+  val all: Seq[Q] = Seq(
+    qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution)
+}
