@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of lowercased, trimmed text — the shingle
+  * generator of the MinHash/Jaccard dedup pipeline (SURVEY.md §2.9 N2).
+  *
+  * Replaces the declarative formulation
+  * `array_distinct(transform(sequence(...), i -> concat_ws(...)))`:
+  * higher-order functions evaluate an interpreted lambda per ELEMENT with
+  * allocation per step, which made shingle generation ~8× slower than the
+  * whole 32-hash MinHash aggregation it feeds. This expression does one
+  * Scala call per ROW with a single hash-set pass. Semantics match the
+  * DuckDB oracle exactly: tokens = regexp-split of trim(lower(text)) on
+  * `\s+`, shingles = space-joined n-grams, de-duplicated keeping first
+  * occurrence. Lowercasing uses UTF8String.toLowerCase — the same
+  * implementation as Spark's `lower()`.
+  */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
+    val toks = text.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      var i = 0
+      val last = toks.length - n
+      val sb = new java.lang.StringBuilder(64)
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of whitespace-tokenized, lowercased text — computed in a
+  * single per-row pass (SimHash is a per-document signature; the previous
+  * formulation exploded tokens into rows and re-aggregated with 64
+  * conditional sums, paying a shuffle plus a very wide codegen unit for
+  * what is a map-side loop). Token hashing is FNV-1a 64 — self-contained,
+  * deterministic across JVMs/runs/cluster sizes.
+  *
+  * Near-duplicate documents differ in few tokens → their bit-majority
+  * votes agree on most bits → small Hamming distance between signatures.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  private def fnv1a(s: String): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
+    val toks = text.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = fnv1a(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -15,14 +15,29 @@ object Vectors {
   /** Cast an array<float> column to array<double> for stable math. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Codegen'd dot product (custom Catalyst expression — see
+    * VectorExpressions). Replaces the interpreted higher-order form on the
+    * all-pairs path. */
   def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Codegen'd L2 norm. */
+  def norm(a: Column): Column = column(VecNorm(expression(a)))
+
+  /** Cosine similarity of two array<double> columns. Prefer
+    * `dot(a,b) / (normA * normB)` with norms precomputed per side when the
+    * same vector participates in many pairs. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Interpreted reference implementations (higher-order functions) — kept
+    * for cross-checking the codegen'd kernels in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
+  def normHof(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

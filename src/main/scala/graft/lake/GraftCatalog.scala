@@ -34,10 +34,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * loadTable(ident, micros)), and `history`/`snapshots`/`files` metadata
   * tables resolved as a 4th name part.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _
+
+  // ---------- procedures (D13): CALL graft.system.compact('ns.t') ----------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    Procedures.load(catalogName, warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Procedures.Namespace))
+      Procedures.names.map(Identifier.of(Procedures.Namespace, _)).toArray
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

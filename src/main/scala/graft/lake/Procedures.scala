@@ -1,0 +1,111 @@
+package graft.lake
+
+import java.nio.file.Path
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{Scan, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types._
+
+/** Maintenance procedures exposed through Spark SQL `CALL` (SURVEY.md
+  * §2.2 D13, §2.11.1): the reference wraps compaction in invalid
+  * `ALTER TABLE … COMPACT` SQL (`warehouse_helpers.py:142-146`); the real
+  * Iceberg surface is `CALL cat.system.rewrite_data_files(...)` — mirrored
+  * here:
+  *
+  * {{{
+  *   CALL graft.system.compact(`table` => 'ns.t')
+  *   CALL graft.system.expire_snapshots(`table` => 'ns.t', keep_last => 3)
+  *   CALL graft.system.remove_orphan_files(`table` => 'ns.t')
+  * }}}
+  */
+object Procedures {
+
+  val Namespace: Array[String] = Array("system")
+  val names: Seq[String] = Seq("compact", "expire_snapshots", "remove_orphan_files")
+
+  def load(catalogName: String, warehouse: Path, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}")
+    def storeFor(tbl: String): SnapshotStore = {
+      val parts = tbl.split('.')
+      val st = new SnapshotStore(parts.foldLeft(warehouse)((p, e) => p.resolve(e)))
+      if (!st.exists)
+        throw new IllegalArgumentException(
+          s"table '$tbl' not found in catalog '$catalogName' " +
+            s"(expected <namespace>.<table>)")
+      st
+    }
+    ident.name() match {
+      case "compact" =>
+        simple(ident.name(), "rewrite small data files into larger ones",
+          Seq(ProcedureParameter.in("table", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val snap = Maintenance.compact(SparkSession.active, storeFor(tbl))
+          Seq(Row(tbl, snap.version, snap.files.size.toLong))
+        }
+      case "expire_snapshots" =>
+        simple(ident.name(), "drop old snapshot versions and unreferenced files",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("keep_last", IntegerType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val keep = args.getInt(1)
+          val expired = Maintenance.expireSnapshots(storeFor(tbl), keep)
+          Seq(Row(tbl, expired.size.toLong, expired.size.toLong))
+        }
+      case "remove_orphan_files" =>
+        simple(ident.name(), "delete data files referenced by no snapshot",
+          Seq(ProcedureParameter.in("table", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val removed = Maintenance.removeOrphanFiles(storeFor(tbl))
+          Seq(Row(tbl, removed.size.toLong, 0L))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure $other")
+    }
+  }
+
+  private val resultSchema = StructType(Seq(
+    StructField("table", StringType),
+    StructField("result_version_or_count", LongType),
+    StructField("detail", LongType)))
+
+  private def simple(
+      procName: String,
+      desc: String,
+      params: Seq[ProcedureParameter])(
+      body: InternalRow => Seq[Row]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val rows = body(input)
+            java.util.List.of[Scan](new LocalRowsScan(resultSchema, rows))
+              .iterator()
+          }
+        }
+    }
+}
+
+/** Driver-local procedure result scan. Spark's CALL execution requires a
+  * `LocalScan` (InternalRow[] on the driver) for procedure output. */
+final class LocalRowsScan(outSchema: StructType, resultRows: Seq[Row])
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = outSchema
+  override def rows(): Array[InternalRow] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(outSchema)
+    resultRows.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+  }
+}

@@ -30,16 +30,12 @@ object Dedup {
   private val NumBands = 8   // → 4 rows per band; P(candidate) = 1-(1-j^4)^8
 
   /** Word 3-gram shingles of the normalized text, deduplicated per doc.
-    * Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
-    * docs (<3 tokens) get an explicit empty array instead. */
+    * Custom expression (one tight loop per row) — see
+    * graft.functions.WordShingles for why not transform/array_distinct. */
   def shingles(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(
-      transform(idx, i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WordShingles(ColumnBridge.expression(text), 3))
   }
 
   /** doc_id → exploded distinct shingles. */
@@ -107,13 +103,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for a set of candidate pairs (shingle-join restricted to
-    * candidates). */
+  /** Exact Jaccard for a set of candidate pairs. The shingle self-join is
+    * restricted to docs that appear in `pairs` FIRST (semi-join pruning) —
+    * without that, the join computes intersections for every co-occurring
+    * doc pair in the corpus and the candidate filter comes too late. At
+    * scale the candidate set is ≪ corpus, so this bounds the quadratic
+    * stage by the LSH output, not the data size. */
   def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val sh = docShingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+    val candDocs = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val inter = shCand.as("x")
+      .join(shCand.as("y"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -150,22 +153,16 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash: 64-bit per-document near-dup hash — per-bit majority vote of
-    * token hashes, computed as 64 conditional sums in one aggregation pass
-    * (no per-bit shuffle). */
+  /** SimHash: 64-bit per-document near-dup signature, computed per row by
+    * a custom expression — no explode, no shuffle, embarrassingly parallel
+    * (see graft.functions.SimHash64). */
   val qSimhash: Q = Q.noOracle("q_simhash") { (s, d) =>
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(lit(7), col("tok")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v_$b"))
-    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map(b =>
-      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    voted.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sim = ColumnBridge.column(
+      graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sim.as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle —

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression conversions —
+  * the standard technique Spark connector libraries use to plug custom
+  * Catalyst expressions into the public Column API (Spark 4 removed the
+  * public `Column.expr` / `new Column(expr)` surface; `ExpressionUtils`
+  * is the sanctioned internal replacement). This is the only place the
+  * codebase reaches into a non-public Spark API. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -17,12 +17,15 @@ import graft.lake._
   */
 class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  // Own catalog name: suites run in parallel in one session, and catalog
+  // instances are cached per name at first use — sharing "graft" with the
+  // LakeOps queries would bind this suite to whichever warehouse conf won.
   private val wh = Files.createTempDirectory("graft-wh").toString
 
   private lazy val spark = {
     val s = SparkSpec.session
-    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.conf.set("spark.sql.catalog.lakespec", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.lakespec.warehouse", wh)
     s
   }
 
@@ -31,11 +34,11 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     // reference demo flow: namespace + partitioned users table + seed rows
     // (iceberg_queries.ipynb:72,92-100,124-131)
-    sql("CREATE NAMESPACE IF NOT EXISTS graft.demo")
-    sql("""CREATE TABLE graft.demo.users (
+    sql("CREATE NAMESPACE IF NOT EXISTS lakespec.demo")
+    sql("""CREATE TABLE lakespec.demo.users (
              id INT, name STRING, email STRING, created_date DATE)
            USING iceberg PARTITIONED BY (created_date)""")
-    sql("""INSERT INTO graft.demo.users VALUES
+    sql("""INSERT INTO lakespec.demo.users VALUES
            (1, 'Alice', 'alice@example.com', DATE '2025-01-01'),
            (2, 'Bob', 'bob@example.com', DATE '2025-01-02'),
            (3, 'Charlie', 'charlie@example.com', DATE '2025-01-03'),
@@ -43,19 +46,19 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("SHOW NAMESPACES lists created namespace (D2/D3)") {
-    val ns = sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    val ns = sql("SHOW NAMESPACES IN lakespec").collect().map(_.getString(0))
     assert(ns.contains("demo"))
   }
 
   test("SELECT * and filtered scans (S1, P1, P3)") {
-    assert(sql("SELECT * FROM graft.demo.users").count() == 4)
-    val filtered = sql("SELECT name FROM graft.demo.users WHERE id > 2")
+    assert(sql("SELECT * FROM lakespec.demo.users").count() == 4)
+    val filtered = sql("SELECT name FROM lakespec.demo.users WHERE id > 2")
       .collect().map(_.getString(0)).sorted
     assert(filtered.sameElements(Array("Charlie", "Diana")))
   }
 
   test("DataFrame API table handle (S3, P2, P4)") {
-    val df = spark.table("graft.demo.users")
+    val df = spark.table("lakespec.demo.users")
       .filter(col("id") > 1).select("name", "email")
     assert(df.count() == 3)
   }
@@ -73,88 +76,88 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("append creates a new snapshot; time travel reads the old one (S6)") {
-    sql("""INSERT INTO graft.demo.users VALUES
+    sql("""INSERT INTO lakespec.demo.users VALUES
            (5, 'Eve', 'eve@example.com', DATE '2025-01-05')""")
-    assert(sql("SELECT * FROM graft.demo.users").count() == 5)
+    assert(sql("SELECT * FROM lakespec.demo.users").count() == 5)
     // version 2 was the 4-row snapshot (v1 = create, v2 = first insert)
-    assert(sql("SELECT * FROM graft.demo.users VERSION AS OF 2").count() == 4)
+    assert(sql("SELECT * FROM lakespec.demo.users VERSION AS OF 2").count() == 4)
   }
 
   test("TIMESTAMP AS OF resolves to the snapshot current at that time (S7)") {
     val store = new SnapshotStore(Paths.get(wh, "demo", "users"))
     val v2ts = new java.sql.Timestamp(store.read(2).timestampMs)
     val cnt = sql(
-      s"SELECT * FROM graft.demo.users TIMESTAMP AS OF '$v2ts'").count()
+      s"SELECT * FROM lakespec.demo.users TIMESTAMP AS OF '$v2ts'").count()
     assert(cnt == 4)
   }
 
   test("history/snapshots/files metadata tables (S4, S5)") {
-    val hist = sql("SELECT * FROM graft.demo.users.history")
+    val hist = sql("SELECT * FROM lakespec.demo.users.history")
     assert(hist.columns.toSeq == Seq("made_current_at", "snapshot_id",
       "parent_id", "is_current_ancestor"))
     assert(hist.count() >= 3)
     val snaps = sql(
-      "SELECT operation FROM graft.demo.users.snapshots ORDER BY snapshot_id")
+      "SELECT operation FROM lakespec.demo.users.snapshots ORDER BY snapshot_id")
       .collect().map(_.getString(0))
     assert(snaps.take(3).sameElements(Array("create", "append", "append")))
-    val files = sql("SELECT * FROM graft.demo.users.files")
+    val files = sql("SELECT * FROM lakespec.demo.users.files")
     assert(files.count() == 5) // 5 partitions → 5 files
   }
 
   test("inner equi-join through the catalog (J1, iceberg_queries.ipynb:291)") {
-    sql("""CREATE TABLE IF NOT EXISTS graft.demo.orders (
+    sql("""CREATE TABLE IF NOT EXISTS lakespec.demo.orders (
              order_id INT, user_id INT, amount DECIMAL(10,2), order_date DATE)
            USING iceberg PARTITIONED BY (order_date)""")
-    sql("""INSERT INTO graft.demo.orders VALUES
+    sql("""INSERT INTO lakespec.demo.orders VALUES
            (101, 1, 150.50, DATE '2025-01-10'),
            (102, 2, 200.00, DATE '2025-01-11'),
            (103, 1, 75.25, DATE '2025-01-12'),
            (104, 3, 300.00, DATE '2025-01-13')""")
     val joined = sql(
       """SELECT u.name, o.order_id, o.amount
-         FROM graft.demo.users u JOIN graft.demo.orders o ON u.id = o.user_id
+         FROM lakespec.demo.users u JOIN lakespec.demo.orders o ON u.id = o.user_id
          ORDER BY o.order_id""")
     assert(joined.count() == 4)
     assert(joined.head().getString(0) == "Alice")
   }
 
   test("ALTER TABLE ADD COLUMN null-fills old files (D12)") {
-    sql("ALTER TABLE graft.demo.users ADD COLUMN age INT")
-    val withAge = sql("SELECT id, age FROM graft.demo.users WHERE id <= 5")
+    sql("ALTER TABLE lakespec.demo.users ADD COLUMN age INT")
+    val withAge = sql("SELECT id, age FROM lakespec.demo.users WHERE id <= 5")
     assert(withAge.count() == 5)
     assert(withAge.filter(col("age").isNull).count() == 5) // old files → null
-    sql("""INSERT INTO graft.demo.users VALUES
+    sql("""INSERT INTO lakespec.demo.users VALUES
            (6, 'Frank', 'frank@example.com', DATE '2025-01-06', 33)""")
-    val mixed = sql("SELECT age FROM graft.demo.users WHERE id = 6")
+    val mixed = sql("SELECT age FROM lakespec.demo.users WHERE id = 6")
     assert(mixed.head().getInt(0) == 33)
   }
 
   test("DESCRIBE TABLE and SHOW TBLPROPERTIES (D10, D11)") {
-    val desc = sql("DESCRIBE TABLE graft.demo.users").collect()
+    val desc = sql("DESCRIBE TABLE lakespec.demo.users").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc("age") == "int")
     assert(desc.contains("created_date"))
     // Spark hides reserved properties (provider/location/owner) here
-    val props = sql("SHOW TBLPROPERTIES graft.demo.users").collect()
+    val props = sql("SHOW TBLPROPERTIES lakespec.demo.users").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("format") == "parquet")
     assert(props("total-records").toLong >= 6)
   }
 
   test("SHOW TABLES lists both tables (D5)") {
-    val tables = sql("SHOW TABLES IN graft.demo").collect()
+    val tables = sql("SHOW TABLES IN lakespec.demo").collect()
       .map(_.getString(1)).toSet
     assert(Set("users", "orders").subsetOf(tables))
   }
 
   test("DELETE FROM with copy-on-write rewrite, only touched files (D-row-level)") {
-    sql("""CREATE TABLE graft.demo.del_t (id INT, v STRING, d DATE)
+    sql("""CREATE TABLE lakespec.demo.del_t (id INT, v STRING, d DATE)
            USING graft PARTITIONED BY (d)""")
-    sql("""INSERT INTO graft.demo.del_t VALUES
+    sql("""INSERT INTO lakespec.demo.del_t VALUES
            (1, 'a', DATE '2025-02-01'), (2, 'b', DATE '2025-02-01'),
            (3, 'c', DATE '2025-02-02'), (4, 'd', DATE '2025-02-03')""")
-    sql("DELETE FROM graft.demo.del_t WHERE id = 2")
-    val rows = sql("SELECT id FROM graft.demo.del_t ORDER BY id")
+    sql("DELETE FROM lakespec.demo.del_t WHERE id = 2")
+    val rows = sql("SELECT id FROM lakespec.demo.del_t ORDER BY id")
       .collect().map(_.getInt(0))
     assert(rows.sameElements(Array(1, 3, 4)))
     // only the 2025-02-01 partition file was rewritten
@@ -165,23 +168,23 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("INSERT OVERWRITE replaces table content (S11)") {
-    sql("""CREATE TABLE graft.demo.ovr (k INT, v STRING) USING graft""")
-    sql("INSERT INTO graft.demo.ovr VALUES (1, 'x'), (2, 'y')")
-    sql("INSERT OVERWRITE graft.demo.ovr VALUES (9, 'z')")
-    val rows = sql("SELECT k, v FROM graft.demo.ovr").collect()
+    sql("""CREATE TABLE lakespec.demo.ovr (k INT, v STRING) USING graft""")
+    sql("INSERT INTO lakespec.demo.ovr VALUES (1, 'x'), (2, 'y')")
+    sql("INSERT OVERWRITE lakespec.demo.ovr VALUES (9, 'z')")
+    val rows = sql("SELECT k, v FROM lakespec.demo.ovr").collect()
     assert(rows.length == 1 && rows.head.getInt(0) == 9)
     // old content still time-travelable
-    assert(sql("SELECT * FROM graft.demo.ovr VERSION AS OF 2").count() == 2)
+    assert(sql("SELECT * FROM lakespec.demo.ovr VERSION AS OF 2").count() == 2)
   }
 
   test("days() hidden-partition transform with pruning (D7, §2.11.2)") {
-    sql("""CREATE TABLE graft.demo.ts_events (id INT, name STRING, created_at TIMESTAMP)
+    sql("""CREATE TABLE lakespec.demo.ts_events (id INT, name STRING, created_at TIMESTAMP)
            USING graft PARTITIONED BY (days(created_at))""")
-    sql("""INSERT INTO graft.demo.ts_events VALUES
+    sql("""INSERT INTO lakespec.demo.ts_events VALUES
            (1, 'a', TIMESTAMP '2024-11-25 10:00:00'),
            (2, 'b', TIMESTAMP '2024-11-25 23:59:00'),
            (3, 'c', TIMESTAMP '2024-11-26 00:01:00')""")
-    assert(sql("""SELECT * FROM graft.demo.ts_events
+    assert(sql("""SELECT * FROM lakespec.demo.ts_events
                   WHERE created_at >= TIMESTAMP '2024-11-26 00:00:00'""")
       .count() == 1)
     val store = new SnapshotStore(Paths.get(wh, "demo", "ts_events"))
@@ -198,23 +201,23 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("duplicate-on-reinsert is by-design append semantics (§2.11.3)") {
-    sql("""CREATE TABLE graft.demo.dup_t (id INT, v STRING) USING graft""")
-    sql("INSERT INTO graft.demo.dup_t VALUES (1, 'x')")
-    sql("INSERT INTO graft.demo.dup_t VALUES (1, 'x')")
-    assert(sql("SELECT * FROM graft.demo.dup_t").count() == 2)
+    sql("""CREATE TABLE lakespec.demo.dup_t (id INT, v STRING) USING graft""")
+    sql("INSERT INTO lakespec.demo.dup_t VALUES (1, 'x')")
+    sql("INSERT INTO lakespec.demo.dup_t VALUES (1, 'x')")
+    assert(sql("SELECT * FROM lakespec.demo.dup_t").count() == 2)
   }
 
   test("compaction merges small files and preserves the row multiset (D13)") {
     val store = new SnapshotStore(Paths.get(wh, "demo", "dup_t"))
-    val before = sql("SELECT v FROM graft.demo.dup_t").collect().toSeq
+    val before = sql("SELECT v FROM lakespec.demo.dup_t").collect().toSeq
     val preFiles = store.head().get.files.size
     assert(preFiles >= 2)
     Maintenance.compact(spark, store)
-    spark.sessionState.catalogManager.catalog("graft")
+    spark.sessionState.catalogManager.catalog("lakespec")
       .asInstanceOf[GraftCatalog]
       .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
         .of(Array("demo"), "dup_t"))
-    val after = sql("SELECT v FROM graft.demo.dup_t").collect().toSeq
+    val after = sql("SELECT v FROM lakespec.demo.dup_t").collect().toSeq
     assert(after.groupBy(identity).view.mapValues(_.size).toMap ==
       before.groupBy(identity).view.mapValues(_.size).toMap)
     assert(store.head().get.files.size == 1)
@@ -229,11 +232,11 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expired.nonEmpty)
     assert(store.listVersions().size == 1)
     // head still reads fine after expiry
-    assert(sql("SELECT * FROM graft.demo.ovr").count() == 1)
+    assert(sql("SELECT * FROM lakespec.demo.ovr").count() == 1)
   }
 
   test("concurrent appends both land (optimistic commit retry)") {
-    sql("CREATE TABLE graft.demo.conc (id INT) USING graft")
+    sql("CREATE TABLE lakespec.demo.conc (id INT) USING graft")
     val store = new SnapshotStore(Paths.get(wh, "demo", "conc"))
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -244,27 +247,44 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftWriter.insert(spark, store, df, overwrite = false)
     })
     Await.result(Future.sequence(futures), 120.seconds)
-    assert(sql("SELECT * FROM graft.demo.conc").count() == 4)
+    assert(sql("SELECT * FROM lakespec.demo.conc").count() == 4)
     assert(store.head().get.version == 5) // create + 4 appends
   }
 
   test("unpartitioned smoke table round trip (getting_started.ipynb:85-102)") {
-    sql("CREATE TABLE graft.demo.test_table (id INT, name STRING) USING graft")
-    sql("INSERT INTO graft.demo.test_table VALUES (1, 'Hello'), (2, 'World')")
-    val rows = sql("SELECT * FROM graft.demo.test_table ORDER BY id").collect()
+    sql("CREATE TABLE lakespec.demo.test_table (id INT, name STRING) USING graft")
+    sql("INSERT INTO lakespec.demo.test_table VALUES (1, 'Hello'), (2, 'World')")
+    val rows = sql("SELECT * FROM lakespec.demo.test_table ORDER BY id").collect()
     assert(rows.map(_.getString(1)).sameElements(Array("Hello", "World")))
   }
 
   test("DROP TABLE and DROP NAMESPACE CASCADE (D4, D9)") {
-    sql("CREATE NAMESPACE graft.scratch")
-    sql("CREATE TABLE graft.scratch.tmp (id INT) USING graft")
-    sql("INSERT INTO graft.scratch.tmp VALUES (1)")
-    sql("DROP TABLE graft.scratch.tmp")
-    assert(sql("SHOW TABLES IN graft.scratch").count() == 0)
-    sql("CREATE TABLE graft.scratch.tmp2 (id INT) USING graft")
-    sql("DROP NAMESPACE graft.scratch CASCADE")
-    val ns = sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    sql("CREATE NAMESPACE lakespec.scratch")
+    sql("CREATE TABLE lakespec.scratch.tmp (id INT) USING graft")
+    sql("INSERT INTO lakespec.scratch.tmp VALUES (1)")
+    sql("DROP TABLE lakespec.scratch.tmp")
+    assert(sql("SHOW TABLES IN lakespec.scratch").count() == 0)
+    sql("CREATE TABLE lakespec.scratch.tmp2 (id INT) USING graft")
+    sql("DROP NAMESPACE lakespec.scratch CASCADE")
+    val ns = sql("SHOW NAMESPACES IN lakespec").collect().map(_.getString(0))
     assert(!ns.contains("scratch"))
+  }
+
+  test("CALL lakespec.system.compact / expire_snapshots procedures (D13)") {
+    sql("CREATE TABLE lakespec.demo.proc_t (id INT) USING graft")
+    sql("INSERT INTO lakespec.demo.proc_t VALUES (1)")
+    sql("INSERT INTO lakespec.demo.proc_t VALUES (2)")
+    sql("INSERT INTO lakespec.demo.proc_t VALUES (3)")
+    val store = new SnapshotStore(Paths.get(wh, "demo", "proc_t"))
+    assert(store.head().get.files.size == 3)
+    val res = sql("CALL lakespec.system.compact(`table` => 'demo.proc_t')").collect()
+    assert(res.head.getString(0) == "demo.proc_t")
+    assert(store.head().get.files.size == 1)
+    assert(sql("SELECT * FROM lakespec.demo.proc_t").count() == 3)
+    sql("CALL lakespec.system.expire_snapshots(`table` => 'demo.proc_t', keep_last => 1)")
+    assert(store.listVersions().size == 1)
+    sql("CALL lakespec.system.remove_orphan_files(`table` => 'demo.proc_t')")
+    assert(sql("SELECT * FROM lakespec.demo.proc_t").count() == 3)
   }
 
   test("commit protocol: crash between snapshot write and hint swap recovers") {
