@@ -1,0 +1,163 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native executor-side batch read path (DSv2 `Batch` +
+  * `PartitionReaderFactory`), used by the row-level operation rewrites
+  * (MERGE / UPDATE): Spark's ReplaceData planning calls `Scan.toBatch`
+  * directly and does not route through the V1 fallback, so the COW scan
+  * must produce InternalRows on executors itself.
+  *
+  * Row-based parquet-mr reader over the snapshot's (pruned) file list —
+  * one InputPartition per data file, readers run fully distributed. The
+  * hot SELECT path stays on the V1 bridge (vectorized, codegen); this
+  * reader only feeds rewrites, whose cost is dominated by the write side.
+  * Null-fills columns missing from old files (schema evolution) like the
+  * main read path.
+  */
+final case class GraftInputPartition(filePath: String) extends InputPartition
+
+final class GraftBatchScan(
+    snapshot: Snapshot,
+    store: SnapshotStore,
+    required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private[lake] lazy val prunedFiles: Seq[DataFile] =
+    StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedFiles.map(f =>
+      GraftInputPartition(store.tableDir.resolve(f.path).toString): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.json)
+
+  override def estimateStatistics() = new org.apache.spark.sql.connector.read.Statistics {
+    override def sizeInBytes() =
+      java.util.OptionalLong.of(math.max(prunedFiles.map(_.sizeBytes).sum, 1L))
+    override def numRows() =
+      java.util.OptionalLong.of(prunedFiles.map(_.rowCount).sum)
+  }
+
+  override def description(): String =
+    s"GraftBatchScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
+}
+
+final class GraftReaderFactory(requiredJson: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].filePath, required)
+  }
+}
+
+/** Reads one parquet file as InternalRows of `required` (missing fields →
+  * null). Handles the physical types our writer produces: int32 (int,
+  * date, small decimal), int64 (long, timestamp micros/millis, decimal),
+  * int96 (legacy Spark timestamps), float/double/boolean, binary (string,
+  * decimal). Nested types are rejected with a clear error — row-level
+  * rewrites on nested-schema tables are a documented round-2 item. */
+final class GraftPartitionReader(filePath: String, required: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new HPath(filePath))
+      .withConf(new Configuration(false))
+      .build()
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    val schema: MessageType = current.getType.asInstanceOf[MessageType]
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      if (!schema.containsField(f.name)) row.update(i, null)
+      else {
+        val idx = schema.getFieldIndex(f.name)
+        if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)
+        else row.update(i, convert(schema, idx, f.dataType))
+      }
+      i += 1
+    }
+    row
+  }
+
+  private def convert(schema: MessageType, idx: Int, dt: DataType): Any = {
+    val ptype = schema.getType(idx)
+    dt match {
+      case IntegerType | ShortType | ByteType => current.getInteger(idx, 0)
+      case LongType => current.getLong(idx, 0)
+      case DoubleType => current.getDouble(idx, 0)
+      case FloatType => current.getFloat(idx, 0)
+      case BooleanType => current.getBoolean(idx, 0)
+      case StringType =>
+        UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
+      case BinaryType => current.getBinary(idx, 0).getBytes
+      case DateType => current.getInteger(idx, 0)
+      case TimestampType | TimestampNTZType =>
+        ptype.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT96 =>
+            int96ToMicros(current.getInt96(idx, 0).getBytes)
+          case _ =>
+            val v = current.getLong(idx, 0)
+            ptype.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+              case _ => v // micros
+            }
+        }
+      case d: DecimalType =>
+        ptype.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            Decimal(current.getInteger(idx, 0).toLong, d.precision, d.scale)
+          case PrimitiveType.PrimitiveTypeName.INT64 =>
+            Decimal(current.getLong(idx, 0), d.precision, d.scale)
+          case _ =>
+            val bytes = current.getBinary(idx, 0).getBytes
+            Decimal(BigDecimal(BigInt(bytes), d.scale), d.precision, d.scale)
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"row-level operations on column type $other are not supported yet")
+    }
+  }
+
+  /** INT96 legacy timestamp: 8 bytes nanos-of-day (LE) + 4 bytes julian
+    * day (LE) → micros since epoch. */
+  private def int96ToMicros(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    val epochDay = julianDay - 2440588L
+    epochDay * 86400L * 1000000L + nanosOfDay / 1000L
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,296 @@
+package graft.lake
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** Native executor-side parquet write path (DSv2 `BatchWrite`), used by
+  * row-level operation rewrites (MERGE / UPDATE): Spark's ReplaceData exec
+  * requires a real BatchWrite — the V1 insert fallback is not applied.
+  *
+  * Each task writes one parquet file per partition-value tuple it sees
+  * (hash-partitioned input ⇒ few tuples per task), tracks rowCount +
+  * min/max/null stats inline, and ships `DataFile` entries back as commit
+  * messages; the driver-side commit atomically swaps the operation's
+  * scanned files for the new files in one snapshot. Task retries are safe:
+  * only files named in commit messages are registered, strays are swept by
+  * `remove_orphan_files`.
+  */
+class GraftBatchWrite(
+    tableDirStr: String,
+    schemaJson: String,
+    spec: Seq[PartitionField],
+    operation: String,
+    commitFiles: Seq[DataFile] => Unit) extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(tableDirStr, schemaJson, spec)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.flatMap {
+      case m: GraftCommitMessage => m.files
+      case _ => Seq.empty
+    }
+    commitFiles(files)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case m: GraftCommitMessage => m.files.foreach { f =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDirStr).resolve(f.path))
+      }
+      case _ =>
+    }
+  }
+
+  override def description(): String = s"GraftBatchWrite($operation)"
+}
+
+final case class GraftCommitMessage(files: Seq[DataFile]) extends WriterCommitMessage
+
+final class GraftDataWriterFactory(
+    tableDirStr: String,
+    schemaJson: String,
+    spec: Seq[PartitionField]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tableDirStr,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], spec)
+}
+
+final class GraftDataWriter(
+    tableDirStr: String,
+    schema: StructType,
+    spec: Seq[PartitionField]) extends DataWriter[InternalRow] {
+
+  private val messageType: MessageType = ParquetSchema.fromStruct(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+
+  /** One open file per partition-value tuple seen by this task. */
+  private val writers = scala.collection.mutable.Map.empty[
+    Map[String, String], (org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group], String, FileStats)]
+
+  private def writerFor(pv: Map[String, String]) =
+    writers.getOrElseUpdate(pv, {
+      val name = s"data/${UUID.randomUUID()}.parquet"
+      val path = java.nio.file.Paths.get(tableDirStr).resolve(name)
+      val w = ExampleParquetWriter.builder(new HPath(path.toString))
+        .withType(messageType)
+        .withConf(new Configuration(false))
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      (w, name, new FileStats(schema))
+    })
+
+  override def write(row: InternalRow): Unit = {
+    // ReplaceData hands the writer the RAW rewrite-query output when the
+    // operation declares no metadata columns: MergeRows/UpdateRows prepend
+    // bookkeeping attributes (e.g. __row_operation) BEFORE the data
+    // columns, and Spark only strips them via ReplaceDataProjections when
+    // a metadata projection also exists. The data columns are the trailing
+    // schema.length fields — read at this offset. (Exact-result specs pin
+    // this contract; a layout change breaks them loudly, not silently.)
+    val off = row.numFields - schema.length
+    require(off >= 0,
+      s"row has ${row.numFields} fields but table schema has ${schema.length}")
+    val pv = spec.flatMap(f => RowPartitionValue.of(f, row, schema, off)
+      .map(v => f.name -> v)).toMap
+    val (w, _, stats) = writerFor(pv)
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(off + i)) addField(g, i, row, off)
+      i += 1
+    }
+    stats.update(row, off)
+    w.write(g)
+  }
+
+  private def addField(g: org.apache.parquet.example.data.Group, i: Int,
+      row: InternalRow, off: Int): Unit = schema.fields(i).dataType match {
+    case IntegerType | DateType => g.add(i, row.getInt(off + i))
+    case LongType | TimestampType | TimestampNTZType => g.add(i, row.getLong(off + i))
+    case DoubleType => g.add(i, row.getDouble(off + i))
+    case FloatType => g.add(i, row.getFloat(off + i))
+    case BooleanType => g.add(i, row.getBoolean(off + i))
+    case StringType => g.add(i,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        row.getUTF8String(off + i).getBytes))
+    case BinaryType => g.add(i,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(off + i)))
+    case d: DecimalType =>
+      g.add(i, row.getDecimal(off + i, d.precision, d.scale).toUnscaledLong)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"row-level write of column type $other not supported yet")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = writers.toSeq.map { case (pv, (w, name, stats)) =>
+      w.close()
+      val size = java.nio.file.Files.size(
+        java.nio.file.Paths.get(tableDirStr).resolve(name))
+      DataFile(name, stats.rowCount, size, pv, stats.result())
+    }
+    GraftCommitMessage(files)
+  }
+
+  override def abort(): Unit = writers.values.foreach { case (w, name, _) =>
+    scala.util.Try(w.close())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tableDirStr).resolve(name))
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Inline per-file stats accumulation (numeric/date/timestamp min-max +
+  * null counts; strings skipped — absent stats are conservatively "might
+  * match" for the pruner). */
+final class FileStats(schema: StructType) {
+  var rowCount: Long = 0L
+  private val mins = new Array[Long](schema.length)
+  private val maxs = new Array[Long](schema.length)
+  private val dmins = new Array[Double](schema.length)
+  private val dmaxs = new Array[Double](schema.length)
+  private val nulls = new Array[Long](schema.length)
+  private val seen = new Array[Boolean](schema.length)
+  java.util.Arrays.fill(dmins, Double.PositiveInfinity)
+  java.util.Arrays.fill(dmaxs, Double.NegativeInfinity)
+  java.util.Arrays.fill(mins, Long.MaxValue)
+  java.util.Arrays.fill(maxs, Long.MinValue)
+
+  def update(row: InternalRow, off: Int = 0): Unit = {
+    rowCount += 1
+    var i = 0
+    while (i < schema.length) {
+      if (row.isNullAt(off + i)) nulls(i) += 1
+      else schema.fields(i).dataType match {
+        case IntegerType | DateType =>
+          val v = row.getInt(off + i).toLong
+          mins(i) = math.min(mins(i), v); maxs(i) = math.max(maxs(i), v)
+          seen(i) = true
+        case LongType | TimestampType | TimestampNTZType =>
+          val v = row.getLong(off + i)
+          mins(i) = math.min(mins(i), v); maxs(i) = math.max(maxs(i), v)
+          seen(i) = true
+        case DoubleType =>
+          val v = row.getDouble(off + i)
+          dmins(i) = math.min(dmins(i), v); dmaxs(i) = math.max(dmaxs(i), v)
+          seen(i) = true
+        case FloatType =>
+          val v = row.getFloat(off + i).toDouble
+          dmins(i) = math.min(dmins(i), v); dmaxs(i) = math.max(dmaxs(i), v)
+          seen(i) = true
+        case _ => // string/decimal/binary: no inline stats
+      }
+      i += 1
+    }
+  }
+
+  def result(): Map[String, ColumnStats] = {
+    schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      f.dataType match {
+        case IntegerType | DateType | LongType | TimestampType | TimestampNTZType
+            if seen(i) =>
+          Some(f.name -> ColumnStats(Some(mins(i).toString),
+            Some(maxs(i).toString), Some(nulls(i))))
+        case DoubleType | FloatType if seen(i) =>
+          Some(f.name -> ColumnStats(Some(dmins(i).toString),
+            Some(dmaxs(i).toString), Some(nulls(i))))
+        case _ if nulls(i) > 0 =>
+          Some(f.name -> ColumnStats(None, None, Some(nulls(i))))
+        case _ => None
+      }
+    }.toMap
+  }
+}
+
+/** Parquet MessageType for a Spark StructType (flat schemas). */
+object ParquetSchema {
+  def fromStruct(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val opt = Types.optional _
+      f.dataType match {
+        case IntegerType => b.addField(opt(PrimitiveTypeName.INT32).named(f.name))
+        case LongType => b.addField(opt(PrimitiveTypeName.INT64).named(f.name))
+        case DoubleType => b.addField(opt(PrimitiveTypeName.DOUBLE).named(f.name))
+        case FloatType => b.addField(opt(PrimitiveTypeName.FLOAT).named(f.name))
+        case BooleanType => b.addField(opt(PrimitiveTypeName.BOOLEAN).named(f.name))
+        case StringType => b.addField(opt(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case BinaryType => b.addField(opt(PrimitiveTypeName.BINARY).named(f.name))
+        case DateType => b.addField(opt(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case TimestampType => b.addField(opt(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case TimestampNTZType => b.addField(opt(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case d: DecimalType if d.precision <= 18 =>
+          b.addField(opt(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"row-level write of column type $other not supported yet")
+      }
+    }
+    b.named("graft_schema")
+  }
+}
+
+/** Row-side partition value computation for the executor write path —
+  * mirrors PartitionTransforms.valueColumn for the transforms whose value
+  * is derivable without Spark expressions. Bucket values are skipped (the
+  * pruner treats absent partition values conservatively). */
+object RowPartitionValue {
+  def of(f: PartitionField, row: InternalRow, schema: StructType,
+      off: Int = 0): Option[String] = {
+    val fieldIdx = schema.fieldIndex(f.source)
+    val idx = fieldIdx + off
+    if (row.isNullAt(idx)) return Some("__null__")
+    def localDate: java.time.LocalDate = schema.fields(fieldIdx).dataType match {
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong)
+      case TimestampType | TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(row.getLong(idx), 1000000L), 0,
+          java.time.ZoneOffset.UTC).toLocalDate
+      case other => throw new UnsupportedOperationException(
+        s"${f.transform} over $other")
+    }
+    f.transform match {
+      case "identity" =>
+        val v = schema.fields(fieldIdx).dataType match {
+          case StringType => row.getUTF8String(idx).toString
+          case IntegerType => row.getInt(idx).toString
+          case LongType => row.getLong(idx).toString
+          case DateType => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
+          case DoubleType => row.getDouble(idx).toString
+          case BooleanType => row.getBoolean(idx).toString
+          case other => return None
+        }
+        Some(v)
+      case "days" => Some(localDate.toString)
+      case "months" => Some(f"${localDate.getYear}%04d-${localDate.getMonthValue}%02d")
+      case "years" => Some(f"${localDate.getYear}%04d")
+      case _ => None // bucket: stats-only pruning for these files
+    }
+  }
+}

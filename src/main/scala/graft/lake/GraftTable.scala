@@ -36,7 +36,13 @@ class GraftTable(
     tableName: String,
     val store: SnapshotStore,
     pinned: Option[Snapshot] = None)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(store, info)
 
   def snapshot: Snapshot = pinned.orElse(store.head()).getOrElse(
     throw new IllegalStateException(s"no snapshot for $tableName"))
@@ -112,7 +118,7 @@ class GraftTable(
   * delegated parquet read) and the required column subset. We report no
   * filters as fully pushed, so Spark keeps the Filter node — pruning stays
   * a pure optimization and correctness never depends on stats. */
-final class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
+class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -134,7 +140,7 @@ final class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
 }
 
 /** Scan over the pruned file set, bridged to Spark's parquet source. */
-final class GraftScan(
+class GraftScan(
     snapshot: Snapshot,
     store: SnapshotStore,
     fullSchema: StructType,

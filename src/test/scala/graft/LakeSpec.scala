@@ -270,6 +270,53 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ns.contains("scratch"))
   }
 
+  test("MERGE INTO: update matched, insert not-matched, delete clause (§2.11.3)") {
+    sql("""CREATE TABLE lakespec.demo.mt (id INT, v STRING, d DATE)
+           USING graft PARTITIONED BY (d)""")
+    sql("""INSERT INTO lakespec.demo.mt VALUES
+           (1,'a',DATE '2025-01-01'), (2,'b',DATE '2025-01-01'),
+           (3,'c',DATE '2025-01-02')""")
+    sql("CREATE TABLE lakespec.demo.msrc (id INT, v STRING, d DATE) USING graft")
+    sql("""INSERT INTO lakespec.demo.msrc VALUES
+           (2,'B',DATE '2025-01-01'), (9,'Z',DATE '2025-01-09')""")
+    sql("""MERGE INTO lakespec.demo.mt t USING lakespec.demo.msrc s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (id, v, d) VALUES (s.id, s.v, s.d)""")
+    val rows = sql("SELECT id, v, CAST(d AS STRING) FROM lakespec.demo.mt ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1, "a", "2025-01-01"), (2, "B", "2025-01-01"),
+      (3, "c", "2025-01-02"), (9, "Z", "2025-01-09")))
+    // MERGE with delete clause
+    sql("""MERGE INTO lakespec.demo.mt t USING lakespec.demo.msrc s ON t.id = s.id
+           WHEN MATCHED AND s.v = 'B' THEN DELETE""")
+    assert(sql("SELECT id FROM lakespec.demo.mt ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3, 9))
+    // committed as first-class snapshots
+    val ops = sql("SELECT operation FROM lakespec.demo.mt.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("create", "append", "merge", "merge"))
+    // merged files carry partition values → pruning still works post-merge
+    val store = new SnapshotStore(Paths.get(wh, "demo", "mt"))
+    assert(store.head().get.files.forall(_.partitionValues.contains("d")))
+  }
+
+  test("UPDATE rewrites only files whose stats might match") {
+    sql("""CREATE TABLE lakespec.demo.ut (id INT, v STRING, d DATE)
+           USING graft PARTITIONED BY (d)""")
+    sql("""INSERT INTO lakespec.demo.ut VALUES
+           (1,'a',DATE '2025-03-01'), (2,'b',DATE '2025-03-02'),
+           (3,'c',DATE '2025-03-03')""")
+    sql("UPDATE lakespec.demo.ut SET v = 'X' WHERE d = DATE '2025-03-02'")
+    val rows = sql("SELECT id, v FROM lakespec.demo.ut ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, "X"), (3, "c")))
+    val store = new SnapshotStore(Paths.get(wh, "demo", "ut"))
+    val head = store.head().get
+    assert(head.operation == "update")
+    assert(head.summary("replaced-files").toInt == 1) // partition pruned
+  }
+
   test("CALL lakespec.system.compact / expire_snapshots procedures (D13)") {
     sql("CREATE TABLE lakespec.demo.proc_t (id INT) USING graft")
     sql("INSERT INTO lakespec.demo.proc_t VALUES (1)")
