@@ -207,7 +207,37 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-cosine near-dup: vector pairs above a similarity threshold
+    * (the semantic-dedup pass of a training pipeline — catches paraphrases
+    * exact/MinHash dedup misses). Brute-force at test scale; the LSH
+    * bucketing of Similarity.qKnnLsh is the 100 TB candidate generator. */
+  val qEmbeddingNearDup: Q = Q(
+    "q_embedding_neardup",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+              CASE WHEN a.label = b.label THEN true ELSE false END AS same_label
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+       ORDER BY id_a, id_b""") { (s, d) =>
+    import graft.functions.Vectors._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("rawsim", sim)
+      .filter(col("rawsim") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("rawsim"), 6).as("sim"),
+        (col("la") === col("lb")).as("same_label"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
-    qSimhash, qNgramJaccard)
+    qSimhash, qNgramJaccard, qEmbeddingNearDup)
 }
