@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.lake._
+
+/** Property-based lakehouse tests (SURVEY.md §5.2.3): random sequences of
+  * append / overwrite / compact / evolve against an in-memory model — the
+  * moral equivalent of the reference's manual restart-persistence drill
+  * (`SETUP_GUIDE_WIN.md:453-464`), automated. After every step the table
+  * content must equal the model, and after the whole sequence every
+  * intermediate version must still time-travel to its recorded state. */
+class LakePropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic forAll over scalacheck Gen (the scalatest-scalacheck
+    * bridge isn't in the offline cache): fixed seeds -> reproducible. */
+  private def forAllSeeded[A](gen: Gen[A], cases: Int)(body: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private sealed trait Op
+  private case class Append(rows: Seq[(Int, String)]) extends Op
+  private case class Overwrite(rows: Seq[(Int, String)]) extends Op
+  private case object Compact extends Op
+
+  private val genRows: Gen[Seq[(Int, String)]] = for {
+    n <- Gen.choose(1, 5)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, 99)
+      v <- Gen.alphaLowerStr.map(_.take(8))
+    } yield (k, v))
+  } yield rows
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    5 -> genRows.map(Append),
+    2 -> genRows.map(Overwrite),
+    1 -> Gen.const(Compact))
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  test("random append/overwrite/compact sequences match an in-memory model " +
+      "and stay time-travelable") {
+    forAllSeeded(Gen.listOfN(8, genOp), cases = 10) { ops =>
+      val dir = Files.createTempDirectory("graft-prop")
+      val store = new SnapshotStore(dir.resolve("t"))
+      store.init()
+      store.commit(_ => Snapshot(1, None, System.currentTimeMillis(), "create",
+        schema.json, Nil, Map.empty, Nil, Map.empty))
+
+      var model = Seq.empty[(Int, String)]
+      // version → expected content at that version
+      val history = scala.collection.mutable.Map[Long, Seq[(Int, String)]](
+        store.head().get.version -> model)
+
+      def readAll(snap: Snapshot): Seq[(Int, String)] =
+        if (snap.files.isEmpty) Seq.empty
+        else spark.read.schema(schema)
+          .parquet(snap.files.map(f => dir.resolve("t").resolve(f.path).toString): _*)
+          .as[(Int, String)].collect().toSeq
+
+      ops.foreach {
+        case Append(rows) =>
+          GraftWriter.insert(spark, store, rows.toDF("k", "v"), overwrite = false)
+          model = model ++ rows
+          history(store.head().get.version) = model
+        case Overwrite(rows) =>
+          GraftWriter.insert(spark, store, rows.toDF("k", "v"), overwrite = true)
+          model = rows
+          history(store.head().get.version) = model
+        case Compact =>
+          val before = store.head().get.version
+          Maintenance.compact(spark, store)
+          model = model // unchanged
+          history(store.head().get.version) = model
+      }
+
+      // head content equals the model (as multisets)
+      assert(readAll(store.head().get).sorted == model.sorted)
+      // every recorded version still reads back its own content
+      history.foreach { case (v, expected) =>
+        assert(readAll(store.read(v)).sorted == expected.sorted,
+          s"time travel to v$v diverged")
+      }
+      // snapshot invariants: rowCount sums match content
+      assert(store.head().get.totalRows == model.size)
+    }
+  }
+
+  test("schema evolution preserves old rows under random add-column sequences") {
+    forAllSeeded(Gen.listOfN(3, Gen.alphaLowerStr.map(s => "c_" + s.take(5))),
+        cases = 5) { rawNames =>
+      val names = rawNames.distinct.filter(_.length > 2)
+      if (names.nonEmpty) {
+        val dir = Files.createTempDirectory("graft-evo")
+        val store = new SnapshotStore(dir.resolve("t"))
+        store.init()
+        store.commit(_ => Snapshot(1, None, System.currentTimeMillis(), "create",
+          schema.json, Nil, Map.empty, Nil, Map.empty))
+        GraftWriter.insert(spark, store,
+          Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = false)
+        // evolve: add each column as a metadata-only commit
+        names.foreach { n =>
+          store.commit { prev =>
+            val p = prev.get
+            p.copy(schemaJson = p.schema.add(n, IntegerType).json,
+              operation = "evolve", timestampMs = System.currentTimeMillis())
+          }
+        }
+        val head = store.head().get
+        val got = spark.read.schema(head.schema)
+          .parquet(head.files.map(f => dir.resolve("t").resolve(f.path).toString): _*)
+        assert(got.count() == 2)
+        // old rows null-fill every added column
+        names.foreach { n =>
+          assert(got.filter(got(n).isNull).count() == 2, s"column $n not null-filled")
+        }
+      }
+    }
+  }
+}
