@@ -33,17 +33,49 @@ final class GraftBatchScan(
     snapshot: Snapshot,
     store: SnapshotStore,
     required: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    onRuntimePrune: Seq[DataFile] => Unit = _ => ())
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private[lake] lazy val prunedFiles: Seq[DataFile] =
     StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
 
+  /** File set after runtime (dynamic) filtering — starts at the statically
+    * pruned set; `filter()` narrows it before planInputPartitions. */
+  @volatile private var runtimeFiles: Seq[DataFile] = null
+  private def currentFiles: Seq[DataFile] =
+    if (runtimeFiles ne null) runtimeFiles else prunedFiles
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Runtime group filtering: when Spark's
+    * RowLevelOperationRuntimeGroupFiltering rule injects a dynamic filter
+    * (the actual keys occurring in a merge/update source), the COW group
+    * set narrows from "files whose stats admit the static predicates" to
+    * "files that can contain the keys that actually occur" — the 100 TB
+    * MERGE optimization. Conservative pruning only (StatsPruner), so
+    * over-approximation is safe; if Spark chooses not to inject the filter
+    * (observed for some plan shapes on 4.1), the statically pruned set
+    * stands, which is correct. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    snapshot.schema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = org.apache.spark.sql.graftbridge.ColumnBridge.predicatesToV1(predicates)
+    val narrowed = StatsPruner.prune(currentFiles, v1.toIndexedSeq,
+      snapshot.partitionSpec)
+    runtimeFiles = narrowed
+    onRuntimePrune(narrowed)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    prunedFiles.map(f =>
+    currentFiles.map(f =>
       GraftInputPartition(store.tableDir.resolve(f.path).toString): InputPartition)
       .toArray
 

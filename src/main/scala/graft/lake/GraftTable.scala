@@ -188,6 +188,11 @@ final class GraftRelation(
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
+  /** Snapshot-resident size of the PRUNED file set — without this the V1
+    * relation reports spark.sql.defaultSizeInBytes (8 EiB) and a lake
+    * table can never be chosen as the broadcast side of a join. */
+  override def sizeInBytes: Long = math.max(files.map(_.sizeBytes).sum, 1L)
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     if (files.isEmpty) {

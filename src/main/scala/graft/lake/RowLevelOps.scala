@@ -62,7 +62,10 @@ final class GraftRowLevelOperation(
         required = requiredSchema
       }
       override def build(): org.apache.spark.sql.connector.read.Scan = {
-        val scan = new GraftBatchScan(base, store, required, filters)
+        val scan = new GraftBatchScan(base, store, required, filters,
+          // runtime group filtering narrows the replaced-file set too:
+          // commit swaps exactly the files the rewrite scan read
+          onRuntimePrune = narrowed => scannedFiles = narrowed)
         scannedFiles = scan.prunedFiles
         scan
       }

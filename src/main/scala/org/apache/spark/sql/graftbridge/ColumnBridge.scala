@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** V2 connector Predicate → V1 source Filter (for runtime group
+    * filtering: Spark delivers dynamic-pruning predicates as V2
+    * Predicates; our pruner evaluates V1 Filters). */
+  def predicatesToV1(
+      preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(preds)
 }
