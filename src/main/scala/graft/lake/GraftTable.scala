@@ -37,7 +37,18 @@ class GraftTable(
     val store: SnapshotStore,
     pinned: Option[Snapshot] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** Iceberg-style `_file` metadata column: `SELECT _file, t.* FROM t`
+    * exposes data-file provenance (debugging, targeted compaction). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "path of the data file the row lives in"
+    })
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -200,6 +211,10 @@ final class GraftRelation(
     } else {
       val paths = files.map(f => store.tableDir.resolve(f.path).toString)
       var df: DataFrame = spark.read.schema(fullSchema).parquet(paths: _*)
+      // `_file` metadata column (SupportsMetadataColumns) is served from
+      // the parquet reader's provenance function
+      if (required.fieldNames.contains("_file"))
+        df = df.withColumn("_file", org.apache.spark.sql.functions.input_file_name())
       FilterTranslate.conjunction(filters.toIndexedSeq).foreach(c => df = df.filter(c))
       val projected =
         if (required.isEmpty) df

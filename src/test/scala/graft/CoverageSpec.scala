@@ -100,6 +100,19 @@ class CoverageSpec extends SparkSpec {
     assert(diffs.getDouble(1) < 1e-9)
   }
 
+  test("_file metadata column exposes per-row file provenance") {
+    wh
+    spark.sql("CREATE TABLE covspec.db.f (id INT, d DATE) USING graft PARTITIONED BY (d)")
+    spark.sql("""INSERT INTO covspec.db.f VALUES
+      (1, DATE '2025-01-01'), (2, DATE '2025-01-02')""")
+    val rows = spark.sql("SELECT id, _file FROM covspec.db.f ORDER BY id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows(0).getString(1) != rows(1).getString(1)) // different partitions
+    // metadata column stays hidden from SELECT *
+    assert(spark.table("covspec.db.f").columns.toSeq == Seq("id", "d"))
+  }
+
   test("path-addressed table reads (§2.11.4): spark.read over a table dir") {
     wh
     spark.sql("CREATE TABLE covspec.db.p (k INT) USING graft")
