@@ -113,6 +113,32 @@ class CoverageSpec extends SparkSpec {
     assert(spark.table("covspec.db.f").columns.toSeq == Seq("id", "d"))
   }
 
+  test("approx_count_distinct stays within its rsd bound of the exact count") {
+    val rows = graft.operators.TypedOps.qApproxDistinct.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("bucket partition transform assigns stable bucket ids (D-bucket)") {
+    wh
+    spark.sql("""CREATE TABLE covspec.db.b (id BIGINT, v STRING)
+                 USING graft PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO covspec.db.b SELECT id, CAST(id AS STRING) FROM range(100)")
+    assert(spark.table("covspec.db.b").count() == 100)
+    val store = new SnapshotStore(Paths.get(wh, "db", "b"))
+    val pvs = store.head().get.files.flatMap(_.partitionValues.get("bucket_4(id)"))
+    assert(pvs.nonEmpty && pvs.toSet.subsetOf(Set("0", "1", "2", "3")))
+    // re-inserting the same keys lands them in the same buckets
+    spark.sql("INSERT INTO covspec.db.b SELECT id, 'x' FROM range(100)")
+    val pvs2 = store.head().get.files.flatMap(_.partitionValues.get("bucket_4(id)"))
+    assert(pvs2.toSet == pvs.toSet)
+  }
+
   test("path-addressed table reads (§2.11.4): spark.read over a table dir") {
     wh
     spark.sql("CREATE TABLE covspec.db.p (k INT) USING graft")
