@@ -76,6 +76,7 @@ class GraftTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
@@ -168,6 +169,12 @@ class GraftScan(
       context: SQLContext): T =
     new GraftRelation(context, store, snapshot, prunedFiles, fullSchema,
       required, filters).asInstanceOf[T]
+
+  /** spark.readStream.table(...): incremental micro-batches over the
+    * snapshot log (offsets = versions). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(store, required, checkpointLocation)
 
   /** Snapshot-resident stats → the optimizer's broadcast decisions see real
     * sizes without touching the FS (SURVEY.md §4 "snapshot-based stats"). */
