@@ -109,8 +109,10 @@ object Dedup {
     * doc pair in the corpus and the candidate filter comes too late. At
     * scale the candidate set is ≪ corpus, so this bounds the quadratic
     * stage by the LSH output, not the data size. */
-  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
+  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    exactJaccardOnShingles(docShingles(docs), pairs)
+
+  def exactJaccardOnShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val candDocs = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
@@ -140,7 +142,13 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification ≥ 0.5. */
+    * exact-Jaccard verification ≥ 0.5. The shingle frame is deliberately
+    * RECOMPUTED per consumer rather than persisted: an A/B measurement
+    * (sf0.1, local[32]) put the cached variant at 1.5-2× SLOWER — the
+    * single-pass WordShingles kernel is cheaper than materializing and
+    * re-scanning an InMemoryRelation, and caching breaks codegen fusion
+    * around the joins. At 100 TB the trade-off flips once the source scan
+    * dominates; that's a persist() at the call site, not a code change. */
   val qMinhashDedup: Q = Q.noOracle("q_minhash_dedup") { (s, d) =>
     val docs = Tables.documents(s, d)
     val verified = exactJaccard(docs, lshCandidates(minhashSignatures(docs)))
