@@ -139,6 +139,32 @@ class CoverageSpec extends SparkSpec {
     assert(pvs2.toSet == pvs.toSet)
   }
 
+  test("as-of join picks the latest right row at or before each left time") {
+    import java.sql.Timestamp.{valueOf => ts}
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // exactly at a quote time
+      (2L, ts("2024-01-01 09:00:00"), 200L), // before any quote
+      (3L, ts("2024-01-01 12:00:00"), 300L)  // key with no quotes
+    ).toDF("key", "t", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 7L),
+      (1L, ts("2024-01-01 10:00:00"), 8L),
+      (1L, ts("2024-01-01 10:00:00"), 9L),   // tie: max value wins
+      (1L, ts("2024-01-01 10:00:10"), 10L),  // after both trades
+      (2L, ts("2024-01-01 09:30:00"), 20L)   // after key-2's trade
+    ).toDF("qkey", "qt", "quote_id")
+    val got = graft.operators.AsOf.asOfJoin(trades, quotes,
+        "key", "t", "qkey", "qt", "quote_id")
+      .select(col("trade_id"), col("__asof").as("asof_quote"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(100L) == 9L)  // 10:00:05 → latest ≤ is the 10:00:00 tie, max id
+    assert(got(101L) == 9L)  // exactly at 10:00:00 → inclusive
+    assert(got(200L) == -1L) // no quote at or before → null
+    assert(got(300L) == -1L) // key never quoted → null
+  }
+
   test("path-addressed table reads (§2.11.4): spark.read over a table dir") {
     wh
     spark.sql("CREATE TABLE covspec.db.p (k INT) USING graft")
