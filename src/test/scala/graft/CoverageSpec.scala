@@ -165,6 +165,25 @@ class CoverageSpec extends SparkSpec {
     assert(got(300L) == -1L) // key never quoted → null
   }
 
+  test("range join: window boundaries are (t, t+W] across bucket edges") {
+    import java.sql.Timestamp.{valueOf => ts}
+    val rows = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // anchor
+      (2L, 10L, ts("2024-01-01 23:59:59")), // inside window, next bucket edge
+      (3L, 10L, ts("2024-01-02 00:00:00")), // exactly +24h → inclusive
+      (4L, 10L, ts("2024-01-02 00:00:01")), // 1s past → excluded
+      (5L, 99L, ts("2024-01-01 01:00:00"))  // other key → never matches
+    ).toDF("event_id", "user_id", "t")
+    val got = graft.operators.Ranges.rangeJoinCount(rows, rows,
+        key = "user_id", time = "t", idCol = "event_id",
+        windowMicros = 24L * 3600 * 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L) // rows 2 and 3; row 4 is past the closed bound
+    assert(got(2L) == 2L) // rows 3 and 4
+    assert(got(4L) == 0L)
+    assert(got(5L) == 0L)
+  }
+
   test("path-addressed table reads (§2.11.4): spark.read over a table dir") {
     wh
     spark.sql("CREATE TABLE covspec.db.p (k INT) USING graft")
