@@ -147,8 +147,56 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     required = requiredSchema
   }
 
-  override def build(): Scan =
-    new GraftScan(snapshot, store, snapshot.schema, required, filters)
+  override def build(): Scan = {
+    // Vectorized DSv2 path by default; the V1 bridge remains for the
+    // `_file` metadata column (served via input_file_name) and as an
+    // escape hatch (spark.graft.vectorizedReader=false).
+    val wantsFile = required.fieldNames.contains("_file")
+    val vectorized = SparkSession.active.conf
+      .getOption("spark.graft.vectorizedReader").forall(_.toBoolean)
+    if (vectorized && !wantsFile)
+      new GraftVectorScan(snapshot, store, snapshot.schema, required, filters)
+    else
+      new GraftScan(snapshot, store, snapshot.schema, required, filters)
+  }
+}
+
+/** Main read path: native DSv2 Batch over the pruned file set, delegating
+  * the physical IO to Spark's vectorized parquet scan (ParquetScanBridge)
+  * — ColumnarBatches flow straight into WholeStageCodegen with no
+  * Row↔InternalRow conversion. */
+class GraftVectorScan(
+    snapshot: Snapshot,
+    store: SnapshotStore,
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter])
+  extends Scan with SupportsReportStatistics {
+
+  private[lake] lazy val prunedFiles: Seq[DataFile] =
+    StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
+      SparkSession.active,
+      prunedFiles.map(f => store.tableDir.resolve(f.path).toString),
+      fullSchema, required, filters)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(store, required, checkpointLocation)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = prunedFiles.map(_.rowCount).sum
+    private val bytes = prunedFiles.map(_.sizeBytes).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+
+  override def description(): String =
+    s"GraftVectorScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
 }
 
 /** Scan over the pruned file set, bridged to Spark's parquet source. */
