@@ -218,7 +218,64 @@ object Analytics {
       .orderBy("event_type", "day", "hr")
   }
 
+  /** Exact percentiles (median/p90) per group — linear interpolation,
+    * matching DuckDB's quantile_cont. The exact form sorts per group; at
+    * 100 TB you'd swap in approx_percentile (t-digest, mergeable) — same
+    * call site, declared alongside in TypedOps.qApproxDistinct's spirit. */
+  val qPercentiles: Q = Q(
+    "q_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot: order counts per priority × status matrix (groupBy.pivot —
+    * conditional aggregation under the hood, one shuffle). */
+  val qPivot: Q = Q(
+    "q_pivot",
+    """SELECT o_orderpriority,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  /** Scalar-total share: each segment's fraction of global revenue via an
+    * empty-frame window over the aggregate — no second scan, no driver
+    * collect. */
+  val qRevenueShare: Q = Q(
+    "q_revenue_share",
+    """WITH seg AS (SELECT c_mktsegment, sum(o_totalprice) AS rev
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                    GROUP BY c_mktsegment)
+       SELECT c_mktsegment, round(rev, 2) AS revenue,
+              round(rev / sum(rev) OVER (), 4) AS share
+       FROM seg ORDER BY c_mktsegment""") { (s, d) =>
+    val seg = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum("o_totalprice").as("rev"))
+    val wAll = Window.partitionBy()
+    seg.select(col("c_mktsegment"), round(col("rev"), 2).as("revenue"),
+        round(col("rev") / sum("rev").over(wAll), 4).as("share"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     qOrderByLimit, qTopkCustomers, qWindowRank, qWindowRunning, qWindowLag,
-    qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents)
+    qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents, qPercentiles,
+    qPivot, qRevenueShare)
 }
