@@ -173,6 +173,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup PAIRS: documents within Hamming distance ≤ 3 of each
+    * other's 64-bit signature. Pigeonhole banding makes it an equi-join:
+    * split the signature into 4 × 16-bit bands — any two signatures within
+    * Hamming 3 agree EXACTLY on at least one band — so candidates are
+    * pairs sharing (band_idx, band_value), verified with
+    * bit_count(a XOR b). One shuffle on the band key, no all-pairs work;
+    * the same structure Google's simhash dedup uses at web scale. */
+  val qSimhashPairs: Q = Q.noOracle("q_simhash_pairs") { (s, d) =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sim = ColumnBridge.column(
+      graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
+    val sigs = Tables.documents(s, d).select(col("doc_id"), sim.as("sh"))
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    // summary row keeps the result non-empty on dup-free corpora
+    pairs
+      .unionAll(pairs.agg(count(lit(1)).as("cnt")).select(
+        lit(-1L).as("id_a"), lit(-1L).as("id_b"), col("cnt").cast("int").as("hamming")))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle —
     * the oracle-checkable exact counterpart of the MinHash path. The
     * shingle equi-join prunes the pair space to co-occurring docs only. */
@@ -247,5 +281,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
-    qSimhash, qNgramJaccard, qEmbeddingNearDup)
+    qSimhash, qSimhashPairs, qNgramJaccard, qEmbeddingNearDup)
 }

@@ -50,6 +50,24 @@ class DedupSpec extends SparkSpec {
     assert(firstRun.sameElements(secondRun))
   }
 
+  test("simhash banding finds near-identical docs within Hamming 3") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // near-identical long docs: one word changed out of many → few bit flips
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val docs2 = Seq(
+      (0L, base),
+      (1L, base.replace("token30", "changed")),
+      (2L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sim = ColumnBridge.column(
+      graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
+    val sigs = docs2.select(col("doc_id"), sim.as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) <= 8) // near-dup → close signatures
+    assert(hamming(sigs(0L), sigs(2L)) > 16) // unrelated → far
+  }
+
   test("exact dedup keeps one id per duplicate group") {
     val withDups = docs.union(docs.limit(2)) // duplicate docs 0 and 1
     val kept = withDups.groupBy("text")
