@@ -95,22 +95,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Language-ID heuristic: score each language by stopword hits, pick the
-    * argmax with a fixed precedence (en > de > es > fr > zh). Compared with
-    * the labeled `lang` column so accuracy is measurable downstream. */
+  /** Language-ID heuristic: CJK characters → zh; otherwise score each
+    * latin language by stopword hits and pick the argmax with a fixed
+    * precedence (en > de > es > fr). Compared with the labeled `lang`
+    * column so accuracy is measurable downstream. */
   val qLangGuess: Q = Q(
     "q_lang_guess",
-    """WITH t AS (SELECT doc_id, lang,
+    """WITH t AS (SELECT doc_id, lang, text,
                          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                   FROM documents),
             s AS (SELECT doc_id, lang,
+                         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh,
                          len(list_filter(toks, x -> x IN ('the','a','and','of','to')))  AS s_en,
                          len(list_filter(toks, x -> x IN ('der','die','das','und','zu'))) AS s_de,
                          len(list_filter(toks, x -> x IN ('el','la','de','y','que')))   AS s_es,
                          len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr
                   FROM t)
        SELECT doc_id, lang,
-              CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              CASE WHEN s_zh > 0 THEN 'zh'
+                   WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
                    WHEN s_es >= s_fr THEN 'es'
                    ELSE 'fr' END AS lang_guess
@@ -119,11 +122,14 @@ object TextOps {
     val toks = tokens(lower(col("text")))
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("[\u4e00-\u9fff]"), lit(0)))
+          .as("s_zh"),
         countIn(toks, stopEn).as("s_en"), countIn(toks, stopDe).as("s_de"),
         countIn(toks, stopEs).as("s_es"), countIn(toks, stopFr).as("s_fr"))
     scored.select(col("doc_id"), col("lang"),
-      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-        col("s_en") >= col("s_fr"), "en")
+      when(col("s_zh") > 0, "zh")
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), "en")
         .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
         .when(col("s_es") >= col("s_fr"), "es")
         .otherwise("fr").as("lang_guess"))

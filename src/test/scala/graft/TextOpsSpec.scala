@@ -27,6 +27,15 @@ class TextOpsSpec extends SparkSpec {
     assert(guesses.count() == Tables.documents(spark, sf).count())
   }
 
+  test("language guess routes CJK text to zh") {
+    val cjk = size(regexp_extract_all(col("t"), lit("[一-鿿]"), lit(0)))
+    val counts = Seq("这是一个中文文档", "the quick brown fox", "mixed 文本 here")
+      .toDF("t").select(cjk.as("n")).as[Int].collect()
+    assert(counts(0) == 8)
+    assert(counts(1) == 0)
+    assert(counts(2) == 2)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(("a  B   c"), ("A b C"), ("a b d")).toDF("text")
       .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
