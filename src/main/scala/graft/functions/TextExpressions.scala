@@ -59,6 +59,73 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * a ROLLING polynomial hash over character k-grams of the normalized
+  * text, keeping the minimum hash of every w-gram window (rightmost on
+  * ties). Guarantees: any shared substring of length ≥ w + k - 1 between
+  * two documents yields at least one shared fingerprint — the
+  * plagiarism/near-dup detection primitive that survives insertions and
+  * deletions (which shift everything and break fixed-position hashing).
+  * Single pass per row; output is the distinct sorted fingerprint set, so
+  * overlap is a plain array_intersect downstream.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2 && window >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  private val Base = 1000003L
+
+  override def nullSafeEval(v: Any): Any = {
+    val raw = v.asInstanceOf[UTF8String].toLowerCase.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c)
+      i += 1
+    }
+    val s = sb.toString
+    if (s.length < k) return new GenericArrayData(Array.empty[Any])
+    // rolling hashes of all k-grams
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L // Base^(k-1)
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); if (i < k - 1) pow *= Base; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min per window of `window` consecutive hashes, rightmost tie
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + window, n)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      seen.add(hashes(minIdx))
+      start += window
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of whitespace-tokenized, lowercased text — computed in a
   * single per-row pass (SimHash is a per-document signature; the previous
   * formulation exploded tokens into rows and re-aggregated with 64

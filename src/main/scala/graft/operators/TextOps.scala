@@ -152,6 +152,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing (rolling-hash) fingerprints: per-document fingerprint-set
+    * stats. The sets themselves feed near-dup overlap joins (share a
+    * fingerprint ⇒ share a ≥23-char substring); here the deterministic
+    * per-doc summary is the declared surface, property-tested in
+    * TextOpsSpec. Rows-only (polynomial rolling hash has no DuckDB twin). */
+  val qWinnowFingerprint: Q = Q.noOracle("q_winnow_fingerprint") { (s, d) =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fps = ColumnBridge.column(graft.functions.WinnowFingerprints(
+      ColumnBridge.expression(col("text")), 8, 16))
+    Tables.documents(s, d)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        element_at(col("fps"), 1).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level word frequency: top-50 tokens. Explode → map-side partial
     * count → final count; the shuffle carries at most |vocab| rows per
     * partition. */
@@ -174,5 +190,6 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTextQuality, qLangGuess, qFingerprint, qWordFreq)
+    qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
+    qWordFreq)
 }

@@ -36,6 +36,27 @@ class TextOpsSpec extends SparkSpec {
     assert(counts(2) == 2)
   }
 
+  test("winnowing fingerprints: shared substrings yield shared fingerprints") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def fps(texts: String*): Seq[Set[Long]] = {
+      val c = ColumnBridge.column(graft.functions.WinnowFingerprints(
+        ColumnBridge.expression(col("t")), 8, 16))
+      texts.toDF("t").select(c).as[Seq[Long]].collect().map(_.toSet).toSeq
+    }
+    val shared = "a sufficiently long common passage that both documents contain verbatim"
+    val Seq(a, b, c0, short) = fps(
+      s"unique prefix alpha $shared unique suffix one",
+      s"different beginning text $shared and a different ending",
+      "completely unrelated content with no overlap at all whatsoever here",
+      "tiny")
+    assert((a intersect b).nonEmpty)          // winnowing guarantee
+    assert((a intersect c0).isEmpty)          // unrelated docs don't collide
+    assert(short.isEmpty)                     // shorter than k → no fingerprints
+    // identical input → identical fingerprint set (determinism)
+    val Seq(x, y) = fps(shared, shared)
+    assert(x == y && x.nonEmpty)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(("a  B   c"), ("A b C"), ("a b d")).toDF("text")
       .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
