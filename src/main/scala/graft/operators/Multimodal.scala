@@ -25,14 +25,17 @@ import graft.{Q, Tables}
 object Multimodal {
 
   /** Synthesize a media-shaped table from `documents`: payload bytes +
-    * typed metadata struct. Stands in for real image/audio ingestion. */
+    * typed metadata struct. Stands in for real image/audio ingestion.
+    * Metadata derives from doc_id via PORTABLE integer arithmetic
+    * (Knuth multiplicative hash mod dimensions) so the metadata queries
+    * are oracle-checkable in DuckDB. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"),
       struct(
-        (pmod(xxhash64(col("doc_id")), lit(1280)) + 64).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(1)), lit(720)) + 64).cast("int").as("height"),
+        (pmod(col("doc_id") * 2654435761L, lit(1280)) + 64).cast("int").as("width"),
+        (pmod(col("doc_id") * 40503L, lit(720)) + 64).cast("int").as("height"),
         when(pmod(col("doc_id"), lit(3)) === 0, "jpeg")
           .when(pmod(col("doc_id"), lit(3)) === 1, "png")
           .otherwise("wav").as("codec"),
@@ -98,14 +101,22 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Metadata-only query — prunes to the struct columns, payload never
-    * read. Oracle-checkable because the synthesized metadata is
-    * hash-deterministic... but xxhash64 has no DuckDB twin, so rows-only. */
-  val qMediaMetadata: Q = Q.noOracle("q_media_metadata") { (s, d) =>
+  /** Metadata-only query — prunes to the struct columns; the payload
+    * bytes only contribute a length. Oracle-checked: the metadata
+    * synthesis is portable arithmetic over doc_id. */
+  val qMediaMetadata: Q = Q(
+    "q_media_metadata",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                   WHEN doc_id % 3 = 1 THEN 'png'
+                   ELSE 'wav' END AS codec,
+              count(*) AS n,
+              round(avg((doc_id * 2654435761) % 1280 + 64), 4) AS avg_width,
+              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+       FROM documents GROUP BY 1 ORDER BY codec""") { (s, d) =>
     mediaTable(s, d)
       .groupBy(col("meta.codec").as("codec"))
       .agg(count(lit(1)).as("n"),
-        avg(col("meta.width")).as("avg_width"),
+        round(avg(col("meta.width")), 4).as("avg_width"),
         sum(length(col("payload"))).as("total_bytes"))
       .orderBy("codec")
   }

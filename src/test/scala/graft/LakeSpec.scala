@@ -137,6 +137,10 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc("age") == "int")
     assert(desc.contains("created_date"))
+    // DESCRIBE EXTENDED adds table-detail rows (getting_started.ipynb:163)
+    val ext = sql("DESCRIBE EXTENDED lakespec.demo.users").collect()
+      .map(_.getString(0))
+    assert(ext.length > desc.size)
     // Spark hides reserved properties (provider/location/owner) here
     val props = sql("SHOW TBLPROPERTIES lakespec.demo.users").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
