@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.functions.{col, not => fnot}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not => fnot}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,7 +104,10 @@ class GraftTable(
       if (touched.isEmpty) Seq.empty
       else {
         val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
-        val kept = spark.read.schema(s.schema).parquet(paths: _*).filter(fnot(cond))
+        // SQL DELETE removes only rows where cond IS TRUE; rows where it
+        // evaluates NULL (e.g. `c = 5` on a NULL c) must be KEPT.
+        val kept = spark.read.schema(s.schema).parquet(paths: _*)
+          .filter(fnot(coalesce(cond, lit(false))))
         GraftWriter.writeFiles(spark, store, s.schema, s.partitionSpec, kept)
       }
     store.commit { prev =>
@@ -326,8 +329,10 @@ final class GraftWriteBuilder(store: SnapshotStore)
                 if (touched.isEmpty) Seq.empty
                 else {
                   val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
+                  // NULL-evaluating rows are outside the overwritten region
+                  // and must survive (same NULL semantics as DELETE).
                   val kept = spark.read.schema(head.schema)
-                    .parquet(paths: _*).filter(fnot(cond))
+                    .parquet(paths: _*).filter(fnot(coalesce(cond, lit(false))))
                   GraftWriter.writeFiles(spark, store, head.schema,
                     head.partitionSpec, kept)
                 }

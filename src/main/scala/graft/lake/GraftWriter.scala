@@ -37,7 +37,9 @@ object GraftWriter {
   private def normalizeStat(v: Any): Option[String] = v match {
     case null => None
     case t: java.sql.Timestamp =>
-      Some((t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString)
+      // floorDiv, not /: truncation mis-rounds pre-1970 timestamps (must
+      // match StatsPruner.normalize exactly or stats and literals disagree)
+      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString)
     case i: java.time.Instant =>
       Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
@@ -92,7 +94,7 @@ object GraftWriter {
               normalizeStat(r.getAs[Any](s"__max_${f.name}")),
               Option(r.getAs[Long](s"__nc_${f.name}")))
           }.toMap
-          stripScheme(r.getAs[String]("__file")) ->
+          fileKey(r.getAs[String]("__file")) ->
             (r.getAs[Long]("__cnt"), stats)
         }.toMap
 
@@ -108,7 +110,7 @@ object GraftWriter {
             seg.split("=", 2) match {
               case Array(k, v) if k.startsWith(PartColPrefix) =>
                 val idx = k.stripPrefix(PartColPrefix).toInt
-                val dec = java.net.URLDecoder.decode(v, "UTF-8")
+                val dec = unescapePathName(v)
                 Some(spec(idx).name -> dec)
               case _ => None
             }
@@ -116,7 +118,7 @@ object GraftWriter {
         val newName = s"${UUID.randomUUID()}.parquet"
         val target = store.dataDir.resolve(newName)
         val size = Files.size(p)
-        val (cnt, stats) = statsByPath.getOrElse(stripScheme(p.toString),
+        val (cnt, stats) = statsByPath.getOrElse(p.toString,
           (countRowsFallback(spark, p), Map.empty[String, ColumnStats]))
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         DataFile(s"data/$newName", cnt, size, pvs, stats)
@@ -129,11 +131,37 @@ object GraftWriter {
     }
   }
 
+  /** Inverse of Hive/Spark `escapePathName`: decode ONLY %XX escapes.
+    * URLDecoder is wrong here — it maps a literal '+' to a space, but Hive
+    * path escaping never encodes '+', so a partition value containing '+'
+    * would be recorded wrong and equality pruning would skip its file. */
+  private[lake] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def addPartCols(schema: StructType, partCols: Seq[String]): StructType =
     partCols.foldLeft(schema)((s, c) => s.add(c, StringType, nullable = true))
 
-  private def stripScheme(p: String): String =
-    p.stripPrefix("file://").stripPrefix("file:")
+  /** `input_file_name()` returns a URI (spaces → %20, '%' → %25 …); the
+    * staged-file walk sees raw filesystem paths. Decode through URI.getPath
+    * so the stats join doesn't silently miss files whose partition value
+    * contains URL-encodable characters (the miss cost stats + an extra
+    * count() pass per file, and unpruned scans downstream). */
+  private def fileKey(s: String): String =
+    scala.util.Try(new java.net.URI(s).getPath).toOption.filter(_ != null)
+      .getOrElse(s.stripPrefix("file://").stripPrefix("file:"))
 
   private def countRowsFallback(spark: SparkSession, p: Path): Long =
     spark.read.parquet(p.toString).count()

@@ -76,7 +76,7 @@ object PartitionTransforms {
       case _ => None
     }
     f.transform match {
-      case "identity" => Some(String.valueOf(value))
+      case "identity" => identityLiteral(value)
       case "days" => toLocalDateTime(value)
         .map(_.toLocalDate.toString) // yyyy-MM-dd, ISO
       case "months" => toLocalDateTime(value)
@@ -85,5 +85,24 @@ object PartitionTransforms {
         .map(dt => f"${dt.getYear}%04d")
       case _ => None // bucket: only equality handled separately
     }
+  }
+
+  /** Render an identity-partition literal in EXACTLY the representation the
+    * writer stored (`cast(col, "string")`, valueColumn above). The two must
+    * agree or equality pruning silently drops matching files:
+    * `java.sql.Timestamp.toString` yields "…00:00:00.0" while Spark's cast
+    * yields "…00:00:00", so timestamp-typed literals return None here and
+    * pruning falls back to min/max stats — which are normalized to epoch
+    * micros on both sides and lose nothing for identity partitions (every
+    * file is constant in the column, so min==max carries the same
+    * information). Dates are safe: `java.sql.Date.toString` is the ISO form
+    * Spark's cast produces. */
+  private def identityLiteral(value: Any): Option[String] = value match {
+    case null => None
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.time.LocalDateTime => None
+    case d: java.sql.Date => Some(d.toLocalDate.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case other => Some(String.valueOf(other))
   }
 }

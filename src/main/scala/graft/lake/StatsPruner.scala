@@ -29,7 +29,10 @@ object StatsPruner {
   def normalize(value: Any): Option[Either[BigDecimal, String]] = value match {
     case null => None
     case t: java.sql.Timestamp =>
-      Some(Left(BigDecimal(t.getTime / 1000 * 1000000L + t.getNanos / 1000)))
+      // floorDiv: truncating division mis-rounds pre-1970 timestamps
+      // (-1500ms must become -2s + 500000us = -1500000us, not -500000us)
+      Some(Left(BigDecimal(
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)))
     case i: java.time.Instant =>
       Some(Left(BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000)))
     case d: java.sql.Date => Some(Left(BigDecimal(d.toLocalDate.toEpochDay)))
@@ -86,12 +89,36 @@ object StatsPruner {
   private def mightHaveNulls(file: DataFile, col: String): Boolean =
     file.stats.get(col).flatMap(_.nullCount).forall(_ > 0)
 
+  /** Order-compare a stored partition value against a transform-mapped
+    * literal in a typed domain. None ⇒ not safely comparable → no pruning
+    * from the partition value (stats pruning still applies).
+    *
+    *  - identity: values are `cast(col, "string")` — numerics re-parse as
+    *    BigDecimal and compare numerically ("9" vs "10" must be 9 < 10, not
+    *    lexicographic); anything that isn't numeric on both sides is
+    *    format-sensitive → defer to stats.
+    *  - days/months/years: fixed-width ISO strings, lexicographic order is
+    *    chronological order.
+    */
+  private def cmpPartition(f: PartitionField, pv: String, lv: String): Option[Int] =
+    f.transform match {
+      case "identity" =>
+        (scala.util.Try(BigDecimal(pv)).toOption,
+         scala.util.Try(BigDecimal(lv)).toOption) match {
+          case (Some(a), Some(b)) => Some(a.compare(b))
+          case _ => None
+        }
+      case "days" | "months" | "years" => Some(pv.compareTo(lv))
+      case _ => None
+    }
+
   private def provablyAllEqual(
       file: DataFile, col: String, v: Any, spec: Seq[PartitionField]): Boolean = {
     // identity-partition value is exact per file
     spec.find(f => f.transform == "identity" && f.source == col)
-      .flatMap(f => file.partitionValues.get(f.name))
-      .exists(pv => pv == String.valueOf(v)) ||
+      .flatMap(f => file.partitionValues.get(f.name).zip(
+        PartitionTransforms.literalToPartitionValue(f, v)))
+      .exists { case (pv, lv) => pv == lv } ||
     file.stats.get(col).exists(st =>
       (for { mn <- st.min; mx <- st.max; l <- normalize(v) }
         yield cmp(mn, l).contains(0) && cmp(mx, l).contains(0) &&
@@ -136,8 +163,12 @@ object StatsPruner {
       else (file.partitionValues.get(f.name),
             PartitionTransforms.literalToPartitionValue(f, v)) match {
         case (Some(pv), Some(lv)) =>
-          // day-granular: strictness can't exclude the boundary partition
-          if (lower) pv <= lv else pv >= lv
+          cmpPartition(f, pv, lv) match {
+            // granularity-truncating transforms (days/...): strictness can't
+            // exclude the boundary partition, so always allow equality
+            case Some(c) => if (lower) c <= 0 else c >= 0
+            case None => true // untyped comparison → keep file
+          }
         case _ => true
       }
     }
