@@ -59,6 +59,77 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Full MinHash signature in ONE per-row pass: word n-gram shingles of the
+  * normalized text (same tokenization as [[WordShingles]]) hashed with
+  * `numHashes` xxhash64 seeds, keeping the minimum per seed. Returns
+  * array<long> of length numHashes, or NULL when the text has no shingles
+  * (mirrors the explode+groupBy formulation, where such docs simply
+  * produce no row).
+  *
+  * Hash-compatible BY CONSTRUCTION with `min(xxhash64(lit(i), shingle))`:
+  * Spark's xxhash64 folds its arguments left-to-right starting at seed 42,
+  * so `xxhash64(lit(i), s) == XXH64.hashUnsafeBytes(s, XXH64.hashInt(i, 42))`
+  * — the per-seed prefix is precomputed once. This replaces an
+  * explode(shingles) → groupBy(doc_id).agg(32 × min) pipeline: same hash
+  * count, but zero explode rows, zero aggregation hash table, zero
+  * shuffle — the signature stage becomes embarrassingly parallel, which is
+  * the property that matters at 1000 executors.
+  */
+case class MinHashSignatures(child: Expression, n: Int, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && numHashes >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  // xxhash64(lit(i), shingle) = hash(shingle bytes, seed = hash(i, 42))
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
+    val toks = text.split("\\s+")
+    if (toks.length < n) return null
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) { // distinct shingles only, like WordShingles
+        val u = UTF8String.fromString(s)
+        var k = 0
+        while (k < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(k))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) { out(k) = mins(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
   * a ROLLING polynomial hash over character k-grams of the normalized
   * text, keeping the minimum hash of every w-gram window (rightmost on

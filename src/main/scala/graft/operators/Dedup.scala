@@ -74,13 +74,20 @@ object Dedup {
   }
 
   /** MinHash signatures: per-document 32-hash signature over word-3-gram
-    * shingles. Deterministic (xxhash64, literal seeds). Always |docs| rows. */
+    * shingles, computed in ONE per-row pass by a custom expression — no
+    * explode, no aggregation, no shuffle (graft.functions.MinHashSignatures
+    * is hash-compatible with the explode + groupBy(min(xxhash64)) plan this
+    * replaces, which cost a full shuffle of one partial-agg row per doc and
+    * a 32-column hash-agg table). Deterministic. One row per doc with ≥1
+    * shingle. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    docShingles(docs)
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(graft.functions.MinHashSignatures(
+      ColumnBridge.expression(col("text")), 3, NumHashes))
+    docs.select(col("doc_id"), sig.as("__sig"))
+      .where(col("__sig").isNotNull)
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** LSH candidate pairs: band the signature, join docs sharing any band. */
@@ -103,33 +110,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for a set of candidate pairs. The shingle self-join is
-    * restricted to docs that appear in `pairs` FIRST (semi-join pruning) —
-    * without that, the join computes intersections for every co-occurring
-    * doc pair in the corpus and the candidate filter comes too late. At
-    * scale the candidate set is ≪ corpus, so this bounds the quadratic
-    * stage by the LSH output, not the data size. */
-  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
-    exactJaccardOnShingles(docShingles(docs), pairs)
-
-  def exactJaccardOnShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+  /** Exact Jaccard for a set of candidate pairs. ONE pass over the corpus:
+    * shingle ARRAYS (distinct by construction) are computed per row, pruned
+    * to candidate docs with a broadcast semi-join, and each pair's
+    * intersection is a per-row `array_intersect` — no shingle self-join, no
+    * full-corpus sizes aggregation (the old plan made three full
+    * explode-the-corpus passes for what the candidate set answers locally).
+    * Pairs whose shingle sets don't intersect come back with jaccard 0
+    * rather than being absent, which is the more useful contract for a
+    * verification stage. At scale the candidate set is ≪ corpus, so the
+    * joins after the semi-join are AQE-broadcast-sized by construction. */
+  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val arr = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     val candDocs = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val inter = shCand.as("x")
-      .join(shCand.as("y"), col("x.shingle") === col("y.shingle") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("id_a", "id_b"), "inner")
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+    val candArr = arr.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val a = candArr.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = candArr.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")), 4).as("jaccard"))
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4).as("jaccard"))
   }
 
   /** MinHash signature dump (deterministic, oracle-less: xxhash64 has no
@@ -142,13 +144,15 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification ≥ 0.5. The shingle frame is deliberately
-    * RECOMPUTED per consumer rather than persisted: an A/B measurement
-    * (sf0.1, local[32]) put the cached variant at 1.5-2× SLOWER — the
-    * single-pass WordShingles kernel is cheaper than materializing and
-    * re-scanning an InMemoryRelation, and caching breaks codegen fusion
-    * around the joins. At 100 TB the trade-off flips once the source scan
-    * dominates; that's a persist() at the call site, not a code change. */
+    * exact-Jaccard verification ≥ 0.5. Exactly TWO passes over the corpus:
+    * one shuffle-free signature pass (MinHashSignatures expression) and one
+    * shingle-array pass pruned to LSH candidates; round 1's formulation made
+    * 4-5 explode-the-corpus passes and benched ~4× slower. The text is
+    * deliberately re-scanned rather than persisted: an A/B measurement
+    * (sf0.1, local[32]) put the cached variant at 1.5-2× SLOWER — caching
+    * materializes an InMemoryRelation and breaks codegen fusion. At 100 TB
+    * the trade-off flips once the source scan dominates; that's a persist()
+    * at the call site, not a code change. */
   val qMinhashDedup: Q = Q.noOracle("q_minhash_dedup") { (s, d) =>
     val docs = Tables.documents(s, d)
     val verified = exactJaccard(docs, lshCandidates(minhashSignatures(docs)))
@@ -233,7 +237,9 @@ object Dedup {
        ORDER BY id_a, id_b""") { (s, d) =>
     val docs = Tables.documents(s, d)
     val sh = docShingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-row array size — not explode+groupBy: shingle counts need no
+    // shuffle, and the small (doc_id, n) frame broadcast-joins below
+    val sizes = docs.select(col("doc_id"), size(shingles(col("text"))).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))

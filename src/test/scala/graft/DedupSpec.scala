@@ -19,6 +19,17 @@ class DedupSpec extends SparkSpec {
     (5L, "totally singular content with unique vocabulary zebra quasar nebula plasma photon")
   ).toDF("doc_id", "text")
 
+  test("MinHashSignatures expression is hash-identical to min(xxhash64(lit(i), shingle))") {
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"))).as("shingle"))
+    val sigCols = (0 until 32).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    val viaAgg = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .orderBy("doc_id").collect()
+    val viaExpr = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    assert(viaExpr.sameElements(viaAgg))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val s1 = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
     val s2 = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
