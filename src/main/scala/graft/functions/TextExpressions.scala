@@ -197,6 +197,127 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
+/** All per-document text-analysis counters in ONE per-row pass — the
+  * backing kernel of q_text_stats / q_text_quality / q_lang_guess, which
+  * previously evaluated ~10 separate regex scans and interpreted
+  * higher-order `filter(toks, isin)` lambdas per row (HOFs are
+  * CodegenFallback: one interpreted eval per element).
+  *
+  * Field semantics replicate the declarative plan (and the DuckDB oracle)
+  * exactly:
+  *  - n_tokens   = len of `split(trim(text), "\s+")` — trim strips ' '
+  *    only; Spark's split (limit -1) keeps leading AND trailing ""
+  *    tokens for non-space whitespace at the edges, and yields [""]
+  *    (count 1) for an empty string
+  *  - n_nonspace = count of codepoints != ' ' (the
+  *    `length(replace(trim(text),' ',''))` numerator of avg_token_len)
+  *  - n_bpe      = matches of `[a-z]+|[0-9]+|[^a-z0-9\s]` on lower(text):
+  *    letter runs + digit runs + single other-non-space codepoints
+  *  - n_punct    = codepoints matching `[^a-zA-Z0-9\s]` on the RAW text
+  *    (Java \s is ASCII-only; any non-ASCII codepoint counts, like the
+  *    regex it replaces)
+  *  - n_digit    = codepoints in [0-9]
+  *  - n_cjk      = codepoints in [一-鿿]
+  *  - s_en/de/es/fr = stopword hits over tokens of trim+split on
+  *    lower(text) (UTF8String.toLowerCase — same as Spark's lower())
+  */
+case class TextProfile(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  import TextProfile._
+
+  override def dataType: DataType = Schema
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val raw = u.toString
+    val lowered = u.toLowerCase.toString
+
+    // raw-text codepoint classes
+    var punct = 0; var digit = 0; var cjk = 0; var nonspace = 0
+    var i = 0
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      if (cp != ' ') nonspace += 1
+      if (cp >= '0' && cp <= '9') digit += 1
+      else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+                 isAsciiSpace(cp))) punct += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      i += Character.charCount(cp)
+    }
+
+    // BPE-ish pre-tokenization on the lowered text: count run starts
+    var bpe = 0
+    var prev = 0 // 0 = other/space, 1 = letter run, 2 = digit run
+    i = 0
+    while (i < lowered.length) {
+      val cp = lowered.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') { if (prev != 1) bpe += 1; prev = 1 }
+      else if (cp >= '0' && cp <= '9') { if (prev != 2) bpe += 1; prev = 2 }
+      else if (isAsciiSpace(cp)) prev = 0
+      else { bpe += 1; prev = 0 }
+      i += Character.charCount(cp)
+    }
+
+    // tokens of trim(' ') + split("\s+") on the lowered text; token count
+    // is whitespace-determined, so it equals the raw-text token count.
+    // limit -1: Spark's split KEEPS trailing empty tokens (Java drops them)
+    val toks = trimSpaces(lowered).split("\\s+", -1)
+    var sEn = 0; var sDe = 0; var sEs = 0; var sFr = 0
+    i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (StopEn.contains(t)) sEn += 1
+      if (StopDe.contains(t)) sDe += 1
+      if (StopEs.contains(t)) sEs += 1
+      if (StopFr.contains(t)) sFr += 1
+      i += 1
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, nonspace, bpe, punct, digit, cjk,
+        sEn, sDe, sEs, sFr))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextProfile {
+  val Schema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("n_tokens", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_nonspace", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_bpe", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_punct", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_digit", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_cjk", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("s_en", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("s_de", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("s_es", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("s_fr", org.apache.spark.sql.types.IntegerType, nullable = false)
+
+  private def isAsciiSpace(cp: Int): Boolean = // Java regex \s
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  /** Spark/DuckDB `trim` strips the SPACE character only. */
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  private def set(ws: String*): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    ws.foreach(s.add); s
+  }
+  private val StopEn = set("the", "a", "and", "of", "to")
+  private val StopDe = set("der", "die", "das", "und", "zu")
+  private val StopEs = set("el", "la", "de", "y", "que")
+  private val StopFr = set("le", "la", "et", "les", "des")
+}
+
 /** 64-bit SimHash of whitespace-tokenized, lowercased text — computed in a
   * single per-row pass (SimHash is a per-document signature; the previous
   * formulation exploded tokens into rows and re-aggregated with 64

@@ -18,10 +18,9 @@ import org.apache.spark.sql.types._
   * all ORIGINAL columns (including the transform's source column) stay in
   * the data file, so reads need no partition-value reconstruction.
   *
-  * Stats are collected with one Spark aggregation over the staged data
-  * grouped by `input_file_name()` — at 100 TB you would read parquet
-  * footers instead (constant work per file, no data re-read); the snapshot
-  * format is identical either way.
+  * Stats come from each staged file's parquet footer ([[FooterStats]]) —
+  * constant work per file, no data re-read, the same source Iceberg
+  * manifests are built from.
   */
 object GraftWriter {
 
@@ -33,19 +32,6 @@ object GraftWriter {
       case _: NumericType | StringType | DateType | TimestampType => true
       case _ => false
     })
-
-  private def normalizeStat(v: Any): Option[String] = v match {
-    case null => None
-    case t: java.sql.Timestamp =>
-      // floorDiv, not /: truncation mis-rounds pre-1970 timestamps (must
-      // match StatsPruner.normalize exactly or stats and literals disagree)
-      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString)
-    case i: java.time.Instant =>
-      Some((i.getEpochSecond * 1000000L + i.getNano / 1000).toString)
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
-    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
-    case other => Some(String.valueOf(other))
-  }
 
   /** Write `df` as new data files of the table; returns the DataFile
     * entries (paths relative to the table dir). */
@@ -68,38 +54,31 @@ object GraftWriter {
         d.withColumn(s"$PartColPrefix$i",
           coalesce(PartitionTransforms.valueColumn(f), lit("__null__")))
       }
-      if (spec.nonEmpty)
-        withParts.write.partitionBy(partCols: _*).parquet(staging.toString)
-      else withParts.write.parquet(staging.toString)
+      // INT96 (Spark's compatibility default) has no usable footer stats;
+      // MICROS is the standard type and what the stat domain expects. No
+      // per-write option exists for this, so set + restore the session
+      // conf: a concurrent non-lake write seeing MICROS is harmless-but-
+      // different, so restore narrowly around our own write. (A concurrent
+      // LAKE write racing the restore at worst stages INT96 files, which
+      // just yields no timestamp stats — pruning loss, never wrongness.)
+      val tsConf = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.get(tsConf)
+      spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+      try {
+        if (spec.nonEmpty)
+          withParts.write.partitionBy(partCols: _*).parquet(staging.toString)
+        else withParts.write.parquet(staging.toString)
+      } finally spark.conf.set(tsConf, prevTs)
 
-      // One aggregation pass for per-file row counts + column stats.
       val sf = statFields(schema)
-      val aggs =
-        count(lit(1)).as("__cnt") +:
-          sf.flatMap(f => Seq(
-            min(col(f.name)).as(s"__min_${f.name}"),
-            max(col(f.name)).as(s"__max_${f.name}"),
-            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nc_${f.name}")))
-      val statRows = spark.read.schema(addPartCols(schema, partCols))
-        .parquet(staging.toString)
-        .groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-
-      val statsByPath: Map[String, (Long, Map[String, ColumnStats])] =
-        statRows.map { r =>
-          val stats = sf.map { f =>
-            f.name -> ColumnStats(
-              normalizeStat(r.getAs[Any](s"__min_${f.name}")),
-              normalizeStat(r.getAs[Any](s"__max_${f.name}")),
-              Option(r.getAs[Long](s"__nc_${f.name}")))
-          }.toMap
-          fileKey(r.getAs[String]("__file")) ->
-            (r.getAs[Long]("__cnt"), stats)
-        }.toMap
 
       // Move staged files into data/, deriving partition values from the
-      // hive-style staging layout.
+      // hive-style staging layout. Row counts + column stats come from each
+      // file's parquet FOOTER (FooterStats) — constant work per file; the
+      // previous implementation re-read and re-aggregated everything it had
+      // just written, doubling the IO of every write. In a distributed
+      // deployment this loop is per-task on the executors that wrote the
+      // files; locally the driver walks the staging dir.
       val staged = Files.walk(staging).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toSeq
@@ -118,8 +97,7 @@ object GraftWriter {
         val newName = s"${UUID.randomUUID()}.parquet"
         val target = store.dataDir.resolve(newName)
         val size = Files.size(p)
-        val (cnt, stats) = statsByPath.getOrElse(p.toString,
-          (countRowsFallback(spark, p), Map.empty[String, ColumnStats]))
+        val (cnt, stats) = FooterStats.read(p, sf)
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         DataFile(s"data/$newName", cnt, size, pvs, stats)
       }
@@ -150,21 +128,6 @@ object GraftWriter {
     }
     sb.toString
   }
-
-  private def addPartCols(schema: StructType, partCols: Seq[String]): StructType =
-    partCols.foldLeft(schema)((s, c) => s.add(c, StringType, nullable = true))
-
-  /** `input_file_name()` returns a URI (spaces → %20, '%' → %25 …); the
-    * staged-file walk sees raw filesystem paths. Decode through URI.getPath
-    * so the stats join doesn't silently miss files whose partition value
-    * contains URL-encodable characters (the miss cost stats + an extra
-    * count() pass per file, and unpruned scans downstream). */
-  private def fileKey(s: String): String =
-    scala.util.Try(new java.net.URI(s).getPath).toOption.filter(_ != null)
-      .getOrElse(s.stripPrefix("file://").stripPrefix("file:"))
-
-  private def countRowsFallback(spark: SparkSession, p: Path): Long =
-    spark.read.parquet(p.toString).count()
 
   /** Append or replace the table content with `df`. */
   def insert(

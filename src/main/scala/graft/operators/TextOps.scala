@@ -27,13 +27,14 @@ object TextOps {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  private val stopEn = Seq("the", "a", "and", "of", "to")
-  private val stopDe = Seq("der", "die", "das", "und", "zu")
-  private val stopEs = Seq("el", "la", "de", "y", "que")
-  private val stopFr = Seq("le", "la", "et", "les", "des")
-
-  private def countIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+  /** One-pass per-row counters (tokens, BPE tokens, punct/digit/CJK chars,
+    * per-language stopword hits) — graft.functions.TextProfile. The
+    * three profile-backed queries each replaced ~10 regex scans and
+    * interpreted higher-order filter() lambdas per row. */
+  private def profile(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.TextProfile(ColumnBridge.expression(c)))
+  }
 
   /** Per-document stats: token counts (whitespace + BPE-ish), char length,
     * average token length. */
@@ -47,14 +48,14 @@ object TextOps {
                     / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
        FROM documents
        ORDER BY doc_id""") { (s, d) =>
-    val t = col("text")
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), profile(col("text")).as("__p"))
       .select(col("doc_id"),
-        size(tokens(t)).as("n_tokens"),
-        size(bpeTokens(t)).as("n_bpe_tokens"),
-        length(t).as("n_chars_measured"),
-        round(length(regexp_replace(trim(t), " ", "")).cast("double") /
-          size(tokens(t)), 4).as("avg_token_len"))
+        col("__p.n_tokens").as("n_tokens"),
+        col("__p.n_bpe").as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        round(col("__p.n_nonspace").cast("double") / col("__p.n_tokens"), 4)
+          .as("avg_token_len"))
       .orderBy("doc_id")
   }
 
@@ -79,19 +80,16 @@ object TextOps {
                    THEN true ELSE false END AS keep
        FROM t
        ORDER BY doc_id""") { (s, d) =>
-    val t = col("text")
-    val toks = tokens(lower(t))
-    val punctRatio =
-      size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
-        length(t)
+    val punctRatio = col("__p.n_punct").cast("double") / length(col("text"))
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), profile(col("text")).as("__p"))
       .select(col("doc_id"),
-        round(countIn(toks, stopEn).cast("double") / size(toks), 4)
+        round(col("__p.s_en").cast("double") / col("__p.n_tokens"), 4)
           .as("stopword_ratio"),
         round(punctRatio, 4).as("punct_ratio"),
-        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") /
-          length(t), 4).as("digit_ratio"),
-        (size(toks).between(10, 100000) && punctRatio < 0.1).as("keep"))
+        round(col("__p.n_digit").cast("double") / length(col("text")), 4)
+          .as("digit_ratio"),
+        (col("__p.n_tokens").between(10, 100000) && punctRatio < 0.1).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -119,13 +117,12 @@ object TextOps {
                    ELSE 'fr' END AS lang_guess
        FROM s
        ORDER BY doc_id""") { (s, d) =>
-    val toks = tokens(lower(col("text")))
     val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), profile(col("text")).as("__p"))
       .select(col("doc_id"), col("lang"),
-        size(regexp_extract_all(col("text"), lit("[\u4e00-\u9fff]"), lit(0)))
-          .as("s_zh"),
-        countIn(toks, stopEn).as("s_en"), countIn(toks, stopDe).as("s_de"),
-        countIn(toks, stopEs).as("s_es"), countIn(toks, stopFr).as("s_fr"))
+        col("__p.n_cjk").as("s_zh"),
+        col("__p.s_en").as("s_en"), col("__p.s_de").as("s_de"),
+        col("__p.s_es").as("s_es"), col("__p.s_fr").as("s_fr"))
     scored.select(col("doc_id"), col("lang"),
       when(col("s_zh") > 0, "zh")
         .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&

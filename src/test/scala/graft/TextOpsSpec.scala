@@ -14,6 +14,49 @@ class TextOpsSpec extends SparkSpec {
     assert(bpe == Seq("hello", ",", "world", "!", "42", "times", "."))
   }
 
+  test("TextProfile counters match the declarative regex/HOF formulations") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val texts = Seq(
+      "the quick brown fox and the lazy dog of it to go",
+      "  der  Hund und die Katze, 42 mal!  ",
+      "\tleading tab and trailing\n",
+      "这是一个中文文档 with mixed 文本 here",
+      "él fue a la casa de sus amigos y que bien",
+      "le chat et les chiens des voisins",
+      "",
+      " ",
+      "a",
+      "UPPER case AND punct-uation!!! 123 456mixed",
+      "unicode: café naïve résumé — em—dash…")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val toks = TextOps.tokens(lower(col("t")))
+    def countIn(ws: Seq[String]) =
+      size(filter(toks, x => x.isin(ws.map(w => w: Any): _*)))
+    val expected = df.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      length(regexp_replace(trim(col("t")), " ", "")).as("n_nonspace"),
+      size(TextOps.bpeTokens(col("t"))).as("n_bpe"),
+      size(regexp_extract_all(col("t"), lit("[^a-zA-Z0-9\\s]"), lit(0))).as("n_punct"),
+      size(regexp_extract_all(col("t"), lit("[0-9]"), lit(0))).as("n_digit"),
+      size(regexp_extract_all(col("t"), lit("[一-鿿]"), lit(0))).as("n_cjk"),
+      countIn(Seq("the", "a", "and", "of", "to")).as("s_en"),
+      countIn(Seq("der", "die", "das", "und", "zu")).as("s_de"),
+      countIn(Seq("el", "la", "de", "y", "que")).as("s_es"),
+      countIn(Seq("le", "la", "et", "les", "des")).as("s_fr"))
+      .orderBy("doc_id").collect()
+    val p = ColumnBridge.column(
+      graft.functions.TextProfile(ColumnBridge.expression(col("t"))))
+    val actual = df.select(col("doc_id"), p.as("__p"))
+      .select(col("doc_id"), col("__p.n_tokens"), col("__p.n_nonspace"),
+        col("__p.n_bpe"), col("__p.n_punct"), col("__p.n_digit"),
+        col("__p.n_cjk"), col("__p.s_en"), col("__p.s_de"), col("__p.s_es"),
+        col("__p.s_fr"))
+      .orderBy("doc_id").collect()
+    expected.zip(actual).foreach { case (e, a) =>
+      assert(e.toSeq == a.toSeq, s"doc ${e.get(0)}: '${texts(e.getLong(0).toInt)}'")
+    }
+  }
+
   test("language guess prefers the language whose stopwords dominate") {
     val df = Seq(
       (1L, "the cat and the dog of the house went to the garden", "en"),
