@@ -50,25 +50,53 @@ final class GraftBatchScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Runtime group filtering: when Spark's
-    * RowLevelOperationRuntimeGroupFiltering rule injects a dynamic filter
-    * (the actual keys occurring in a merge/update source), the COW group
-    * set narrows from "files whose stats admit the static predicates" to
-    * "files that can contain the keys that actually occur" — the 100 TB
-    * MERGE optimization. Conservative pruning only (StatsPruner), so
-    * over-approximation is safe; if Spark chooses not to inject the filter
-    * (observed for some plan shapes on 4.1), the statically pruned set
-    * stands, which is correct. */
+  /** Runtime group filtering at FILE granularity: `filterAttributes` is
+    * the `_file` metadata column, so Spark's
+    * RowLevelOperationRuntimeGroupFiltering rule builds an IN-subquery
+    * collecting the distinct `_file` values of rows that actually match
+    * the MERGE/UPDATE/DELETE condition, and at runtime hands this scan
+    * exactly the set of files containing matches — the COW rewrite then
+    * reads and replaces only those, regardless of how weak the static
+    * predicates were. This is the 100 TB MERGE optimization (same design
+    * as Iceberg's copy-on-write scan).
+    *
+    * Returning a SINGLE attribute matters: multiple filter attributes make
+    * Spark build one `named_struct(...) IN subquery` filter, which cannot
+    * be translated to a connector Predicate and is silently dropped —
+    * that, not a planner limitation, is why runtime group filtering
+    * appeared "never injected" with an all-columns filterAttributes. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    snapshot.schema.fieldNames.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column)
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
     val v1 = org.apache.spark.sql.graftbridge.ColumnBridge.predicatesToV1(predicates)
-    val narrowed = StatsPruner.prune(currentFiles, v1.toIndexedSeq,
+    val (fileIn, rest) = v1.partition {
+      case org.apache.spark.sql.sources.In("_file", _) => true
+      case _ => false
+    }
+    // `_file` values may arrive in URI form ("file:///x/y", from
+    // input_file_name on the V1 bridge) or raw ("/x/y", from the COW
+    // reader) — normalize BOTH sides before matching. Narrowing to the
+    // wrong set here loses writes, so if any wanted path fails to resolve
+    // to a known snapshot file (a form this normalization doesn't cover),
+    // refuse to narrow on that filter and keep the conservative set.
+    def canon(p: String): String =
+      if (p.startsWith("file:"))
+        scala.util.Try(new java.net.URI(p).getPath).toOption.filter(_ != null)
+          .getOrElse(p.stripPrefix("file://").stripPrefix("file:"))
+      else p
+    lazy val knownPaths: Set[String] =
+      snapshot.files.map(f => store.tableDir.resolve(f.path).toString).toSet
+    val afterFile = fileIn.foldLeft(currentFiles) { (fs, flt) =>
+      val wanted = flt.asInstanceOf[org.apache.spark.sql.sources.In]
+        .values.map(v => canon(String.valueOf(v))).toSet
+      if (wanted.exists(w => !knownPaths.contains(w))) fs // unknown form → keep all
+      else fs.filter(f => wanted.contains(store.tableDir.resolve(f.path).toString))
+    }
+    val narrowed = StatsPruner.prune(afterFile, rest.toIndexedSeq,
       snapshot.partitionSpec)
     runtimeFiles = narrowed
     onRuntimePrune(narrowed)
@@ -117,6 +145,10 @@ final class GraftPartitionReader(filePath: String, required: StructType)
 
   private var current: Group = _
 
+  /** `_file` metadata column: provenance of every row, served from the
+    * reader itself — also the join key of runtime group filtering. */
+  private val fileName = UTF8String.fromString(filePath)
+
   override def next(): Boolean = {
     current = reader.read()
     current != null
@@ -128,7 +160,8 @@ final class GraftPartitionReader(filePath: String, required: StructType)
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
-      if (!schema.containsField(f.name)) row.update(i, null)
+      if (f.name == "_file") row.update(i, fileName)
+      else if (!schema.containsField(f.name)) row.update(i, null)
       else {
         val idx = schema.getFieldIndex(f.name)
         if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)

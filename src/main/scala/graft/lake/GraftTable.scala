@@ -184,7 +184,8 @@ class GraftVectorScan(
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
       SparkSession.active,
-      prunedFiles.map(f => store.tableDir.resolve(f.path).toString),
+      prunedFiles.map(f =>
+        store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes),
       fullSchema, required, filters)
 
   override def toMicroBatchStream(checkpointLocation: String)

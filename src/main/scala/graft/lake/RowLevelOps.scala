@@ -43,6 +43,15 @@ final class GraftRowLevelOperation(
 
   override def command(): Command = cmd
 
+  /** Ask the rewrite plan to carry `_file` per row: resolved against the
+    * table's metadata columns at analysis, kept through column pruning by
+    * GroupBasedRowLevelOperationScanPlanning, emitted by the COW reader,
+    * and consumed by runtime group filtering (filterAttributes = _file) to
+    * narrow the replaced-file set to files that CONTAIN matches. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
   /** The rewrite scan must be a real DSv2 Batch (Spark's ReplaceData
     * planning calls toBatch directly — the V1 fallback is not applied on
     * this path), so it uses the native parquet-mr reader. */

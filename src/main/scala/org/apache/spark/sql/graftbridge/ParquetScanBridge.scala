@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.Batch
-import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -19,22 +18,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * conversion (measured 1.3-2× on scan-heavy shapes).
   *
   * Internal-API surface (reason this lives in the bridge package): the
-  * ParquetScan/InMemoryFileIndex constructors. At 100 TB the
-  * InMemoryFileIndex (driver-side status lookup per file) would be
-  * replaced by a custom PartitioningAwareFileIndex fed from snapshot
-  * metadata — no filesystem listing at all; the rest is unchanged.
+  * ParquetScan constructor and the FileIndex family. File listing comes
+  * from [[SnapshotFileIndex]] — snapshot metadata only, no filesystem
+  * calls at plan time.
   */
 object ParquetScanBridge {
 
   def vectorizedBatch(
       spark: SparkSession,
-      paths: Seq[String],
+      files: Seq[(String, Long)], // (path, size) straight from the snapshot
       dataSchema: StructType,
       readSchema: StructType,
       filters: Array[Filter]): Batch = {
-    val index = new InMemoryFileIndex(
-      spark, paths.map(new Path(_)), Map.empty[String, String],
-      Some(dataSchema), NoopCache, None, None)
+    val index = new SnapshotFileIndex(spark, files)
     val scan = ParquetScan(
       spark,
       spark.sessionState.newHadoopConf(),
