@@ -133,8 +133,9 @@ final class GraftReaderFactory(requiredJson: String) extends PartitionReaderFact
   * null). Handles the physical types our writer produces: int32 (int,
   * date, small decimal), int64 (long, timestamp micros/millis, decimal),
   * int96 (legacy Spark timestamps), float/double/boolean, binary (string,
-  * decimal). Nested types are rejected with a clear error — row-level
-  * rewrites on nested-schema tables are a documented round-2 item. */
+  * decimal), plus nested arrays/structs/maps in the standard 3-level
+  * encodings (the only forms our writers — Spark datasource and
+  * GraftBatchWrite — produce). */
 final class GraftPartitionReader(filePath: String, required: StructType)
   extends PartitionReader[InternalRow] {
 
@@ -165,31 +166,35 @@ final class GraftPartitionReader(filePath: String, required: StructType)
       else {
         val idx = schema.getFieldIndex(f.name)
         if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)
-        else row.update(i, convert(schema, idx, f.dataType))
+        else row.update(i, convert(current, idx, 0, f.dataType))
       }
       i += 1
     }
     row
   }
 
-  private def convert(schema: MessageType, idx: Int, dt: DataType): Any = {
-    val ptype = schema.getType(idx)
+  /** Value of field `idx`, repetition `rep`, inside group `g`, as the Spark
+    * internal representation of `dt`. Recurses through LIST/MAP/group
+    * nesting; index-addressed, so the standard `list`/`element` and
+    * `key_value` wrapper names are irrelevant. */
+  private def convert(g: Group, idx: Int, rep: Int, dt: DataType): Any = {
+    val ptype = g.getType.getType(idx)
     dt match {
-      case IntegerType | ShortType | ByteType => current.getInteger(idx, 0)
-      case LongType => current.getLong(idx, 0)
-      case DoubleType => current.getDouble(idx, 0)
-      case FloatType => current.getFloat(idx, 0)
-      case BooleanType => current.getBoolean(idx, 0)
+      case IntegerType | ShortType | ByteType => g.getInteger(idx, rep)
+      case LongType => g.getLong(idx, rep)
+      case DoubleType => g.getDouble(idx, rep)
+      case FloatType => g.getFloat(idx, rep)
+      case BooleanType => g.getBoolean(idx, rep)
       case StringType =>
-        UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
-      case BinaryType => current.getBinary(idx, 0).getBytes
-      case DateType => current.getInteger(idx, 0)
+        UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+      case BinaryType => g.getBinary(idx, rep).getBytes
+      case DateType => g.getInteger(idx, rep)
       case TimestampType | TimestampNTZType =>
         ptype.asPrimitiveType().getPrimitiveTypeName match {
           case PrimitiveType.PrimitiveTypeName.INT96 =>
-            int96ToMicros(current.getInt96(idx, 0).getBytes)
+            int96ToMicros(g.getInt96(idx, rep).getBytes)
           case _ =>
-            val v = current.getLong(idx, 0)
+            val v = g.getLong(idx, rep)
             ptype.getLogicalTypeAnnotation match {
               case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
                   if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
@@ -201,13 +206,63 @@ final class GraftPartitionReader(filePath: String, required: StructType)
       case d: DecimalType =>
         ptype.asPrimitiveType().getPrimitiveTypeName match {
           case PrimitiveType.PrimitiveTypeName.INT32 =>
-            Decimal(current.getInteger(idx, 0).toLong, d.precision, d.scale)
+            Decimal(g.getInteger(idx, rep).toLong, d.precision, d.scale)
           case PrimitiveType.PrimitiveTypeName.INT64 =>
-            Decimal(current.getLong(idx, 0), d.precision, d.scale)
+            Decimal(g.getLong(idx, rep), d.precision, d.scale)
           case _ =>
-            val bytes = current.getBinary(idx, 0).getBytes
+            val bytes = g.getBinary(idx, rep).getBytes
             Decimal(BigDecimal(BigInt(bytes), d.scale), d.precision, d.scale)
         }
+      case ArrayType(et, _) =>
+        // 3-level LIST: this group holds one repeated wrapper (field 0),
+        // each wrapper holds one optional element (field 0).
+        val listG = g.getGroup(idx, rep)
+        val n = listG.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val entry = listG.getGroup(0, k)
+          out(k) =
+            if (entry.getFieldRepetitionCount(0) == 0) null
+            else convert(entry, 0, 0, et)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case st: StructType =>
+        val sg = g.getGroup(idx, rep)
+        val gt = sg.getType
+        val out = new GenericInternalRow(st.length)
+        var k = 0
+        while (k < st.length) {
+          val fn = st.fields(k).name
+          if (!gt.containsField(fn)) out.update(k, null)
+          else {
+            val fi = gt.getFieldIndex(fn)
+            if (sg.getFieldRepetitionCount(fi) == 0) out.update(k, null)
+            else out.update(k, convert(sg, fi, 0, st.fields(k).dataType))
+          }
+          k += 1
+        }
+        out
+      case MapType(kt, vt, _) =>
+        // MAP: repeated key_value wrapper (field 0) with required key
+        // (field 0) and optional value (field 1).
+        val mapG = g.getGroup(idx, rep)
+        val n = mapG.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n)
+        val vals = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val kv = mapG.getGroup(0, k)
+          keys(k) = convert(kv, 0, 0, kt)
+          vals(k) =
+            if (kv.getFieldRepetitionCount(1) == 0) null
+            else convert(kv, 1, 0, vt)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
       case other =>
         throw new UnsupportedOperationException(
           s"row-level operations on column type $other are not supported yet")

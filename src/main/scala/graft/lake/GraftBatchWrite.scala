@@ -11,6 +11,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
@@ -113,30 +114,12 @@ final class GraftDataWriter(
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(off + i)) addField(g, i, row, off)
+      if (!row.isNullAt(off + i))
+        GroupValues.add(g, i, schema.fields(i).dataType, row, off + i)
       i += 1
     }
     stats.update(row, off)
     w.write(g)
-  }
-
-  private def addField(g: org.apache.parquet.example.data.Group, i: Int,
-      row: InternalRow, off: Int): Unit = schema.fields(i).dataType match {
-    case IntegerType | DateType => g.add(i, row.getInt(off + i))
-    case LongType | TimestampType | TimestampNTZType => g.add(i, row.getLong(off + i))
-    case DoubleType => g.add(i, row.getDouble(off + i))
-    case FloatType => g.add(i, row.getFloat(off + i))
-    case BooleanType => g.add(i, row.getBoolean(off + i))
-    case StringType => g.add(i,
-      org.apache.parquet.io.api.Binary.fromConstantByteArray(
-        row.getUTF8String(off + i).getBytes))
-    case BinaryType => g.add(i,
-      org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(off + i)))
-    case d: DecimalType =>
-      g.add(i, row.getDecimal(off + i, d.precision, d.scale).toUnscaledLong)
-    case other =>
-      throw new UnsupportedOperationException(
-        s"row-level write of column type $other not supported yet")
   }
 
   override def commit(): WriterCommitMessage = {
@@ -220,39 +203,126 @@ final class FileStats(schema: StructType) {
   }
 }
 
-/** Parquet MessageType for a Spark StructType (flat schemas). */
+/** Parquet MessageType for a Spark StructType. Nested types use the
+  * standard (non-legacy) encodings Spark itself writes — 3-level LIST
+  * (`optional group (LIST) { repeated group list { optional element } }`)
+  * and MAP (`repeated group key_value { required key; optional value }`) —
+  * so files from this writer and from the Spark datasource path are
+  * interchangeable under both the vectorized SELECT reader and the COW
+  * rewrite reader. */
 object ParquetSchema {
+  import org.apache.parquet.schema.{Type => PType}
+  import org.apache.parquet.schema.Type.Repetition
+
   def fromStruct(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val opt = Types.optional _
-      f.dataType match {
-        case IntegerType => b.addField(opt(PrimitiveTypeName.INT32).named(f.name))
-        case LongType => b.addField(opt(PrimitiveTypeName.INT64).named(f.name))
-        case DoubleType => b.addField(opt(PrimitiveTypeName.DOUBLE).named(f.name))
-        case FloatType => b.addField(opt(PrimitiveTypeName.FLOAT).named(f.name))
-        case BooleanType => b.addField(opt(PrimitiveTypeName.BOOLEAN).named(f.name))
-        case StringType => b.addField(opt(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name))
-        case BinaryType => b.addField(opt(PrimitiveTypeName.BINARY).named(f.name))
-        case DateType => b.addField(opt(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name))
-        case TimestampType => b.addField(opt(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case TimestampNTZType => b.addField(opt(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case d: DecimalType if d.precision <= 18 =>
-          b.addField(opt(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name))
-        case other =>
-          throw new UnsupportedOperationException(
-            s"row-level write of column type $other not supported yet")
-      }
-    }
+    schema.fields.foreach(f => b.addField(typeFor(f.name, f.dataType,
+      Repetition.OPTIONAL)))
     b.named("graft_schema")
+  }
+
+  def typeFor(name: String, dt: DataType, rep: Repetition): PType = {
+    def prim(t: PrimitiveTypeName) = Types.primitive(t, rep)
+    dt match {
+      case IntegerType => prim(PrimitiveTypeName.INT32).named(name)
+      case LongType => prim(PrimitiveTypeName.INT64).named(name)
+      case DoubleType => prim(PrimitiveTypeName.DOUBLE).named(name)
+      case FloatType => prim(PrimitiveTypeName.FLOAT).named(name)
+      case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(name)
+      case StringType => prim(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => prim(PrimitiveTypeName.BINARY).named(name)
+      case DateType => prim(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case TimestampType => prim(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => prim(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case d: DecimalType if d.precision <= 18 =>
+        prim(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case ArrayType(et, _) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(typeFor("element", et, Repetition.OPTIONAL))
+            .named("list"))
+          .named(name)
+      case st: StructType =>
+        val gb = Types.buildGroup(rep)
+        st.fields.foreach(f =>
+          gb.addField(typeFor(f.name, f.dataType, Repetition.OPTIONAL)))
+        gb.named(name)
+      case MapType(kt, vt, _) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(typeFor("key", kt, Repetition.REQUIRED))
+            .addField(typeFor("value", vt, Repetition.OPTIONAL))
+            .named("key_value"))
+          .named(name)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"row-level write of column type $other not supported yet")
+    }
+  }
+}
+
+/** Recursive Spark-value → parquet-example-Group writer. InternalRow,
+  * ArrayData, and MapData key/value arrays all implement
+  * SpecializedGetters, so one ordinal-addressed routine covers every
+  * nesting level. */
+object GroupValues {
+  import org.apache.parquet.example.data.Group
+
+  def add(g: Group, fieldIdx: Int, dt: DataType, src: SpecializedGetters,
+      ord: Int): Unit = dt match {
+    case IntegerType | DateType => g.add(fieldIdx, src.getInt(ord))
+    case LongType | TimestampType | TimestampNTZType =>
+      g.add(fieldIdx, src.getLong(ord))
+    case DoubleType => g.add(fieldIdx, src.getDouble(ord))
+    case FloatType => g.add(fieldIdx, src.getFloat(ord))
+    case BooleanType => g.add(fieldIdx, src.getBoolean(ord))
+    case StringType => g.add(fieldIdx,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        src.getUTF8String(ord).getBytes))
+    case BinaryType => g.add(fieldIdx,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(src.getBinary(ord)))
+    case d: DecimalType =>
+      g.add(fieldIdx, src.getDecimal(ord, d.precision, d.scale).toUnscaledLong)
+    case ArrayType(et, _) =>
+      val listG = g.addGroup(fieldIdx)
+      val arr = src.getArray(ord)
+      var j = 0
+      while (j < arr.numElements()) {
+        val entry = listG.addGroup(0) // repeated "list" group
+        if (!arr.isNullAt(j)) add(entry, 0, et, arr, j)
+        j += 1
+      }
+    case st: StructType =>
+      val sg = g.addGroup(fieldIdx)
+      val sr = src.getStruct(ord, st.length)
+      var j = 0
+      while (j < st.length) {
+        if (!sr.isNullAt(j)) add(sg, j, st.fields(j).dataType, sr, j)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      val mapG = g.addGroup(fieldIdx)
+      val m = src.getMap(ord)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        val kv = mapG.addGroup(0) // repeated "key_value" group
+        add(kv, 0, kt, keys, j)
+        if (!vals.isNullAt(j)) add(kv, 1, vt, vals, j)
+        j += 1
+      }
+    case other =>
+      throw new UnsupportedOperationException(
+        s"row-level write of column type $other not supported yet")
   }
 }
 
