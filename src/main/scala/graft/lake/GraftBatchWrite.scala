@@ -327,14 +327,25 @@ object GroupValues {
 }
 
 /** Row-side partition value computation for the executor write path —
-  * mirrors PartitionTransforms.valueColumn for the transforms whose value
-  * is derivable without Spark expressions. Bucket values are skipped (the
-  * pruner treats absent partition values conservatively). */
+  * mirrors PartitionTransforms.valueColumn exactly, including bucket
+  * (same Murmur3 hash + pmod the `hash()` SQL function computes, so
+  * tuples from this writer and the staged writer are interchangeable —
+  * dynamic-overwrite partition matching depends on that). */
 object RowPartitionValue {
   def of(f: PartitionField, row: InternalRow, schema: StructType,
       off: Int = 0): Option[String] = {
     val fieldIdx = schema.fieldIndex(f.source)
     val idx = fieldIdx + off
+    if (f.transform.startsWith("bucket[")) {
+      // valueColumn is pmod(hash(col), n); hash(NULL) is the seed (42),
+      // NOT null, so bucket values are computed before the null check.
+      val n = PartitionTransforms.bucketN(f.transform)
+      val dt = schema.fields(fieldIdx).dataType
+      val v = if (row.isNullAt(idx)) null else row.get(idx, dt)
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(v, dt, 42L).toInt
+      return Some((((h % n) + n) % n).toString)
+    }
     if (row.isNullAt(idx)) return Some("__null__")
     def localDate: java.time.LocalDate = schema.fields(fieldIdx).dataType match {
       case DateType => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong)
@@ -360,7 +371,7 @@ object RowPartitionValue {
       case "days" => Some(localDate.toString)
       case "months" => Some(f"${localDate.getYear}%04d-${localDate.getMonthValue}%02d")
       case "years" => Some(f"${localDate.getYear}%04d")
-      case _ => None // bucket: stats-only pruning for these files
+      case _ => None // unknown transform: stats-only pruning for these files
     }
   }
 }

@@ -77,6 +77,11 @@ class GraftTable(
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
+      // BATCH_WRITE satisfies the analyzer's capability check for
+      // OverwritePartitionsDynamic (which has no V1 fallback exec);
+      // append/truncate/filter-overwrite still route through the V1
+      // bridge because build() returns a V1Write for those.
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
@@ -291,6 +296,7 @@ final class GraftWriteBuilder(store: SnapshotStore)
   with SupportsDynamicOverwrite {
 
   private var overwriteAll = false
+  private var overwriteDynamic = false
   private var overwriteFilters: Option[Array[Filter]] = None
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
@@ -304,14 +310,21 @@ final class GraftWriteBuilder(store: SnapshotStore)
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    // dynamic partition overwrite ≈ delete matching partitions then append;
-    // with our COW writer a full-filter delete per touched partition would
-    // need the incoming data first — treat as append-after-delete at commit.
-    throw new UnsupportedOperationException(
-      "dynamic partition overwrite: use INSERT OVERWRITE with a predicate")
+    overwriteDynamic = true
+    this
   }
 
-  override def build(): Write = new V1Write {
+  override def build(): Write =
+    if (overwriteDynamic) {
+      // OverwritePartitionsDynamic has no V1 fallback exec — serve it from
+      // the native BatchWrite (the same executor-side writer the
+      // MERGE/UPDATE rewrites use); the commit swaps whole partitions.
+      val head = store.head().getOrElse(
+        throw new IllegalStateException("no snapshot to overwrite"))
+      new GraftBatchWrite(store.tableDir.toString, head.schema.json,
+        head.partitionSpec, "dynamic-overwrite",
+        added => commitDynamic(head, added))
+    } else new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -355,5 +368,35 @@ final class GraftWriteBuilder(store: SnapshotStore)
           }
         }
       }
+  }
+
+  /** Dynamic partition overwrite (`INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`): replace exactly the partitions the
+    * incoming data lands in, leave every other partition untouched. Each
+    * new file carries its full partition-value tuple, so the replaced set
+    * is `prev.files` whose tuple equals some new file's tuple — no read of
+    * the previous table data at all, just a metadata swap (the
+    * 100 TB-friendly property: cost scales with the data WRITTEN, not the
+    * table size). An unpartitioned table degenerates to a full replace,
+    * matching Spark/Iceberg semantics. */
+  private def commitDynamic(head: Snapshot, added: Seq[DataFile]): Unit = {
+    val newTuples = added.map(_.partitionValues).toSet
+    store.commit { prev =>
+      val p = prev.getOrElse(head)
+      // Exact-tuple match only: a previous file with an incomplete tuple
+      // never matches and is KEPT — conservative in the no-data-loss
+      // direction.
+      val (replaced, kept) =
+        if (head.partitionSpec.isEmpty) (p.files, Seq.empty[DataFile])
+        else p.files.partition(f => newTuples.contains(f.partitionValues))
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "overwrite",
+        files = kept ++ added,
+        summary = Map(
+          "replaced-files" -> replaced.size.toString,
+          "added-files" -> added.size.toString,
+          "replaced-partitions" -> newTuples.size.toString))
+    }
   }
 }

@@ -101,6 +101,36 @@ object LakeOps {
               FROM $Cat.verify.region_evo ORDER BY r_regionkey""")
   }
 
+  /** Dynamic partition overwrite: rewrite the partitions the new data
+    * lands in (regions 0 and 2 get lower-cased names), leave the rest
+    * untouched — oracle reproduces with a CASE over the source table. */
+  val qLakeDynOverwrite: Q = Q(
+    "q_lake_dyn_overwrite",
+    """SELECT n_nationkey,
+              CASE WHEN n_regionkey IN (0, 2) THEN lower(n_name)
+                   ELSE n_name END AS n_name,
+              n_regionkey
+       FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nation_dyn")
+    s.sql(s"""CREATE TABLE $Cat.verify.nation_dyn
+              (n_nationkey INT, n_name STRING, n_regionkey INT)
+              USING graft PARTITIONED BY (n_regionkey)""")
+    Tables.nation(s, d).createOrReplaceTempView("graft_src_nation_dyn")
+    s.sql(s"INSERT INTO $Cat.verify.nation_dyn SELECT * FROM graft_src_nation_dyn")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "dynamic")
+    try s.sql(s"""INSERT OVERWRITE $Cat.verify.nation_dyn
+                  SELECT n_nationkey, lower(n_name), n_regionkey
+                  FROM graft_src_nation_dyn WHERE n_regionkey IN (0, 2)""")
+    finally s.conf.set(key, prev)
+    s.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+              FROM $Cat.verify.nation_dyn ORDER BY n_nationkey""")
+  }
+
   val all: Seq[Q] = Seq(
-    qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution)
+    qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
+    qLakeDynOverwrite)
 }
