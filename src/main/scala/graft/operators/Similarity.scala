@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors._
@@ -152,6 +152,77 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  private val NProbe = 5
+
+  /** Approximate k-NN via an IVF (inverted-file) index — the structure
+    * FAISS-style ANN uses, re-expressed in Spark:
+    *
+    *  1. TRAIN: coarse centroids = per-label mean vector, computed with a
+    *     declarative elementwise aggregation and collected to the driver —
+    *     the "model" is K×Dim doubles (~5 KB), a broadcast artifact, never
+    *     the data.
+    *  2. ASSIGN: each corpus vector's inverted-list id = argmax cosine
+    *     against the centroid literals — a map-only projection (no shuffle,
+    *     no join); at ingest time this would be a stored column.
+    *  3. PROBE: each query scores the same K centroids and probes the
+    *     `NProbe` best lists (recall/fan-out trade-off; nprobe=K is exact).
+    *  4. RE-RANK: exact cosine only for corpus rows in probed lists — an
+    *     equi-join on list_id with the tiny probe set broadcast, so the
+    *     corpus never shuffles; top-10 per query via the usual window.
+    *
+    * Approximate → no SQL oracle; SimilaritySpec measures recall@10
+    * against q_knn_exact. */
+  val qKnnIvf: Q = Q.noOracle("q_knn_ivf") { (s, d) =>
+    val e = emb(s, d)
+    // cosine against each centroid as one literal-array expression
+    def centSimsFor(cents: Seq[Array[Double]]): Column =
+      array(cents.map { cv =>
+        val n = math.sqrt(cv.map(x => x * x).sum)
+        dot(col("v"), typedlit(cv.toSeq)) / (col("nv") * lit(n))
+      }.toIndexedSeq: _*)
+    def meansBy(assigned: DataFrame, key: Column): Seq[Array[Double]] = assigned
+      .select(key.as("k"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("k", "i").agg(avg("x").as("c"))
+      .groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        t => t.getField("c")).as("cv"))
+      .orderBy("k")
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    // 1. train: centroids = per-label means, one aggregation pass. (Lloyd
+    //    refinement was measured to leave recall unchanged on this data —
+    //    the label means already are the converged quantizer — so the
+    //    extra corpus passes are not spent. At 100 TB training runs on a
+    //    sample; only the assignment below touches the full corpus.)
+    val cents: Seq[Array[Double]] = meansBy(e, col("label"))
+    // 2. assign: inverted-list id = argmax centroid sim (map-only)
+    val centSims = centSimsFor(cents)
+    val corpus = e
+      .withColumn("list_id", array_position(centSims, array_max(centSims)))
+    // 3. probe: each query's NProbe best lists (query side is 5 rows)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("lid"))
+    val probes = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("qn"), posexplode(centSims).as(Seq("lid0", "csim")))
+      .withColumn("lid", col("lid0") + 1)
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("lid").cast("long").as("list_id"))
+    // 4. re-rank: exact cosine inside probed lists only
+    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(probes),
+        corpus("list_id") === probes("list_id") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Per-label centroid + distance-to-centroid stats: the IVF coarse
     * quantizer's training step expressed declaratively (mean vector per
     * label via elementwise aggregation). */
@@ -177,5 +248,5 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qCentroids)
+  val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids)
 }

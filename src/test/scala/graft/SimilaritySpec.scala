@@ -35,6 +35,25 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  // Measured 0.66 on the synthetic embeddings (weak cluster structure:
+  // ~1/3 of true neighbors live outside the query's 5 best of 10 lists);
+  // the bound pins that probing half the lists beats the uniform-data
+  // floor of nprobe/K = 0.5, i.e. the quantizer carries real signal.
+  test("IVF kNN recall@10 >= 0.6 vs exact kNN (label centroids, nprobe=5)") {
+    val exact = Similarity.qKnnExact.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.qKnnIvf.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    assert(approx.forall { case (q, n) => q != n })
+    // every query returns a full top-10 (probed lists are never empty —
+    // each query's own list is always among its probes)
+    val perQuery = Similarity.qKnnIvf.fn(spark, sf)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ == 10L), s"per-query counts: $perQuery")
+  }
+
   test("knn results are deterministic") {
     val a = Similarity.qKnnExact.fn(spark, sf).collect()
     val b = Similarity.qKnnExact.fn(spark, sf).collect()
