@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Pins the PLAN-SHAPE properties the 100 TB design depends on — not what
+  * the queries return (the oracle gate owns that) but how they execute:
+  * filters reach the parquet scan, projections prune the read schema,
+  * small dimensions broadcast, aggregation is partial+final, order+limit
+  * becomes top-K, and the hot relational path stays inside whole-stage
+  * codegen. A regression here keeps results correct while silently
+  * turning a scan-light plan into a full-table one — exactly the class of
+  * bug small-SF correctness tests can never catch.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filter+projection push down to the parquet scan (q_filter_project)") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan[^\\]]*.*"),
+      s"filter not pushed:\n$p")
+    // projection pruning: the widest lineitem column never leaves the scan
+    assert(!p.contains("l_comment"), "read schema not pruned to projection")
+  }
+
+  test("explicit broadcast produces a BroadcastHashJoin (q_join_broadcast)") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("multi-way dim join has no cartesian product and keeps dims broadcast (q5)") {
+    val p = plan("q5_local_supplier_volume")
+    assert(!p.contains("CartesianProduct"), "cartesian crept into q5")
+    assert(p.contains("BroadcastHashJoin"), "small dims not broadcast in q5")
+  }
+
+  test("aggregation is partial then final — map-side combine (q1)") {
+    val p = plan("q1_pricing_summary")
+    // two HashAggregates with the shuffle between them: map-side combine
+    // runs before the exchange, so the shuffle moves one row per
+    // (group × partition), not one per input row
+    assert(p.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
+      s"no partial+final aggregation in q1:\n$p")
+  }
+
+  test("hot relational path stays inside whole-stage codegen (q1)") {
+    // codegen spans ('*(n)' markers) only materialize in the FINAL
+    // adaptive plan, so execute first, then inspect
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("*("), s"q1 fell out of whole-stage codegen:\n$s")
+  }
+
+  test("order by + limit plans as top-K, not global sort (q_orderby_limit)") {
+    val p = plan("q_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+orderBy did not become top-K:\n$p")
+  }
+
+  test("semi/anti joins stay joins (no aggregate-based rewrite)") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("lake catalog scan reports snapshot stats so it can broadcast") {
+    // ensureCatalog path: q_lake_roundtrip creates + populates the table
+    SparkEntry.queries("q_lake_roundtrip")(spark, sf).collect()
+    val t = spark.table("graft.verify.nation")
+    val bytes = t.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a V1 relation without stats reports defaultSizeInBytes (8 EiB) and
+    // could never be chosen as a broadcast side
+    assert(bytes < 100L * 1024 * 1024, s"lake table reports $bytes bytes")
+  }
+}
