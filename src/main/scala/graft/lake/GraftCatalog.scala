@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The Graft catalog: Spark-native replacement for the reference's
@@ -221,18 +221,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var props = prev.properties
       changes.foreach {
         case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            "nested column evolution not supported")
-          schema = schema.add(add.fieldNames().head, add.dataType(),
-            nullable = true, Option(add.comment()).getOrElse(""))
+          val path = add.fieldNames().toSeq
+          schema = editStructAt(schema, path.init) { st =>
+            require(!st.fieldNames.contains(path.last),
+              s"column ${path.mkString(".")} already exists")
+            st.add(path.last, add.dataType(), nullable = true,
+              Option(add.comment()).getOrElse(""))
+          }
         case del: TableChange.DeleteColumn =>
-          require(del.fieldNames().length == 1,
-            "nested column evolution not supported")
-          val name = del.fieldNames().head
-          require(schema.fieldNames.contains(name), s"no column $name")
-          require(!prev.partitionSpec.exists(_.source == name),
-            s"cannot drop partition source column $name")
-          schema = StructType(schema.fields.filterNot(_.name == name))
+          val path = del.fieldNames().toSeq
+          require(!prev.partitionSpec.exists(_.source == path.head),
+            s"cannot drop partition source column ${path.head}")
+          schema = editStructAt(schema, path.init) { st =>
+            require(st.fieldNames.contains(path.last),
+              s"no column ${path.mkString(".")}")
+            StructType(st.fields.filterNot(_.name == path.last))
+          }
         case sp: TableChange.SetProperty =>
           props = props + (sp.property() -> sp.value())
         case rp: TableChange.RemoveProperty =>
@@ -252,6 +256,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     new GraftTable(fullName(ident), st)
   }
+
+  /** Apply `edit` to the struct at `parent` (a TableChange field path:
+    * struct fields by name, plus Spark's `element` / `key` / `value`
+    * markers through arrays and maps). Old files null-fill the added
+    * nested fields on read — both the vectorized path (Spark's nested
+    * schema clipping) and the COW rewrite reader (name-based struct field
+    * lookup) already handle absent subfields. */
+  private def editStructAt(dt: DataType, parent: Seq[String])(
+      edit: StructType => StructType): StructType =
+    editAt(dt, parent)(edit).asInstanceOf[StructType]
+
+  private def editAt(dt: DataType, parent: Seq[String])(
+      edit: StructType => StructType): DataType =
+    (dt, parent.headOption) match {
+      case (st: StructType, None) => edit(st)
+      case (st: StructType, Some(name)) if st.fieldNames.contains(name) =>
+        val idx = st.fieldIndex(name)
+        val f = st.fields(idx)
+        StructType(st.fields.updated(idx,
+          f.copy(dataType = editAt(f.dataType, parent.tail)(edit))))
+      case (ar: ArrayType, Some("element")) =>
+        ar.copy(elementType = editAt(ar.elementType, parent.tail)(edit))
+      case (mp: MapType, Some("key")) =>
+        mp.copy(keyType = editAt(mp.keyType, parent.tail)(edit))
+      case (mp: MapType, Some("value")) =>
+        mp.copy(valueType = editAt(mp.valueType, parent.tail)(edit))
+      case _ =>
+        throw new IllegalArgumentException(
+          s"no struct at ${parent.mkString(".")} in ${dt.simpleString}")
+    }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) false

@@ -82,6 +82,46 @@ class NestedRowLevelSpec extends AnyFunSuite {
     assert(rows(3).getString(1) == "new" && rows(3).getInt(2) == 44)
   }
 
+  test("nested column evolution: add/drop a struct subfield, null-fill old rows") {
+    spark.sql("""CREATE TABLE nst.t.evo (id INT,
+                 meta STRUCT<src: STRING>) USING iceberg""")
+    spark.sql("INSERT INTO nst.t.evo VALUES (1, named_struct('src', 'web'))")
+    spark.sql("ALTER TABLE nst.t.evo ADD COLUMN meta.score INT")
+    spark.sql("""INSERT INTO nst.t.evo VALUES
+                 (2, named_struct('src', 'pdf', 'score', 7))""")
+
+    val rows = spark.sql(
+      "SELECT id, meta.src, meta.score FROM nst.t.evo ORDER BY id").collect()
+    assert(rows(0).getString(1) == "web" && rows(0).isNullAt(2)) // null-fill
+    assert(rows(1).getString(1) == "pdf" && rows(1).getInt(2) == 7)
+
+    // row-level rewrite must round-trip the evolved nested schema too
+    spark.sql("UPDATE nst.t.evo SET id = id + 10")
+    val upd = spark.sql(
+      "SELECT id, meta.src, meta.score FROM nst.t.evo ORDER BY id").collect()
+    assert(upd.map(_.getInt(0)).toSeq == Seq(11, 12))
+    assert(upd(0).isNullAt(2) && upd(1).getInt(2) == 7)
+
+    spark.sql("ALTER TABLE nst.t.evo DROP COLUMN meta.score")
+    val dropped = spark.sql("SELECT meta FROM nst.t.evo").schema
+      .fields(0).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(dropped.fieldNames.toSeq == Seq("src"))
+  }
+
+  test("nested evolution reaches struct fields inside arrays") {
+    spark.sql("""CREATE TABLE nst.t.evarr (id INT,
+                 chunks ARRAY<STRUCT<tag: STRING>>) USING iceberg""")
+    spark.sql("""INSERT INTO nst.t.evarr VALUES
+                 (1, array(named_struct('tag', 'x')))""")
+    spark.sql("ALTER TABLE nst.t.evarr ADD COLUMN chunks.element.w DOUBLE")
+    spark.sql("""INSERT INTO nst.t.evarr VALUES
+                 (2, array(named_struct('tag', 'y', 'w', 0.5)))""")
+    val rows = spark.sql("""SELECT id, chunks[0].tag, chunks[0].w
+                            FROM nst.t.evarr ORDER BY id""").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) == "y" && rows(1).getDouble(2) == 0.5)
+  }
+
   test("nested arrays round-trip (array of struct with inner array)") {
     spark.sql("""CREATE TABLE nst.t.deep (id INT,
                  chunks ARRAY<STRUCT<tag: STRING, scores: ARRAY<DOUBLE>>>)
