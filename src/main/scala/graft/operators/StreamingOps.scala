@@ -47,5 +47,34 @@ object StreamingOps {
     result.orderBy("win_start")
   }
 
-  val all: Seq[Q] = Seq(qStreamWindow, qStreamSliding)
+  /** Gap-based session windows (30 min), streamed, vs a batch
+    * gaps-and-islands oracle: a session break is a >= 30 min silence per
+    * user (Spark session windows are end-exclusive, hence >=). */
+  val qStreamSession: Q = Q(
+    "q_stream_session",
+    """WITH m AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events),
+       g AS (
+         SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m)
+       SELECT user_id,
+              epoch_us(min(ts)) AS sess_start_us,
+              epoch_us(max(ts)) + 1800000000 AS sess_end_us,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS total_value
+       FROM g GROUP BY user_id, sid
+       ORDER BY user_id, sess_start_us""") { (s, d) =>
+    val result = Streams.runToMemory(
+      s, Streams.sessionWindows(Streams.eventsStream(s, d)),
+      s"sess_${System.nanoTime()}")
+    result.orderBy("user_id", "sess_start_us")
+  }
+
+  val all: Seq[Q] = Seq(qStreamWindow, qStreamSliding, qStreamSession)
 }

@@ -45,7 +45,8 @@ object Streams {
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer DIV: `/` is double division and drifts ±1us at e18 nanos
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   private val streamDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -76,6 +77,23 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
+
+  /** Native session windows (gap-based): events within 30 min of each
+    * other merge into one session per user. Declarative counterpart of
+    * `sessionize` below — Spark's SessionWindow state operator handles
+    * the merging; watermark bounds state like any windowed agg. Start is
+    * the first event's time, end is last event + gap (end-exclusive — an
+    * event at exactly start+gap opens a NEW session, which the oracle's
+    * `>= gap` island test mirrors). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n"), col("total_value"))
 
   case class Evt(user_id: Long, tsMicros: Long, value: Double)
   case class Session(user_id: Long, n_events: Int, total_value: Double,

@@ -52,6 +52,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("session windows: stream result equals the batch run of the same code") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionWindows(Streams.eventsStream(spark, sf)),
+      s"sess_spec_${System.nanoTime()}")
+    val batch = Streams.sessionWindows(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // sessions are disjoint per user: no overlapping [start, end) ranges
+    val s1 = streamed.select(col("user_id").as("u1"),
+      col("sess_start_us").as("start1"), col("sess_end_us").as("end1"))
+    val s2 = streamed.select(col("user_id").as("u2"),
+      col("sess_start_us").as("start2"))
+    val overlaps = s1.join(s2, col("u1") === col("u2") &&
+      col("start1") < col("start2") && col("start2") < col("end1"))
+    assert(overlaps.isEmpty, "overlapping sessions for one user")
+  }
+
   test("native readStream.table over a lake table: incremental snapshots, " +
       "rewrites skipped, checkpoint resume") {
     val wh = Files.createTempDirectory("ss-wh").toString
