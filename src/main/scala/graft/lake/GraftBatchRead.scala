@@ -181,8 +181,20 @@ final class GraftPartitionReader(filePath: String, required: StructType)
     val ptype = g.getType.getType(idx)
     dt match {
       case IntegerType | ShortType | ByteType => g.getInteger(idx, rep)
-      case LongType => g.getLong(idx, rep)
-      case DoubleType => g.getDouble(idx, rep)
+      case LongType =>
+        // files written before an int->bigint widening hold INT32
+        ptype.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            g.getInteger(idx, rep).toLong
+          case _ => g.getLong(idx, rep)
+        }
+      case DoubleType =>
+        // files written before a float->double widening hold FLOAT
+        ptype.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.FLOAT =>
+            g.getFloat(idx, rep).toDouble
+          case _ => g.getDouble(idx, rep)
+        }
       case FloatType => g.getFloat(idx, rep)
       case BooleanType => g.getBoolean(idx, rep)
       case StringType =>

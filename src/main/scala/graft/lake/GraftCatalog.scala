@@ -237,6 +237,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"no column ${path.mkString(".")}")
             StructType(st.fields.filterNot(_.name == path.last))
           }
+        case ut: TableChange.UpdateColumnType =>
+          val path = ut.fieldNames().toSeq
+          // bucket hashes differ between int and long inputs; identity
+          // string forms can drift too — never retype a partition source
+          require(!prev.partitionSpec.exists(_.source == path.head),
+            s"cannot retype partition source column ${path.head}")
+          schema = editStructAt(schema, path.init) { st =>
+            val idx = st.fieldIndex(path.last)
+            val f = st.fields(idx)
+            require(isWidening(f.dataType, ut.newDataType()),
+              s"only widening type changes are supported: " +
+                s"${f.dataType.simpleString} -> ${ut.newDataType().simpleString}")
+            StructType(st.fields.updated(idx,
+              f.copy(dataType = ut.newDataType())))
+          }
         case sp: TableChange.SetProperty =>
           props = props + (sp.property() -> sp.value())
         case rp: TableChange.RemoveProperty =>
@@ -266,6 +281,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def editStructAt(dt: DataType, parent: Seq[String])(
       edit: StructType => StructType): StructType =
     editAt(dt, parent)(edit).asInstanceOf[StructType]
+
+  /** Type changes old files can serve without rewrite: every value of the
+    * old type is exactly representable in the new one, and the readers
+    * up-convert from the file's physical type (vectorized reader via
+    * Spark's widening support; COW reader via physical-type dispatch). */
+  private def isWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType) => true
+      case (org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.DoubleType) => true
+      case (a: org.apache.spark.sql.types.DecimalType,
+            b: org.apache.spark.sql.types.DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
 
   private def editAt(dt: DataType, parent: Seq[String])(
       edit: StructType => StructType): DataType =
