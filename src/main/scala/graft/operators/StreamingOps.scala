@@ -76,5 +76,28 @@ object StreamingOps {
     result.orderBy("user_id", "sess_start_us")
   }
 
-  val all: Seq[Q] = Seq(qStreamWindow, qStreamSliding, qStreamSession)
+  /** Streaming dedup at ingest: the same events directory is attached as
+    * TWO file sources and unioned — every event arrives twice — then
+    * dropDuplicatesWithinWatermark(event_id) must emit each exactly once.
+    * State is bounded by the watermark (an id is forgettable once no
+    * duplicate can still arrive), unlike unbounded dropDuplicates — the
+    * property that makes streaming dedup viable at 100 TB/day ingest.
+    * Oracle: the events table itself, each row once. */
+  val qStreamDedup: Q = Q(
+    "q_stream_dedup",
+    """SELECT event_id, event_type, round(value, 2) AS v
+       FROM events ORDER BY event_id""") { (s, d) =>
+    val doubled = Streams.eventsStream(s, d).union(Streams.eventsStream(s, d))
+    val deduped = doubled
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val result = Streams.runToMemory(s,
+      deduped.select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("v")),
+      s"dedup_${System.nanoTime()}", mode = "append")
+    result.orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(qStreamWindow, qStreamSliding, qStreamSession,
+    qStreamDedup)
 }
