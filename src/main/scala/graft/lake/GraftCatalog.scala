@@ -237,6 +237,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"no column ${path.mkString(".")}")
             StructType(st.fields.filterNot(_.name == path.last))
           }
+        case un: TableChange.UpdateColumnNullability =>
+          // relaxing to nullable is metadata-only; SET NOT NULL would
+          // need a full-table scan to prove no existing nulls — rejected
+          require(un.nullable(), "SET NOT NULL is not supported " +
+            "(existing data cannot be proven null-free without a scan)")
+          val path = un.fieldNames().toSeq
+          schema = editStructAt(schema, path.init) { st =>
+            val idx = st.fieldIndex(path.last)
+            StructType(st.fields.updated(idx,
+              st.fields(idx).copy(nullable = true)))
+          }
         case ut: TableChange.UpdateColumnType =>
           val path = ut.fieldNames().toSeq
           // bucket hashes differ between int and long inputs; identity
