@@ -39,7 +39,8 @@ final class GraftBatchScan(
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private[lake] lazy val prunedFiles: Seq[DataFile] =
-    StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
+    StatsPruner.prune(snapshot.files, filters.toIndexedSeq,
+      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
 
   /** File set after runtime (dynamic) filtering — starts at the statically
     * pruned set; `filter()` narrows it before planInputPartitions. */
@@ -97,7 +98,7 @@ final class GraftBatchScan(
       else fs.filter(f => wanted.contains(store.tableDir.resolve(f.path).toString))
     }
     val narrowed = StatsPruner.prune(afterFile, rest.toIndexedSeq,
-      snapshot.partitionSpec)
+      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
     runtimeFiles = narrowed
     onRuntimePrune(narrowed)
   }
@@ -108,7 +109,7 @@ final class GraftBatchScan(
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json)
+    new GraftReaderFactory(required.json, snapshot.schema.json)
 
   override def estimateStatistics() = new org.apache.spark.sql.connector.read.Statistics {
     override def sizeInBytes() =
@@ -121,11 +122,15 @@ final class GraftBatchScan(
     s"GraftBatchScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
 }
 
-final class GraftReaderFactory(requiredJson: String) extends PartitionReaderFactory {
+final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    // files store PHYSICAL column names; the projection uses logical ones
+    val rename = SchemaNames.renameMap(
+      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType])
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].filePath, required)
+      partition.asInstanceOf[GraftInputPartition].filePath, required, rename)
   }
 }
 
@@ -136,7 +141,8 @@ final class GraftReaderFactory(requiredJson: String) extends PartitionReaderFact
   * decimal), plus nested arrays/structs/maps in the standard 3-level
   * encodings (the only forms our writers — Spark datasource and
   * GraftBatchWrite — produce). */
-final class GraftPartitionReader(filePath: String, required: StructType)
+final class GraftPartitionReader(filePath: String, required: StructType,
+    rename: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
@@ -161,10 +167,11 @@ final class GraftPartitionReader(filePath: String, required: StructType)
     var i = 0
     while (i < required.length) {
       val f = required.fields(i)
+      val fileField = rename.getOrElse(f.name, f.name)
       if (f.name == "_file") row.update(i, fileName)
-      else if (!schema.containsField(f.name)) row.update(i, null)
+      else if (!schema.containsField(fileField)) row.update(i, null)
       else {
-        val idx = schema.getFieldIndex(f.name)
+        val idx = schema.getFieldIndex(fileField)
         if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)
         else row.update(i, convert(current, idx, 0, f.dataType))
       }

@@ -68,8 +68,12 @@ final class GraftDataWriterFactory(
     spec: Seq[PartitionField]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // physical names throughout: the parquet schema, the stats keys, and
+    // the partition-source lookups all match what every other writer
+    // produces, regardless of column renames (ordinals are unchanged)
     new GraftDataWriter(tableDirStr,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], spec)
+      SchemaNames.toPhysical(
+        DataType.fromJson(schemaJson).asInstanceOf[StructType]), spec)
 }
 
 final class GraftDataWriter(

@@ -225,8 +225,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = editStructAt(schema, path.init) { st =>
             require(!st.fieldNames.contains(path.last),
               s"column ${path.mkString(".")} already exists")
-            st.add(path.last, add.dataType(), nullable = true,
+            val grown = st.add(path.last, add.dataType(), nullable = true,
               Option(add.comment()).getOrElse(""))
+            // a retired physical name (column renamed away earlier) may
+            // equal the new logical name; the new column must get a FRESH
+            // physical name or old files would leak their values into it
+            val taken = st.fields.map(SchemaNames.physicalName).toSet
+            if (path.init.isEmpty && taken.contains(path.last)) {
+              val idx = grown.length - 1
+              StructType(grown.fields.updated(idx,
+                SchemaNames.withPhysical(grown.fields(idx),
+                  s"${path.last}_${java.util.UUID.randomUUID().toString.take(8)}")))
+            } else grown
+          }
+        case rn: TableChange.RenameColumn =>
+          val path = rn.fieldNames().toSeq
+          require(path.length == 1,
+            "nested column rename not supported")
+          schema = editStructAt(schema, Seq.empty) { st =>
+            require(st.fieldNames.contains(path.head), s"no column ${path.head}")
+            require(!st.fieldNames.contains(rn.newName()),
+              s"column ${rn.newName()} already exists")
+            val idx = st.fieldIndex(path.head)
+            val f = st.fields(idx)
+            // logical rename only: pin the current physical name (the one
+            // every data file uses) into metadata, swap the visible name
+            StructType(st.fields.updated(idx,
+              SchemaNames.withPhysical(f, SchemaNames.physicalName(f))
+                .copy(name = rn.newName())))
           }
         case del: TableChange.DeleteColumn =>
           val path = del.fieldNames().toSeq

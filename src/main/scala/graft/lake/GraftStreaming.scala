@@ -69,7 +69,8 @@ final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readSchema.json)
+    new GraftReaderFactory(readSchema.json,
+      store.head().map(_.schema.json).getOrElse(readSchema.json))
 
   override def commit(end: Offset): Unit = () // snapshot log is immutable
 

@@ -100,8 +100,10 @@ class GraftTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     val s = snapshot
+    val renameM = SchemaNames.renameMap(s.schema)
+    val physFilters = filters.map(SchemaNames.renameFilter(_, renameM))
     val (touched, untouched) = s.files.partition(f =>
-      filters.forall(StatsPruner.mightMatch(f, _, s.partitionSpec)))
+      physFilters.forall(StatsPruner.mightMatch(f, _, s.partitionSpec)))
     val cond = FilterTranslate.conjunction(filters.toSeq)
       .getOrElse(throw new UnsupportedOperationException(
         s"untranslatable delete condition: ${filters.mkString(", ")}"))
@@ -111,7 +113,9 @@ class GraftTable(
         val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
         // SQL DELETE removes only rows where cond IS TRUE; rows where it
         // evaluates NULL (e.g. `c = 5` on a NULL c) must be KEPT.
-        val kept = spark.read.schema(s.schema).parquet(paths: _*)
+        val kept = spark.read.schema(SchemaNames.toPhysical(s.schema))
+          .parquet(paths: _*)
+          .toDF(s.schema.fieldNames.toIndexedSeq: _*)
           .filter(fnot(coalesce(cond, lit(false))))
         GraftWriter.writeFiles(spark, store, s.schema, s.partitionSpec, kept)
       }
@@ -182,16 +186,25 @@ class GraftVectorScan(
   extends Scan with SupportsReportStatistics {
 
   private[lake] lazy val prunedFiles: Seq[DataFile] =
-    StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
+    StatsPruner.prune(snapshot.files, filters.toIndexedSeq,
+      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
 
   override def readSchema(): StructType = required
 
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    // Files carry PHYSICAL column names: hand the bridge the physical
+    // schema/projection/filters; rows bind positionally to the logical
+    // attributes (same order and types), so no rename-back is needed.
+    val rename = SchemaNames.renameMap(snapshot.schema)
+    val physRequired = StructType(required.fields.map(f =>
+      f.copy(name = rename.getOrElse(f.name, f.name))))
     org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
       SparkSession.active,
       prunedFiles.map(f =>
         store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes),
-      fullSchema, required, filters)
+      SchemaNames.toPhysical(fullSchema), physRequired,
+      filters.map(SchemaNames.renameFilter(_, rename)))
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -218,7 +231,8 @@ class GraftScan(
   extends V1Scan with SupportsReportStatistics {
 
   private[lake] lazy val prunedFiles: Seq[DataFile] =
-    StatsPruner.prune(snapshot.files, filters.toIndexedSeq, snapshot.partitionSpec)
+    StatsPruner.prune(snapshot.files, filters.toIndexedSeq,
+      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
 
   override def readSchema(): StructType = required
 
@@ -274,7 +288,11 @@ final class GraftRelation(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required).rdd
     } else {
       val paths = files.map(f => store.tableDir.resolve(f.path).toString)
-      var df: DataFrame = spark.read.schema(fullSchema).parquet(paths: _*)
+      // read with the files' PHYSICAL names, then rename positionally back
+      // to the logical schema (no-op for never-renamed tables)
+      var df: DataFrame = spark.read.schema(SchemaNames.toPhysical(fullSchema))
+        .parquet(paths: _*)
+        .toDF(fullSchema.fieldNames.toIndexedSeq: _*)
       // `_file` metadata column (SupportsMetadataColumns) is served from
       // the parquet reader's provenance function
       if (required.fieldNames.contains("_file"))
@@ -337,16 +355,20 @@ final class GraftWriteBuilder(store: SnapshotStore)
               val cond = FilterTranslate.conjunction(fs.toSeq).getOrElse(
                 throw new UnsupportedOperationException(
                   s"untranslatable overwrite filter"))
+              val renameM = SchemaNames.renameMap(head.schema)
+              val physFs = fs.map(SchemaNames.renameFilter(_, renameM))
               val (touched, untouched) = head.files.partition(f =>
-                fs.forall(StatsPruner.mightMatch(f, _, head.partitionSpec)))
+                physFs.forall(StatsPruner.mightMatch(f, _, head.partitionSpec)))
               val keptFiles =
                 if (touched.isEmpty) Seq.empty
                 else {
                   val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
                   // NULL-evaluating rows are outside the overwritten region
                   // and must survive (same NULL semantics as DELETE).
-                  val kept = spark.read.schema(head.schema)
-                    .parquet(paths: _*).filter(fnot(coalesce(cond, lit(false))))
+                  val kept = spark.read.schema(SchemaNames.toPhysical(head.schema))
+                    .parquet(paths: _*)
+                    .toDF(head.schema.fieldNames.toIndexedSeq: _*)
+                    .filter(fnot(coalesce(cond, lit(false))))
                   GraftWriter.writeFiles(spark, store, head.schema,
                     head.partitionSpec, kept)
                 }

@@ -45,9 +45,13 @@ object GraftWriter {
     val staging = store.tableDir.resolve(s".staging-${UUID.randomUUID()}")
     try {
       // Align to table schema by name (Spark has already resolved/ordered
-      // for SQL inserts; this also covers direct API writes) + cast.
+      // for SQL inserts; this also covers direct API writes) + cast, and
+      // rename to PHYSICAL column names — data files always carry the
+      // physical name, so files from before/after a column rename are
+      // interchangeable. Partition-spec sources are physical too.
       val aligned = df.select(schema.fields.map(f =>
-        col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        col(f.name).cast(f.dataType).as(SchemaNames.physicalName(f)))
+        .toIndexedSeq: _*)
 
       val partCols = spec.zipWithIndex.map { case (f, i) => s"$PartColPrefix$i" }
       val withParts = spec.zipWithIndex.foldLeft(aligned) { case (d, (f, i)) =>
@@ -70,7 +74,7 @@ object GraftWriter {
         else withParts.write.parquet(staging.toString)
       } finally spark.conf.set(tsConf, prevTs)
 
-      val sf = statFields(schema)
+      val sf = statFields(SchemaNames.toPhysical(schema))
 
       // Move staged files into data/, deriving partition values from the
       // hive-style staging layout. Row counts + column stats come from each

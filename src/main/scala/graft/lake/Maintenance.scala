@@ -31,7 +31,9 @@ object Maintenance {
     if (small.size <= 1) return head // nothing to gain
     val keep = head.files.filterNot(small.contains)
     val paths = small.map(f => store.tableDir.resolve(f.path).toString)
-    val df = spark.read.schema(head.schema).parquet(paths: _*)
+    val df = spark.read.schema(SchemaNames.toPhysical(head.schema))
+      .parquet(paths: _*)
+      .toDF(head.schema.fieldNames.toIndexedSeq: _*)
       .coalesce(math.max(1, small.map(_.sizeBytes).sum / smallFileThresholdBytes).toInt)
     val rewritten = GraftWriter.writeFiles(spark, store, head.schema,
       head.partitionSpec, df)

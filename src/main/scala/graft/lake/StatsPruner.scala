@@ -187,4 +187,12 @@ object StatsPruner {
   def prune(files: Seq[DataFile], filters: Seq[Filter],
       spec: Seq[PartitionField]): Seq[DataFile] =
     files.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))
+
+  /** Rename-aware variant: file stats and partition sources are keyed by
+    * PHYSICAL column names, filters arrive with LOGICAL names — translate
+    * first (identity for never-renamed tables). An untranslatable filter
+    * degrades to conservative keep, never a wrong prune. */
+  def prune(files: Seq[DataFile], filters: Seq[Filter],
+      spec: Seq[PartitionField], rename: Map[String, String]): Seq[DataFile] =
+    prune(files, filters.map(SchemaNames.renameFilter(_, rename)), spec)
 }
