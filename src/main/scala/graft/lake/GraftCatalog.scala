@@ -161,8 +161,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val st = store(ident)
-    val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(s"invalid version '$version'"))
+    // numeric → snapshot version; anything else → named ref (tag)
+    val v = scala.util.Try(version.toLong).toOption
+      .orElse(st.refs().get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot version or tag '$version' for ${fullName(ident)}"))
     if (!st.listVersions().contains(v))
       throw new IllegalArgumentException(
         s"no snapshot v$v for ${fullName(ident)}")

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types._
 object Procedures {
 
   val Namespace: Array[String] = Array("system")
-  val names: Seq[String] = Seq("compact", "expire_snapshots", "remove_orphan_files")
+  val names: Seq[String] = Seq("compact", "expire_snapshots",
+    "remove_orphan_files", "create_tag", "drop_tag", "rollback_to_version")
 
   def load(catalogName: String, warehouse: Path, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -64,6 +65,44 @@ object Procedures {
           val tbl = args.getUTF8String(0).toString
           val removed = Maintenance.removeOrphanFiles(storeFor(tbl))
           Seq(Row(tbl, removed.size.toLong, 0L))
+        }
+      case "create_tag" =>
+        simple(ident.name(), "pin a named tag to a snapshot version",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("tag", StringType).build(),
+            ProcedureParameter.in("version", LongType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val tag = args.getUTF8String(1).toString
+          val v = args.getLong(2)
+          storeFor(tbl).setRef(tag, v)
+          Seq(Row(tbl, v, 0L))
+        }
+      case "drop_tag" =>
+        simple(ident.name(), "remove a named tag",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("tag", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          storeFor(tbl).dropRef(args.getUTF8String(1).toString)
+          Seq(Row(tbl, 0L, 0L))
+        }
+      case "rollback_to_version" =>
+        simple(ident.name(),
+          "make the table's head a copy of an earlier snapshot",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("version", LongType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val v = args.getLong(1)
+          val st = storeFor(tbl)
+          require(st.listVersions().contains(v), s"no snapshot v$v")
+          // a NEW snapshot with the old content — history stays intact,
+          // the rollback itself is an auditable commit
+          val snap = st.commit { _ =>
+            st.read(v).copy(
+              timestampMs = System.currentTimeMillis(),
+              operation = "rollback",
+              summary = Map("rolled-back-to" -> v.toString))
+          }
+          Seq(Row(tbl, snap.version, v))
         }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

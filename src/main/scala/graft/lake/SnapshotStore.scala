@@ -105,6 +105,40 @@ final class SnapshotStore(val tableDir: Path) {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---------- named refs (tags): name → pinned snapshot version ----------
+
+  private def refsFile: Path = metaDir.resolve("refs.text")
+
+  /** Named snapshot refs — `VERSION AS OF 'name'` resolves through this.
+    * Stored as one small name=version-per-line file; updated with the same
+    * tmp+atomic-move pattern as the version hint. */
+  def refs(): Map[String, Long] =
+    if (!Files.exists(refsFile)) Map.empty
+    else Files.readString(refsFile, UTF_8).split('\n')
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split('=') match {
+          case Array(k, v) => scala.util.Try(k -> v.toLong).toOption
+          case _ => None
+        }
+      }.toMap
+
+  def setRef(name: String, version: Long): Unit = {
+    require(listVersions().contains(version),
+      s"no snapshot v$version to tag as '$name'")
+    writeRefs(refs() + (name -> version))
+  }
+
+  def dropRef(name: String): Unit = writeRefs(refs() - name)
+
+  private def writeRefs(m: Map[String, Long]): Unit = {
+    val tmp = Files.createTempFile(metaDir, ".refs", ".tmp")
+    Files.writeString(tmp,
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"), UTF_8)
+    Files.move(tmp, refsFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def swapHint(v: Long): Unit = {
     val tmp = Files.createTempFile(metaDir, ".hint", ".tmp")
     Files.writeString(tmp, v.toString, UTF_8)
