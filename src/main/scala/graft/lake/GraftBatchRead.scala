@@ -124,14 +124,18 @@ final class GraftBatchScan(
 
 final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    // files store PHYSICAL column names; the projection uses logical ones
-    val rename = SchemaNames.renameMap(
+  // parsed once per (deserialized) factory instance, not once per file —
+  // a rewrite over thousands of files calls createReader per partition
+  @transient private lazy val required: StructType =
+    DataType.fromJson(requiredJson).asInstanceOf[StructType]
+  // files store PHYSICAL column names; the projection uses logical ones
+  @transient private lazy val rename: Map[String, String] =
+    SchemaNames.renameMap(
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType])
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       partition.asInstanceOf[GraftInputPartition].filePath, required, rename)
-  }
 }
 
 /** Reads one parquet file as InternalRows of `required` (missing fields →

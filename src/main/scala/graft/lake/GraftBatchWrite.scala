@@ -36,8 +36,14 @@ class GraftBatchWrite(
 
   override def toBatch: BatchWrite = this
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftDataWriterFactory(tableDirStr, schemaJson, spec)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // bind the partition-value expressions on the DRIVER (needs the
+    // analyzer + session conf); the bound trees serialize to executors
+    val phys = SchemaNames.toPhysical(
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    new GraftDataWriterFactory(tableDirStr, schemaJson, spec,
+      RowPartitionEval.bind(spec, phys))
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.flatMap {
@@ -65,7 +71,9 @@ final case class GraftCommitMessage(files: Seq[DataFile]) extends WriterCommitMe
 final class GraftDataWriterFactory(
     tableDirStr: String,
     schemaJson: String,
-    spec: Seq[PartitionField]) extends DataWriterFactory {
+    spec: Seq[PartitionField],
+    pvExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // physical names throughout: the parquet schema, the stats keys, and
@@ -73,16 +81,22 @@ final class GraftDataWriterFactory(
     // produces, regardless of column renames (ordinals are unchanged)
     new GraftDataWriter(tableDirStr,
       SchemaNames.toPhysical(
-        DataType.fromJson(schemaJson).asInstanceOf[StructType]), spec)
+        DataType.fromJson(schemaJson).asInstanceOf[StructType]), spec, pvExprs)
 }
 
 final class GraftDataWriter(
     tableDirStr: String,
     schema: StructType,
-    spec: Seq[PartitionField]) extends DataWriter[InternalRow] {
+    spec: Seq[PartitionField],
+    pvExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+  extends DataWriter[InternalRow] {
 
   private val messageType: MessageType = ParquetSchema.fromStruct(schema)
   private val factory = new SimpleGroupFactory(messageType)
+
+  /** pvExprs with ordinals shifted by the rewrite-row prefix offset —
+    * computed on the first row (the offset is constant per write). */
+  private var shifted: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = _
 
   /** One open file per partition-value tuple seen by this task. */
   private val writers = scala.collection.mutable.Map.empty[
@@ -112,8 +126,10 @@ final class GraftDataWriter(
     val off = row.numFields - schema.length
     require(off >= 0,
       s"row has ${row.numFields} fields but table schema has ${schema.length}")
-    val pv = spec.flatMap(f => RowPartitionValue.of(f, row, schema, off)
-      .map(v => f.name -> v)).toMap
+    if (shifted == null) shifted = pvExprs.map(RowPartitionEval.shift(_, off))
+    val pv = spec.zip(shifted).map { case (f, e) =>
+      f.name -> String.valueOf(e.eval(row))
+    }.toMap
     val (w, _, stats) = writerFor(pv)
     val g = factory.newGroup()
     var i = 0
@@ -330,52 +346,50 @@ object GroupValues {
   }
 }
 
-/** Row-side partition value computation for the executor write path —
-  * mirrors PartitionTransforms.valueColumn exactly, including bucket
-  * (same Murmur3 hash + pmod the `hash()` SQL function computes, so
-  * tuples from this writer and the staged writer are interchangeable —
-  * dynamic-overwrite partition matching depends on that). */
-object RowPartitionValue {
-  def of(f: PartitionField, row: InternalRow, schema: StructType,
-      off: Int = 0): Option[String] = {
-    val fieldIdx = schema.fieldIndex(f.source)
-    val idx = fieldIdx + off
-    if (f.transform.startsWith("bucket[")) {
-      // valueColumn is pmod(hash(col), n); hash(NULL) is the seed (42),
-      // NOT null, so bucket values are computed before the null check.
-      val n = PartitionTransforms.bucketN(f.transform)
-      val dt = schema.fields(fieldIdx).dataType
-      val v = if (row.isNullAt(idx)) null else row.get(idx, dt)
-      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-        .hash(v, dt, 42L).toInt
-      return Some((((h % n) + n) % n).toString)
+/** Row-side partition values for the executor write path: evaluates the
+  * SAME Catalyst expression the staged writer stages —
+  * `coalesce(PartitionTransforms.valueColumn(f), '__null__')` — analyzed
+  * (implicit casts, session time zone) on the DRIVER and bound to row
+  * ordinals, then shipped to executors. Tuples from this writer and the
+  * staged writer agree BY CONSTRUCTION for every transform and type,
+  * including the timezone-sensitive date transforms and format-sensitive
+  * identity casts a hand-mirrored reimplementation gets subtly wrong —
+  * and dynamic-overwrite partition matching is only correct if they
+  * agree. */
+object RowPartitionEval {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+
+  /** One bound, analyzed expression per partition field, ordinals
+    * 0..n-1 relative to `schema`. Driver-side only: the ACTIVE session's
+    * analyzer resolves the very Columns valueColumn builds (attribute
+    * binding, implicit casts, session time zone) against an empty frame
+    * of the write schema, then the aliased children are bound to
+    * ordinals for executor-side eval. */
+  def bind(spec: Seq[PartitionField], schema: StructType): Seq[Expression] = {
+    if (spec.isEmpty) return Seq.empty
+    val spark = org.apache.spark.sql.SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val cols = spec.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions.coalesce(
+        PartitionTransforms.valueColumn(f),
+        org.apache.spark.sql.functions.lit("__null__")).as(s"__pv$i")
     }
-    if (row.isNullAt(idx)) return Some("__null__")
-    def localDate: java.time.LocalDate = schema.fields(fieldIdx).dataType match {
-      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong)
-      case TimestampType | TimestampNTZType =>
-        java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(row.getLong(idx), 1000000L), 0,
-          java.time.ZoneOffset.UTC).toLocalDate
-      case other => throw new UnsupportedOperationException(
-        s"${f.transform} over $other")
-    }
-    f.transform match {
-      case "identity" =>
-        val v = schema.fields(fieldIdx).dataType match {
-          case StringType => row.getUTF8String(idx).toString
-          case IntegerType => row.getInt(idx).toString
-          case LongType => row.getLong(idx).toString
-          case DateType => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
-          case DoubleType => row.getDouble(idx).toString
-          case BooleanType => row.getBoolean(idx).toString
-          case other => return None
-        }
-        Some(v)
-      case "days" => Some(localDate.toString)
-      case "months" => Some(f"${localDate.getYear}%04d-${localDate.getMonthValue}%02d")
-      case "years" => Some(f"${localDate.getYear}%04d")
-      case _ => None // unknown transform: stats-only pruning for these files
-    }
+    val analyzed = empty.select(cols: _*).queryExecution.analyzed
+    val proj = analyzed.collectFirst { case p: Project => p }.getOrElse(
+      throw new IllegalStateException(s"unexpected plan shape: $analyzed"))
+    val childOutput = proj.child.output
+    proj.projectList.map(a =>
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(a.asInstanceOf[Alias].child, childOutput))
   }
+
+  /** Shift a bound expression's ordinals by `off` (the rewrite-row prefix
+    * offset — see GraftDataWriter.write). */
+  def shift(e: Expression, off: Int): Expression =
+    if (off == 0) e
+    else e.transformUp {
+      case BoundReference(ord, dt, n) => BoundReference(ord + off, dt, n)
+    }
 }

@@ -225,15 +225,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes.foreach {
         case add: TableChange.AddColumn =>
           val path = add.fieldNames().toSeq
+          if (path.length > 1) {
+            // nested fields have no physical-name indirection: re-adding a
+            // dropped subfield would resurrect its old values from
+            // existing files (or crash on a type change) — reject
+            val headPhys = schema.fields.find(_.name == path.head)
+              .map(SchemaNames.physicalName).getOrElse(path.head)
+            val key = (headPhys +: path.tail).mkString(".")
+            require(!retiredSet(props).contains(key),
+              s"cannot re-add dropped nested field ${path.mkString(".")}: " +
+                "old files still hold its values (requires a table rewrite)")
+          }
           schema = editStructAt(schema, path.init) { st =>
             require(!st.fieldNames.contains(path.last),
               s"column ${path.mkString(".")} already exists")
             val grown = st.add(path.last, add.dataType(), nullable = true,
               Option(add.comment()).getOrElse(""))
-            // a retired physical name (column renamed away earlier) may
-            // equal the new logical name; the new column must get a FRESH
-            // physical name or old files would leak their values into it
-            val taken = st.fields.map(SchemaNames.physicalName).toSet
+            // a retired physical name — renamed away OR dropped earlier —
+            // may equal the new logical name; the new column must get a
+            // FRESH physical name or old files would leak values into it
+            val taken = st.fields.map(SchemaNames.physicalName).toSet ++
+              retiredSet(props)
             if (path.init.isEmpty && taken.contains(path.last)) {
               val idx = grown.length - 1
               StructType(grown.fields.updated(idx,
@@ -259,13 +271,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         case del: TableChange.DeleteColumn =>
           val path = del.fieldNames().toSeq
-          require(!prev.partitionSpec.exists(_.source == path.head),
+          // spec.source holds the PHYSICAL name; the user addresses the
+          // logical one — resolve before guarding, or a rename would let
+          // the partition source be dropped
+          val delPhys = schema.fields.find(_.name == path.head)
+            .map(SchemaNames.physicalName).getOrElse(path.head)
+          require(!prev.partitionSpec.exists(_.source == delPhys),
             s"cannot drop partition source column ${path.head}")
           schema = editStructAt(schema, path.init) { st =>
             require(st.fieldNames.contains(path.last),
               s"no column ${path.mkString(".")}")
             StructType(st.fields.filterNot(_.name == path.last))
           }
+          // remember the dropped column's file-level name: old data files
+          // still carry its values, so that name must never be re-issued
+          // (top level gets a fresh physical name; nested re-adds are
+          // rejected — see AddColumn)
+          val retiredKey = (delPhys +: path.tail).mkString(".")
+          props = props + (RetiredKey ->
+            (retiredSet(props) + retiredKey).toSeq.sorted.mkString(","))
         case un: TableChange.UpdateColumnNullability =>
           // relaxing to nullable is metadata-only; SET NOT NULL would
           // need a full-table scan to prove no existing nulls — rejected
@@ -281,7 +305,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val path = ut.fieldNames().toSeq
           // bucket hashes differ between int and long inputs; identity
           // string forms can drift too — never retype a partition source
-          require(!prev.partitionSpec.exists(_.source == path.head),
+          // (resolved to its physical name: that is what spec.source holds)
+          val utPhys = schema.fields.find(_.name == path.head)
+            .map(SchemaNames.physicalName).getOrElse(path.head)
+          require(!prev.partitionSpec.exists(_.source == utPhys),
             s"cannot retype partition source column ${path.head}")
           schema = editStructAt(schema, path.init) { st =>
             val idx = st.fieldIndex(path.last)
@@ -321,6 +348,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def editStructAt(dt: DataType, parent: Seq[String])(
       edit: StructType => StructType): StructType =
     editAt(dt, parent)(edit).asInstanceOf[StructType]
+
+  /** Table property holding file-level column names that must never be
+    * re-issued (dropped or renamed-away columns whose values still exist
+    * in data files). */
+  private val RetiredKey = "graft.retired-columns"
+
+  private def retiredSet(props: Map[String, String]): Set[String] =
+    props.get(RetiredKey).map(_.split(',').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   /** Type changes old files can serve without rewrite: every value of the
     * old type is exactly representable in the new one, and the readers

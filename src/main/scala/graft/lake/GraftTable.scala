@@ -113,9 +113,7 @@ class GraftTable(
         val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
         // SQL DELETE removes only rows where cond IS TRUE; rows where it
         // evaluates NULL (e.g. `c = 5` on a NULL c) must be KEPT.
-        val kept = spark.read.schema(SchemaNames.toPhysical(s.schema))
-          .parquet(paths: _*)
-          .toDF(s.schema.fieldNames.toIndexedSeq: _*)
+        val kept = SchemaNames.readLogical(spark, s.schema, paths)
           .filter(fnot(coalesce(cond, lit(false))))
         GraftWriter.writeFiles(spark, store, s.schema, s.partitionSpec, kept)
       }
@@ -288,11 +286,7 @@ final class GraftRelation(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required).rdd
     } else {
       val paths = files.map(f => store.tableDir.resolve(f.path).toString)
-      // read with the files' PHYSICAL names, then rename positionally back
-      // to the logical schema (no-op for never-renamed tables)
-      var df: DataFrame = spark.read.schema(SchemaNames.toPhysical(fullSchema))
-        .parquet(paths: _*)
-        .toDF(fullSchema.fieldNames.toIndexedSeq: _*)
+      var df: DataFrame = SchemaNames.readLogical(spark, fullSchema, paths)
       // `_file` metadata column (SupportsMetadataColumns) is served from
       // the parquet reader's provenance function
       if (required.fieldNames.contains("_file"))
@@ -365,9 +359,7 @@ final class GraftWriteBuilder(store: SnapshotStore)
                   val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
                   // NULL-evaluating rows are outside the overwritten region
                   // and must survive (same NULL semantics as DELETE).
-                  val kept = spark.read.schema(SchemaNames.toPhysical(head.schema))
-                    .parquet(paths: _*)
-                    .toDF(head.schema.fieldNames.toIndexedSeq: _*)
+                  val kept = SchemaNames.readLogical(spark, head.schema, paths)
                     .filter(fnot(coalesce(cond, lit(false))))
                   GraftWriter.writeFiles(spark, store, head.schema,
                     head.partitionSpec, kept)
@@ -405,12 +397,18 @@ final class GraftWriteBuilder(store: SnapshotStore)
     val newTuples = added.map(_.partitionValues).toSet
     store.commit { prev =>
       val p = prev.getOrElse(head)
-      // Exact-tuple match only: a previous file with an incomplete tuple
-      // never matches and is KEPT — conservative in the no-data-loss
-      // direction.
+      // Exact COMPLETE-tuple match only: new files always carry a value
+      // per spec field (RowPartitionEval is total), but files from older
+      // writer versions may not — an incomplete tuple on either side must
+      // never match (two incomplete maps comparing equal would replace
+      // files across unrelated partitions), so such files are KEPT —
+      // conservative in the no-data-loss direction.
+      val nSpec = head.partitionSpec.size
+      val completeNew = newTuples.filter(_.size == nSpec)
       val (replaced, kept) =
         if (head.partitionSpec.isEmpty) (p.files, Seq.empty[DataFile])
-        else p.files.partition(f => newTuples.contains(f.partitionValues))
+        else p.files.partition(f => f.partitionValues.size == nSpec &&
+          completeNew.contains(f.partitionValues))
       p.copy(
         timestampMs = System.currentTimeMillis(),
         operation = "overwrite",

@@ -31,9 +31,7 @@ object Maintenance {
     if (small.size <= 1) return head // nothing to gain
     val keep = head.files.filterNot(small.contains)
     val paths = small.map(f => store.tableDir.resolve(f.path).toString)
-    val df = spark.read.schema(SchemaNames.toPhysical(head.schema))
-      .parquet(paths: _*)
-      .toDF(head.schema.fieldNames.toIndexedSeq: _*)
+    val df = SchemaNames.readLogical(spark, head.schema, paths)
       .coalesce(math.max(1, small.map(_.sizeBytes).sum / smallFileThresholdBytes).toInt)
     val rewritten = GraftWriter.writeFiles(spark, store, head.schema,
       head.partitionSpec, df)
@@ -55,11 +53,15 @@ object Maintenance {
   /** Drop snapshot metadata older than `keepLast` versions and delete data
     * files no remaining snapshot references (`README.md:142` "Expire old
     * snapshots you don't need"). Time travel to expired versions stops
-    * working — by design. */
+    * working — by design. Tag-pinned versions are NEVER expired: a tag's
+    * whole purpose is outliving retention (same rule as Iceberg refs). */
   def expireSnapshots(store: SnapshotStore, keepLast: Int = 3): Seq[Long] = {
     val versions = store.listVersions()
     if (versions.size <= keepLast) return Seq.empty
-    val (expire, keep) = versions.splitAt(versions.size - keepLast)
+    val pinned = store.refs().values.toSet
+    val (expirable, keepTail) = versions.splitAt(versions.size - keepLast)
+    val (tagged, expire) = expirable.partition(pinned.contains)
+    val keep = tagged ++ keepTail
     val referenced: Set[String] =
       keep.map(store.read).flatMap(_.files.map(_.path)).toSet
     val expiredRefs: Set[String] =

@@ -47,6 +47,17 @@ object SchemaNames {
   def hasRenames(schema: StructType): Boolean =
     schema.fields.exists(f => physicalName(f) != f.name)
 
+  /** Read parquet files under the table's PHYSICAL column names and hand
+    * back a DataFrame with the LOGICAL ones (positional rename; a no-op
+    * select for never-renamed tables). THE one way to read lake data
+    * files with Spark's reader — every driver-side read path (V1 scan,
+    * delete/overwrite rewrites, compaction) must go through it so a
+    * change to the rename convention happens in exactly one place. */
+  def readLogical(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    spark.read.schema(toPhysical(schema)).parquet(paths: _*)
+      .toDF(schema.fieldNames.toIndexedSeq: _*)
+
   /** Rewrite a V1 filter's attribute names through `m` (logical →
     * physical). Identity when `m` is empty. */
   def renameFilter(f: Filter, m: Map[String, String]): Filter = {

@@ -107,36 +107,39 @@ final class SnapshotStore(val tableDir: Path) {
 
   // ---------- named refs (tags): name → pinned snapshot version ----------
 
-  private def refsFile: Path = metaDir.resolve("refs.text")
+  private def refsDir: Path = metaDir.resolve("refs")
+
+  /** Tag names double as file names — restrict to a safe charset (also
+    * keeps `VERSION AS OF '<name>'` unambiguous vs numeric versions). */
+  private def validateRefName(name: String): Unit =
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"invalid tag name '$name' (want letter first, then [A-Za-z0-9._-])")
 
   /** Named snapshot refs — `VERSION AS OF 'name'` resolves through this.
-    * Stored as one small name=version-per-line file; updated with the same
-    * tmp+atomic-move pattern as the version hint. */
+    * One small file PER ref (`metadata/refs/<name>`), each updated with
+    * its own tmp+atomic-move: concurrent create/drop of DIFFERENT tags
+    * can't lose each other's update (a shared map file would). */
   def refs(): Map[String, Long] =
-    if (!Files.exists(refsFile)) Map.empty
-    else Files.readString(refsFile, UTF_8).split('\n')
-      .map(_.trim).filter(_.nonEmpty)
-      .flatMap { line =>
-        line.split('=') match {
-          case Array(k, v) => scala.util.Try(k -> v.toLong).toOption
-          case _ => None
-        }
-      }.toMap
+    if (!Files.isDirectory(refsDir)) Map.empty
+    else Files.list(refsDir).iterator().asScala.flatMap { p =>
+      scala.util.Try(
+        p.getFileName.toString -> Files.readString(p, UTF_8).trim.toLong).toOption
+    }.toMap
 
   def setRef(name: String, version: Long): Unit = {
+    validateRefName(name)
     require(listVersions().contains(version),
       s"no snapshot v$version to tag as '$name'")
-    writeRefs(refs() + (name -> version))
+    Files.createDirectories(refsDir)
+    val tmp = Files.createTempFile(refsDir, ".ref", ".tmp")
+    Files.writeString(tmp, version.toString, UTF_8)
+    Files.move(tmp, refsDir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def dropRef(name: String): Unit = writeRefs(refs() - name)
-
-  private def writeRefs(m: Map[String, Long]): Unit = {
-    val tmp = Files.createTempFile(metaDir, ".refs", ".tmp")
-    Files.writeString(tmp,
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"), UTF_8)
-    Files.move(tmp, refsFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  def dropRef(name: String): Unit = {
+    validateRefName(name)
+    Files.deleteIfExists(refsDir.resolve(name))
   }
 
   private def swapHint(v: Long): Unit = {

@@ -93,21 +93,35 @@ object StatsPruner {
     * literal in a typed domain. None ⇒ not safely comparable → no pruning
     * from the partition value (stats pruning still applies).
     *
-    *  - identity: values are `cast(col, "string")` — numerics re-parse as
-    *    BigDecimal and compare numerically ("9" vs "10" must be 9 < 10, not
-    *    lexicographic); anything that isn't numeric on both sides is
-    *    format-sensitive → defer to stats.
+    * The comparison domain follows the LITERAL'S TYPE, which is the
+    * column's type — never "whatever the strings happen to parse as": a
+    * STRING column with values '9' and '10' compares lexicographically
+    * ('9' > '10', matching Spark), while an INT column compares
+    * numerically (9 < 10). Picking the domain by parseability would
+    * invert one of the two.
+    *
+    *  - identity + numeric literal: values are `cast(col, "string")` of a
+    *    numeric column → re-parse as BigDecimal.
+    *  - identity + string/date literal: stored form is the value itself /
+    *    ISO date — lexicographic order is the column's order.
     *  - days/months/years: fixed-width ISO strings, lexicographic order is
     *    chronological order.
     */
-  private def cmpPartition(f: PartitionField, pv: String, lv: String): Option[Int] =
+  private def cmpPartition(
+      f: PartitionField, pv: String, lv: String, literal: Any): Option[Int] =
     f.transform match {
-      case "identity" =>
-        (scala.util.Try(BigDecimal(pv)).toOption,
-         scala.util.Try(BigDecimal(lv)).toOption) match {
-          case (Some(a), Some(b)) => Some(a.compare(b))
-          case _ => None
-        }
+      case "identity" => literal match {
+        case _: java.lang.Number => // includes boxed scala numerics
+          (scala.util.Try(BigDecimal(pv)).toOption,
+           scala.util.Try(BigDecimal(lv)).toOption) match {
+            case (Some(a), Some(b)) => Some(a.compare(b))
+            case _ => None
+          }
+        case _: String => Some(pv.compareTo(lv))
+        case _: java.sql.Date | _: java.time.LocalDate =>
+          Some(pv.compareTo(lv)) // ISO form: lexicographic = chronological
+        case _ => None
+      }
       case "days" | "months" | "years" => Some(pv.compareTo(lv))
       case _ => None
     }
@@ -163,7 +177,7 @@ object StatsPruner {
       else (file.partitionValues.get(f.name),
             PartitionTransforms.literalToPartitionValue(f, v)) match {
         case (Some(pv), Some(lv)) =>
-          cmpPartition(f, pv, lv) match {
+          cmpPartition(f, pv, lv, v) match {
             // granularity-truncating transforms (days/...): strictness can't
             // exclude the boundary partition, so always allow equality
             case Some(c) => if (lower) c <= 0 else c >= 0
