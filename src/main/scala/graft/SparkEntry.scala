@@ -15,7 +15,8 @@ object SparkEntry {
   val packs: Seq[Q] =
     Relational.all ++ Analytics.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ LakeOps.all ++ StreamingOps.all ++
-      Sources.all ++ Skew.all ++ TypedOps.all ++ AsOf.all ++ Ranges.all
+      Sources.all ++ Skew.all ++ TypedOps.all ++ AsOf.all ++ Ranges.all ++
+      Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-shaped revenue/shipping-priority join-agg (SURVEY.md §7.1). */

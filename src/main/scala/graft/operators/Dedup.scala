@@ -39,7 +39,7 @@ object Dedup {
   }
 
   /** doc_id → exploded distinct shingles. */
-  private def docShingles(docs: DataFrame): DataFrame =
+  private[operators] def docShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
 
   /** Exact dedup on full text: canonical (min) doc_id per distinct text. */
@@ -235,7 +235,15 @@ object Dedup {
        JOIN sizes sb ON sb.doc_id = id_b
        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
        ORDER BY id_a, id_b""") { (s, d) =>
-    val docs = Tables.documents(s, d)
+    ngramJaccardPairs(Tables.documents(s, d), 0.05)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact word-3-gram Jaccard over all pairs sharing ≥1 shingle, filtered
+    * to `threshold`. Shared by q_ngram_jaccard and the dedup-group
+    * (connected-components) operator in Pipeline. */
+  private[operators] def ngramJaccardPairs(
+      docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docShingles(docs)
     // per-row array size — not explode+groupBy: shingle counts need no
     // shuffle, and the small (doc_id, n) frame broadcast-joins below
@@ -250,9 +258,8 @@ object Dedup {
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .filter(j >= 0.05)
+      .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Training-data pipeline operators beyond the dedup/similarity packs
+  * (SURVEY.md §2.9): dedup GROUP assignment (connected components over the
+  * near-dup pair graph), TF-IDF term weighting, CUBE aggregation,
+  * deterministic train/val/test splits, and PII redaction.
+  *
+  * Scale design (100 TB):
+  *  - Connected components uses min-label propagation — O(diameter)
+  *    rounds, each one equi-join + partial-agg shuffle on the edge key.
+  *    Near-dup graphs are shallow (clusters of re-posts), so 2-4 rounds
+  *    close web-scale corpora; each round's frame is checkpointed to cut
+  *    lineage (localCheckpoint here; reliable checkpoint on a cluster).
+  *  - TF-IDF is two hash aggregations (term-per-doc, then doc-frequency)
+  *    plus a broadcast of the tiny df side — no all-pairs work.
+  *  - Split assignment is a pure per-row hash: embarrassingly parallel,
+  *    stable under repartitioning, reshuffling, and re-runs — the property
+  *    that makes held-out sets reproducible across pipeline versions.
+  *  - Redaction is per-row regexp_replace inside whole-stage codegen.
+  */
+object Pipeline {
+
+  /** Near-dup group ids: connected components over the exact n-gram-Jaccard
+    * ≥ 0.5 pair graph. Every doc gets the min doc_id of its component —
+    * singletons map to themselves. The oracle reproduces components with a
+    * recursive CTE (min reachable id in the undirected graph). */
+  val qDedupGroups: Q = Q(
+    "q_dedup_groups",
+    """WITH RECURSIVE
+       sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b FROM inter
+                 JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id AS doc_id, min(root) AS group_id
+       FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // edges are reused every round; cut the 3-join lineage
+    connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation: comp(v) ← min(comp(v), min comp over v's
+    * neighbours) until fixpoint. Each round is one shuffle (join on dst +
+    * partial-min agg on src); convergence check is an isEmpty probe on the
+    * diff, and localCheckpoint keeps each round's plan O(1) deep. */
+  private[operators] def connectedComponents(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("comp").as("nbr_comp"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("comp", "new_comp")
+        .join(labels, Seq("id"))
+        .filter(col("new_comp") =!= col("comp"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** TF-IDF term weights: term frequency per doc × log(N/df). Tokens are
+    * whitespace words of the lower-cased text (identical split on both
+    * engines); rows restricted to tf ≥ 3 to keep the surface stable. */
+  val qTfidf: Q = Q(
+    "q_tfidf",
+    """WITH tok AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM documents)
+       SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+       FROM tf JOIN df USING (term) CROSS JOIN n
+       WHERE tf.tf >= 3
+       ORDER BY doc_id, term""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.count() // tiny scalar; at scale this is a cached count
+    tf.filter(col("tf") >= 3)
+      .join(broadcast(df), Seq("term")) // df of the surviving terms is small
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** CUBE aggregation over orders: all 4 grouping combinations of
+    * (status, priority) in one pass — Spark expands the cube at the
+    * partial-agg stage, so it's still a single shuffle. Sums go through
+    * DECIMAL so both engines add exactly, then surface as DOUBLE. */
+  val qCube: Q = Q(
+    "q_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY status, priority""") { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** Deterministic train/val/test split: bucket each doc by the first hex
+    * char of md5(doc_id) → 12/2/2 of 16 (75% / 12.5% / 12.5%). Pure
+    * per-row function of the key — no sampling state, no RNG, stable under
+    * any partitioning and across engine versions. */
+  val qTrainSplit: Q = Q(
+    "q_train_split",
+    """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket <= "b", "train").when(bucket <= "d", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: strip email addresses and ≥3-digit number runs from the
+    * text, reporting match counts and a fingerprint of the redacted form
+    * (the full text stays distributed; only the 32-byte digest comes back). */
+  val qPiiRedact: Q = Q(
+    "q_pii_redact",
+    """SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text, '[0-9]{3,}')) AS n_nums,
+              md5(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{3,}', '<NUM>', 'g')) AS redacted_fp
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val nums = "[0-9]{3,}"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(nums), lit(0))).as("n_nums"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          nums, "<NUM>").cast("binary")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact)
+}
