@@ -1,0 +1,84 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch CDC: a row-level changelog between two snapshot versions — the
+  * Iceberg `create_changelog_view` capability over our snapshot log
+  * (SURVEY.md §1.1 Snapshot/table version; complements the streaming
+  * tail in GraftStreaming, which only follows appends).
+  *
+  * Planning is metadata-only: each commit's file-set diff against its
+  * parent names the files whose rows changed — added files carry inserts,
+  * removed files carry deletes. Only those files are read; a changelog
+  * over a 100 TB table whose last commits touched one partition reads one
+  * partition. With `net = true` (default), copy-on-write carryover rows —
+  * unchanged rows re-materialized because their file was rewritten — are
+  * cancelled with a per-commit `exceptAll` (a shuffle over the CHANGED
+  * files only, never the table), so a DELETE's changelog is exactly the
+  * deleted rows and a compaction's changelog is empty.
+  */
+object Changes {
+
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+  val CommitTimestamp = "_commit_timestamp"
+
+  /** Changelog rows for commits in `(fromVersion, toVersion]`, under the
+    * `toVersion` schema (older files null-fill evolved columns). Output =
+    * table columns + `_change_type` ('insert' | 'delete'),
+    * `_commit_version`, `_commit_timestamp`. */
+  def between(
+      spark: SparkSession,
+      store: SnapshotStore,
+      fromVersion: Long,
+      toVersion: Long,
+      net: Boolean = true): DataFrame = {
+    require(toVersion > fromVersion,
+      s"toVersion ($toVersion) must be > fromVersion ($fromVersion)")
+    val all = store.listVersions()
+    require(all.contains(toVersion), s"no snapshot v$toVersion")
+    val schema = store.read(toVersion).schema
+    val versions = all.filter(v => v > fromVersion && v <= toVersion).sorted
+
+    def readFiles(files: Seq[DataFile]): DataFrame =
+      SchemaNames.readLogical(spark, schema,
+        files.map(f => store.tableDir.resolve(f.path).toString))
+
+    val parts = versions.flatMap { v =>
+      val snap = store.read(v)
+      val parentFiles: Seq[DataFile] = snap.parentVersion match {
+        case Some(p) if all.contains(p) => store.read(p).files
+        case Some(p) => throw new IllegalStateException(
+          s"parent snapshot v$p has been expired; the changelog for v$v " +
+            "cannot be computed. Keep snapshots longer than the CDC lag " +
+            "(expire_snapshots keep_last).")
+        case None => Seq.empty
+      }
+      val parentSet = parentFiles.map(_.path).toSet
+      val curSet = snap.files.map(_.path).toSet
+      val added = snap.files.filterNot(f => parentSet.contains(f.path))
+      val removed = parentFiles.filterNot(f => curSet.contains(f.path))
+      val ins = if (added.nonEmpty) Some(readFiles(added)) else None
+      val del = if (removed.nonEmpty) Some(readFiles(removed)) else None
+      val (insN, delN) = if (net) (ins, del) match {
+        case (Some(i), Some(dl)) => (Some(i.exceptAll(dl)), Some(dl.exceptAll(i)))
+        case other => other
+      } else (ins, del)
+      def tag(df: DataFrame, t: String): DataFrame = df
+        .withColumn(ChangeType, lit(t))
+        .withColumn(CommitVersion, lit(v))
+        .withColumn(CommitTimestamp, lit(new java.sql.Timestamp(snap.timestampMs)))
+      insN.map(tag(_, "insert")) ++ delN.map(tag(_, "delete"))
+    }
+
+    parts.reduceOption(_.unionAll(_)).getOrElse {
+      val meta = StructType(schema.fields ++ Seq(
+        StructField(ChangeType, StringType),
+        StructField(CommitVersion, LongType, nullable = false),
+        StructField(CommitTimestamp, TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta)
+    }
+  }
+}

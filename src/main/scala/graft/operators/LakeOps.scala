@@ -130,7 +130,49 @@ object LakeOps {
               FROM $Cat.verify.nation_dyn ORDER BY n_nationkey""")
   }
 
+  /** Batch CDC correctness: two appends then a row-level DELETE; the
+    * changelog over (v1, v4] must be exactly insert-batch-1, insert-batch-2,
+    * and the deleted rows as deletes — COW carryover rows (survivors
+    * re-materialized by the delete's file rewrite) must cancel out. */
+  val qLakeChanges: Q = Q(
+    "q_lake_changes",
+    """SELECT n_nationkey, n_name, n_regionkey,
+              'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+       FROM nation WHERE n_regionkey < 2
+       UNION ALL
+       SELECT n_nationkey, n_name, n_regionkey, 'insert', 3
+       FROM nation WHERE n_regionkey >= 2
+       UNION ALL
+       SELECT n_nationkey, n_name, n_regionkey, 'delete', 4
+       FROM nation WHERE n_nationkey % 5 = 0
+       ORDER BY commit_version, change_type, n_nationkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nation_cdc")
+    s.sql(s"""CREATE TABLE $Cat.verify.nation_cdc
+              (n_nationkey INT, n_name STRING, n_regionkey INT)
+              USING graft""")
+    Tables.nation(s, d).createOrReplaceTempView("graft_src_nation_cdc")
+    s.sql(s"""INSERT INTO $Cat.verify.nation_cdc
+              SELECT * FROM graft_src_nation_cdc WHERE n_regionkey < 2""")
+    s.sql(s"""INSERT INTO $Cat.verify.nation_cdc
+              SELECT * FROM graft_src_nation_cdc WHERE n_regionkey >= 2""")
+    s.sql(s"DELETE FROM $Cat.verify.nation_cdc WHERE n_nationkey % 5 = 0")
+    val wh = s.conf.get(s"spark.sql.catalog.$Cat.warehouse")
+    val store = new graft.lake.SnapshotStore(
+      java.nio.file.Paths.get(wh, "verify", "nation_cdc"))
+    graft.lake.Changes.between(s, store, 1L, 4L)
+      .select(org.apache.spark.sql.functions.col("n_nationkey"),
+        org.apache.spark.sql.functions.col("n_name"),
+        org.apache.spark.sql.functions.col("n_regionkey"),
+        org.apache.spark.sql.functions.col(graft.lake.Changes.ChangeType)
+          .as("change_type"),
+        org.apache.spark.sql.functions.col(graft.lake.Changes.CommitVersion)
+          .as("commit_version"))
+      .orderBy("commit_version", "change_type", "n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
-    qLakeDynOverwrite)
+    qLakeDynOverwrite, qLakeChanges)
 }
