@@ -66,21 +66,37 @@ object GraftWriter {
       // exist" and "stats work" at 100 TB. Range partitioning samples the
       // data to pick balanced boundaries (Spark's RangePartitioner), the
       // standard ingest-clustering shape.
-      val sortCols = store.head()
+      // `zorder(a,b,...)` instead of a plain column list interleaves the
+      // columns' bits into one Morton key (graft.functions.ZOrderKey) and
+      // clusters on that: every file then covers a narrow range of EVERY
+      // z-column, so min/max pruning works on all of them — the
+      // multi-dimensional analogue of the linear sort below (Iceberg/Delta
+      // OPTIMIZE ZORDER).
+      val orderSpec = store.head()
         .flatMap(_.properties.get("graft.sort-order"))
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-        .map { logical =>
-          schema.fields.find(_.name == logical) match {
-            case Some(f) => SchemaNames.physicalName(f)
-            case None => throw new IllegalArgumentException(
-              s"graft.sort-order column '$logical' not in table schema")
-          }
+        .map(_.trim).getOrElse("")
+      def physical(logical: String): String =
+        schema.fields.find(_.name == logical) match {
+          case Some(f) => SchemaNames.physicalName(f)
+          case None => throw new IllegalArgumentException(
+            s"graft.sort-order column '$logical' not in table schema")
         }
+      val ZOrderPat = """(?i)zorder\s*\(([^)]*)\)""".r
+      val sortKeys: Seq[org.apache.spark.sql.Column] = orderSpec match {
+        case "" => Seq.empty
+        case ZOrderPat(cols) =>
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          val zcols = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(ColumnBridge.column(graft.functions.ZOrderKey(
+            zcols.map(c => ColumnBridge.expression(col(physical(c)))))))
+        case list =>
+          list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            .map(c => col(physical(c)))
+      }
       val clustered =
-        if (sortCols.isEmpty) withParts
+        if (sortKeys.isEmpty) withParts
         else {
-          val keys = (partCols ++ sortCols).map(col)
+          val keys = partCols.map(col) ++ sortKeys
           withParts.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
         }
 
