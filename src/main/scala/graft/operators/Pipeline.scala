@@ -187,5 +187,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact)
+  /** Sliding-window document chunking: 64-token windows at stride 48 (the
+    * context-window prep step of an LLM ingest). Pure per-row explode —
+    * no shuffle, embarrassingly parallel; output order is the only sort. */
+  val qDocChunks: Q = Q(
+    "q_doc_chunks",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id, toks, len(toks) AS n,
+                    unnest(range(0, greatest(len(toks), 1), 48)) AS s
+             FROM t)
+       SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx,
+              array_to_string(list_slice(toks, s + 1, least(s + 64, n)), ' ') AS chunk,
+              CAST(least(s + 64, n) - s AS INTEGER) AS chunk_tokens
+       FROM c
+       ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("s",
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(48))))
+      .select(col("doc_id"),
+        (col("s") / 48).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("s") + 1, lit(64))).as("chunk"),
+        (least(col("s") + 64, col("n")) - col("s")).cast("int").as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
+    qDocChunks)
 }

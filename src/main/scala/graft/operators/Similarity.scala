@@ -248,5 +248,54 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids)
+  /** k-NN over int8-quantized vectors — the memory-bandwidth scale lever:
+    * per-vector symmetric scalar quantization (scale = 127/max|x|) shrinks
+    * the corpus 4-8× so far more of it fits in executor memory / cache,
+    * at a small recall cost. All arithmetic after quantization is exact
+    * integer math (held in doubles well under 2^53), so unlike float
+    * kNN the scores are bit-identical across engines and an ANSI oracle
+    * CAN check this approximate method. Quantization uses floor(x+0.5)
+    * rather than round() — identical half-up semantics on both engines. */
+  val qKnnQuantized: Q = Q(
+    "q_knn_quantized",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     127.0 / greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) AS sc
+              FROM e),
+        qz AS (SELECT vec_id, list_transform(v, x -> floor(x * sc + 0.5)) AS q FROM s),
+        n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nq FROM qz),
+        qr AS (SELECT vec_id AS query_id, q AS qq, nq AS qn FROM n
+               WHERE vec_id IN (${queryIds.mkString(", ")})),
+        sc2 AS (SELECT query_id, vec_id AS neighbor_id,
+                       round(list_dot_product(qq, q) / (qn * nq), 6) AS sim,
+                       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(list_dot_product(qq, q) / (qn * nq), 6) DESC,
+                                   vec_id) AS rn
+                FROM qr JOIN n ON vec_id <> query_id)
+        SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
+        FROM sc2 WHERE rn <= 10
+        ORDER BY query_id, rn""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sc", lit(127.0) /
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("double"))
+          .as("q"))
+      .withColumn("nq", norm(col("q")))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val sim = round(dot(col("qq"), col("q")) / (col("qn") * col("nq")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
+    qKnnQuantized)
 }

@@ -54,6 +54,15 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.values.forall(_ == 10L), s"per-query counts: $perQuery")
   }
 
+  test("int8-quantized kNN recall@10 >= 0.8 vs exact kNN") {
+    val exact = Similarity.qKnnExact.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.qKnnQuantized.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("knn results are deterministic") {
     val a = Similarity.qKnnExact.fn(spark, sf).collect()
     val b = Similarity.qKnnExact.fn(spark, sf).collect()
