@@ -98,6 +98,25 @@ object StreamingOps {
     result.orderBy("event_id")
   }
 
+  /** Stream-static join: the events stream enriched per micro-batch with
+    * the (broadcast) customer dimension, then hourly counts per market
+    * segment. Oracle = the equivalent batch join+agg. */
+  val qStreamEnrich: Q = Q(
+    "q_stream_enrich",
+    """SELECT CAST(ts AS DATE) AS day,
+              CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+              c_mktsegment AS segment, count(*) AS n,
+              round(sum(value), 2) AS total_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2, 3
+       ORDER BY day, hr, segment""") { (s, d) =>
+    val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val result = Streams.runToMemory(
+      s, Streams.enrichedSegmentCounts(Streams.eventsStream(s, d), dim),
+      s"enrich_${System.nanoTime()}")
+    result.orderBy("day", "hr", "segment")
+  }
+
   val all: Seq[Q] = Seq(qStreamWindow, qStreamSliding, qStreamSession,
-    qStreamDedup)
+    qStreamDedup, qStreamEnrich)
 }

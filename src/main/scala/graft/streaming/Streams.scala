@@ -133,6 +133,22 @@ object Streams {
 
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the final result table. */
+  /** Stream-static enrichment join + windowed aggregation: each micro-batch
+    * joins against the (broadcast) static dimension — the standard "enrich
+    * events with reference data" shape. The static side is planned once
+    * per batch, never shuffles the stream, and needs no state: only the
+    * post-join windowed agg is stateful (watermark-bounded). */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("window.start").cast("date").as("day"),
+        hour(col("window.start")).as("hr"),
+        col("c_mktsegment").as("segment"), col("n"), col("total_value"))
+
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val q = stream.writeStream
