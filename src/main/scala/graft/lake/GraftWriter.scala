@@ -128,6 +128,56 @@ object GraftWriter {
       val staged = Files.walk(staging).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toSeq
+
+      // Per-file bloom filters for `graft.bloom-columns` (STRING columns
+      // only — the hash inserted must be byte-identical to the hash probed,
+      // and only strings have one unambiguous literal type at prune time).
+      // One column-pruned pass over the staged files, grouped by file, via
+      // Spark's own BloomFilterAggregate (the runtime-filter sketch), so
+      // lookup uses the same xxhash64 domain. Opt-in per table because the
+      // extra read pass is only worth it for point-lookup-heavy columns.
+      val bloomCols: Seq[String] = store.head()
+        .flatMap(_.properties.get("graft.bloom-columns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+        .map { logical =>
+          schema.fields.find(_.name == logical) match {
+            case Some(f) =>
+              require(f.dataType == StringType,
+                s"graft.bloom-columns supports STRING columns only; " +
+                  s"'$logical' is ${f.dataType.simpleString}")
+              SchemaNames.physicalName(f)
+            case None => throw new IllegalArgumentException(
+              s"graft.bloom-columns column '$logical' not in table schema")
+          }
+        }
+      val bloomsByFile: Map[String, Map[String, String]] =
+        if (bloomCols.isEmpty || staged.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          val numBits = store.head()
+            .flatMap(_.properties.get("graft.bloom-bits"))
+            .map(_.toLong).getOrElse(65536L)
+          val aggs = bloomCols.map { c =>
+            ColumnBridge.column(new BloomFilterAggregate(
+              new XxHash64(Seq(ColumnBridge.expression(col(c)))),
+              Literal(math.max(numBits / 10, 64L)), Literal(numBits))
+              .toAggregateExpression()).as(s"__bf_$c")
+          }
+          spark.read.parquet(staging.toString)
+            .groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val fname = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+              fname -> bloomCols.zipWithIndex.flatMap { case (c, i) =>
+                Option(r.getAs[Array[Byte]](i + 1)).map(b =>
+                  c -> java.util.Base64.getEncoder.encodeToString(b))
+              }.toMap
+            }.toMap
+        }
+
       staged.map { p =>
         val rel = staging.relativize(p).toString
         val pvs: Map[String, String] = rel.split('/').dropRight(1)
@@ -145,7 +195,8 @@ object GraftWriter {
         val size = Files.size(p)
         val (cnt, stats) = FooterStats.read(p, sf)
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-        DataFile(s"data/$newName", cnt, size, pvs, stats)
+        DataFile(s"data/$newName", cnt, size, pvs, stats,
+          blooms = bloomsByFile.getOrElse(p.getFileName.toString, Map.empty))
       }
     } finally {
       if (Files.exists(staging)) {

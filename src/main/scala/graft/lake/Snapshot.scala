@@ -23,13 +23,21 @@ final case class ColumnStats(
 
 /** One immutable data file. Stats are stringified in a type-normalized form
   * (timestamps → epoch micros, dates → epoch days, numerics → plain decimal,
-  * strings raw) so pruning compares without re-parsing parquet footers. */
+  * strings raw) so pruning compares without re-parsing parquet footers.
+  *
+  * `blooms` (optional, per `graft.bloom-columns`): base64 of a
+  * spark.util.sketch BloomFilter over xxhash64 of the column's values —
+  * point-lookup file skipping for high-cardinality STRING columns whose
+  * min/max span everything (the Iceberg puffin-sidecar idea, inlined).
+  * Default keeps old snapshots readable (json4s fills missing fields from
+  * case-class defaults). */
 final case class DataFile(
     path: String,
     rowCount: Long,
     sizeBytes: Long,
     partitionValues: Map[String, String],
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats],
+    blooms: Map[String, String] = Map.empty)
 
 final case class PartitionField(
     name: String,      // partition field name, e.g. "created_date" or "days(created_at)"

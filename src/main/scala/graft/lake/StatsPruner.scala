@@ -164,7 +164,13 @@ object StatsPruner {
           st.max.flatMap(m => cmp(m, l)).forall(_ >= 0)
       }
     }
-    partOk && statsOk
+    // 3. bloom-filter point lookup (string columns with graft.bloom-columns)
+    val bloomOk = v match {
+      case s: String if eq =>
+        file.blooms.get(col).forall(b64 => BloomProbe.mightContain(b64, s))
+      case _ => true
+    }
+    partOk && statsOk && bloomOk
   }
 
   /** One-sided bound: col > v (lower=false) or col < v (lower=true). */
@@ -209,4 +215,28 @@ object StatsPruner {
   def prune(files: Seq[DataFile], filters: Seq[Filter],
       spec: Seq[PartitionField], rename: Map[String, String]): Seq[DataFile] =
     prune(files, filters.map(SchemaNames.renameFilter(_, rename)), spec)
+}
+
+/** Driver-side probe of the per-file bloom filters written under
+  * `graft.bloom-columns`. The sketch stores xxhash64(value) longs (what
+  * BloomFilterAggregate's update inserts), so the probe evaluates the same
+  * catalyst XxHash64 on the literal — byte-identical hashing by
+  * construction. Deserialized filters are memoized: a query probing 10k
+  * files decodes each file's sketch once, not once per predicate. */
+private[lake] object BloomProbe {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+
+  def mightContain(b64: String, value: String): Boolean = {
+    if (cache.size() > 4096) cache.clear() // bound memory; refill is cheap
+    val bf = cache.computeIfAbsent(b64, s =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        java.util.Base64.getDecoder.decode(s)))
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    val h = new XxHash64(Seq(Literal.create(value, StringType)))
+      .eval(null).asInstanceOf[Long]
+    bf.mightContainLong(h)
+  }
 }
