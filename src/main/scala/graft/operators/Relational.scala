@@ -289,8 +289,35 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /** Correlated scalar subqueries: orders priced above 1.5× their
+    * customer's average, written as two correlated aggregates that
+    * Catalyst decorrelates into joins (RewriteCorrelatedScalarSubquery) —
+    * no per-row re-execution, one aggregation over the inner side. The
+    * boundary predicate is pure DECIMAL arithmetic (2·price·count > 3·sum)
+    * so both engines evaluate it exactly — a float `> 1.5*avg` could
+    * disagree in the last ulp right at the boundary. */
+  val qCorrelatedSubquery: Q = Q(
+    "q_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+       FROM orders o
+       WHERE CAST(o_totalprice AS DECIMAL(18,2))
+             * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) * 2
+           > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+              WHERE i.o_custkey = o.o_custkey) * 3
+       ORDER BY o_orderkey""") { (s, d) =>
+    val v = s"orders_subq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    s.sql(s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+              FROM $v o
+              WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                    * (SELECT count(*) FROM $v i WHERE i.o_custkey = o.o_custkey) * 2
+                  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM $v i
+                     WHERE i.o_custkey = o.o_custkey) * 3
+              ORDER BY o_orderkey""")
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qFilterProject,
     qJoinBroadcast, qJoinSortMerge, qSemiJoin, qAntiJoin, qOuterJoin,
-    qCountStar, qDistinctCount, qCaseAgg, qHaving)
+    qCountStar, qDistinctCount, qCaseAgg, qHaving, qCorrelatedSubquery)
 }
