@@ -19,7 +19,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the driver. */
 object MetadataTables {
 
-  val names: Set[String] = Set("history", "snapshots", "files")
+  val names: Set[String] = Set("history", "snapshots", "files", "partitions",
+    "refs")
 
   val historySchema: StructType = StructType(Seq(
     StructField("made_current_at", TimestampType),
@@ -41,6 +42,17 @@ object MetadataTables {
     StructField("record_count", LongType),
     StructField("file_size_in_bytes", LongType)))
 
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", MapType(StringType, StringType)),
+    StructField("file_count", LongType),
+    StructField("record_count", LongType),
+    StructField("total_size_in_bytes", LongType)))
+
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("type", StringType),
+    StructField("snapshot_id", LongType)))
+
   def build(tableName: String, metaName: String, store: SnapshotStore): Table = {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val all = store.listVersions().map(store.read)
@@ -61,6 +73,20 @@ object MetadataTables {
         val rows = head.flatMap(_.files).map(f =>
           Row(f.path, f.partitionValues, f.rowCount, f.sizeBytes))
         new LocalTable(s"$tableName.files", filesSchema, rows)
+      case "partitions" =>
+        // the small-files / hot-partition dashboard query (what the
+        // compaction procedure reads to decide where to work)
+        val rows = store.head().toSeq.flatMap(_.files)
+          .groupBy(_.partitionValues)
+          .toSeq.map { case (pv, fs) =>
+            Row(pv, fs.size.toLong, fs.map(_.rowCount).sum,
+              fs.map(_.sizeBytes).sum)
+          }
+        new LocalTable(s"$tableName.partitions", partitionsSchema, rows)
+      case "refs" =>
+        val rows = store.refs().toSeq.sortBy(_._1)
+          .map { case (n, v) => Row(n, "TAG", v) }
+        new LocalTable(s"$tableName.refs", refsSchema, rows)
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")
     }

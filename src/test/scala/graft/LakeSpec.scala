@@ -104,6 +104,24 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.count() == 5) // 5 partitions → 5 files
   }
 
+  test("partitions/refs metadata tables") {
+    val parts = sql(
+      """SELECT partition['created_date'] AS pd, file_count, record_count
+         FROM lakespec.demo.users.partitions ORDER BY pd""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.length == 5) // one row per partition value
+    assert(parts.forall { case (_, fc, rc) => fc == 1 && rc == 1 })
+    assert(parts.map(_._1).toSeq == (1 to 5).map(d => f"2025-01-0$d"))
+
+    val store = new SnapshotStore(Paths.get(wh, "demo", "users"))
+    store.setRef("audit", 2L)
+    try {
+      val refs = sql("SELECT name, type, snapshot_id FROM lakespec.demo.users.refs")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(refs.toSeq == Seq(("audit", "TAG", 2L)))
+    } finally store.dropRef("audit")
+  }
+
   test("inner equi-join through the catalog (J1, iceberg_queries.ipynb:291)") {
     sql("""CREATE TABLE IF NOT EXISTS lakespec.demo.orders (
              order_id INT, user_id INT, amount DECIMAL(10,2), order_date DATE)
