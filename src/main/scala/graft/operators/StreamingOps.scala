@@ -117,6 +117,23 @@ object StreamingOps {
     result.orderBy("day", "hr", "segment")
   }
 
+  /** Stream-stream interval join: views matched to the same user's
+    * purchases within 6 hours, both sides watermarked so join state is
+    * evictable. Oracle = the equivalent batch interval join. */
+  val qStreamJoin: Q = Q(
+    "q_stream_join",
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+       FROM events v JOIN events p
+         ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 6 HOUR
+       ORDER BY view_id, purchase_id""") { (s, d) =>
+    val result = Streams.runToMemory(
+      s, Streams.viewToPurchase(Streams.eventsStream(s, d)),
+      s"ssj_${System.nanoTime()}", mode = "append")
+    result.orderBy("view_id", "purchase_id")
+  }
+
   val all: Seq[Q] = Seq(qStreamWindow, qStreamSliding, qStreamSession,
-    qStreamDedup, qStreamEnrich)
+    qStreamDedup, qStreamEnrich, qStreamJoin)
 }

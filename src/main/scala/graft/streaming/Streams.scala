@@ -149,6 +149,28 @@ object Streams {
         hour(col("window.start")).as("hr"),
         col("c_mktsegment").as("segment"), col("n"), col("total_value"))
 
+  /** Stream-stream interval self-join: view events matched to the same
+    * user's purchase events within the next 6 hours. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * the join state is evictable — the property that keeps a stream-stream
+    * join's state finite at any ingest rate (unbounded-condition joins
+    * accumulate forever). Inner matches emit immediately (append mode). */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(buys,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val q = stream.writeStream
