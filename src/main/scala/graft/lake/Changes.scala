@@ -40,6 +40,15 @@ object Changes {
     val all = store.listVersions()
     require(all.contains(toVersion), s"no snapshot v$toVersion")
     val schema = store.read(toVersion).schema
+    // exceptAll needs set-comparable rows; MAP columns aren't. Degrade to
+    // the raw (carryover-visible) changelog instead of failing the read.
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val netEffective = net && !schema.fields.exists(f => hasMap(f.dataType))
     val versions = all.filter(v => v > fromVersion && v <= toVersion).sorted
 
     def readFiles(files: Seq[DataFile]): DataFrame =
@@ -62,7 +71,7 @@ object Changes {
       val removed = parentFiles.filterNot(f => curSet.contains(f.path))
       val ins = if (added.nonEmpty) Some(readFiles(added)) else None
       val del = if (removed.nonEmpty) Some(readFiles(removed)) else None
-      val (insN, delN) = if (net) (ins, del) match {
+      val (insN, delN) = if (netEffective) (ins, del) match {
         case (Some(i), Some(dl)) => (Some(i.exceptAll(dl)), Some(dl.exceptAll(i)))
         case other => other
       } else (ins, del)
