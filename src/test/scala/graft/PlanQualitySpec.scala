@@ -67,6 +67,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("tf-idf joins the small df side broadcast (q_tfidf)") {
+    assert(plan("q_tfidf").contains("BroadcastHashJoin"),
+      "document-frequency side not broadcast")
+  }
+
+  test("CUBE expands at the partial-agg stage — one shuffle (q_cube)") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), s"cube not planned via Expand:\n$p")
+    assert(p.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
+      "cube lost map-side partial aggregation")
+  }
+
+  test("correlated scalar subqueries decorrelate into joins (q_correlated_subquery)") {
+    val p = plan("q_correlated_subquery")
+    assert(!p.contains("CartesianProduct"), "decorrelation produced a cartesian")
+    assert(p.contains("Join"), "no join in decorrelated plan")
+  }
+
   test("lake catalog scan reports snapshot stats so it can broadcast") {
     // ensureCatalog path: q_lake_roundtrip creates + populates the table
     SparkEntry.queries("q_lake_roundtrip")(spark, sf).collect()
