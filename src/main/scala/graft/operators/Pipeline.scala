@@ -66,13 +66,17 @@ object Pipeline {
   }
 
   /** Min-label propagation: comp(v) ← min(comp(v), min comp over v's
-    * neighbours) until fixpoint. Each round is one shuffle (join on dst +
-    * partial-min agg on src); convergence check is an isEmpty probe on the
-    * diff, and localCheckpoint keeps each round's plan O(1) deep. */
+    * neighbours) until fixpoint. Only EDGE-TOUCHED nodes iterate —
+    * singletons can never change label, so they join back in one final
+    * left join instead of riding along every round (on a near-dup graph
+    * the touched set is ≪ corpus, which makes each round's shuffle tiny).
+    * Convergence is an isEmpty probe on the diff; localCheckpoint keeps
+    * each round's plan O(1) deep. */
   private[operators] def connectedComponents(
       s: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -90,7 +94,8 @@ object Pipeline {
       labels = next
       iter += 1
     }
-    labels
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** TF-IDF term weights: term frequency per doc × log(N/df). Tokens are
