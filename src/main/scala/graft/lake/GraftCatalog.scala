@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables resolved as a 4th name part.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _
@@ -49,6 +49,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Procedures.Namespace))
       Procedures.names.map(Identifier.of(Procedures.Namespace, _)).toArray
+    else Array.empty
+
+  // ---------- SQL functions (§2.10): SELECT graft.system.cosine(a, b) ----------
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    SqlFunctions.load(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Procedures.Namespace))
+      SqlFunctions.names.map(Identifier.of(Procedures.Namespace, _)).toArray
     else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

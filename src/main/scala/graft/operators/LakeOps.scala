@@ -172,7 +172,27 @@ object LakeOps {
       .orderBy("commit_version", "change_type", "n_nationkey")
   }
 
+  /** SQL-function path: graft.system.cosine called from plain SQL over
+    * consecutive embedding pairs, hash-matched against DuckDB's
+    * list_cosine_similarity — proving the FunctionCatalog binding computes
+    * exactly what the DataFrame kernels do. */
+  val qSqlCosine: Q = Q(
+    "q_sql_cosine",
+    """SELECT a.vec_id AS id_a,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) AS sim
+       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       ORDER BY id_a""") { (s, d) =>
+    ensureCatalog(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_src_emb")
+    s.sql("""SELECT a.vec_id AS id_a,
+                    round(graft.system.cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                              CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS sim
+             FROM graft_src_emb a JOIN graft_src_emb b ON b.vec_id = a.vec_id + 1
+             ORDER BY id_a""")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
-    qLakeDynOverwrite, qLakeChanges)
+    qLakeDynOverwrite, qLakeChanges, qSqlCosine)
 }
