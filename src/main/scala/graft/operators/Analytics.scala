@@ -274,8 +274,78 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist over
+    * customer balances per nation — one shuffle on the partition key, all
+    * three functions share the same sorted window pass. Ordering includes
+    * the unique c_custkey so ranks are deterministic. */
+  val qWindowDistribution: Q = Q(
+    "q_window_distribution",
+    """SELECT c_custkey, c_nationkey,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_custkey""") { (s, d) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  /** Funnel analysis over the events stream-table: per user, the first
+    * view, the first click AFTER that view, and the first purchase AFTER
+    * that click — the ordered-sequence detection of product analytics.
+    * Three aggregations, each joined to the previous stage's (small)
+    * per-user frontier — never an events-to-events self-join. */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+       v AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+             WHERE e.event_type = 'click' GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+       SELECT u.user_id,
+              epoch_us(v.t) AS first_view_us,
+              epoch_us(c.t) AS first_click_us,
+              epoch_us(p.t) AS first_purchase_us
+       FROM u
+       LEFT JOIN v ON v.user_id = u.user_id
+       LEFT JOIN c ON c.user_id = u.user_id
+       LEFT JOIN p ON p.user_id = u.user_id
+       ORDER BY u.user_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("vt"))
+      .groupBy("user_id").agg(min("ts").as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("ct"))
+      .groupBy("user_id").agg(min("ts").as("pt"))
+    u.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("vt")).as("first_view_us"),
+        unix_micros(col("ct")).as("first_click_us"),
+        unix_micros(col("pt")).as("first_purchase_us"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     qOrderByLimit, qTopkCustomers, qWindowRank, qWindowRunning, qWindowLag,
     qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents, qPercentiles,
-    qPivot, qRevenueShare)
+    qPivot, qRevenueShare, qWindowDistribution, qFunnel)
 }
