@@ -127,6 +127,18 @@ object SqlFunctions {
     override def description(): String =
       "Morton (z-order) key interleaving 1..8 atomic columns"
     override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.nonEmpty && inputType.fields.length <= 8,
+        "zorder_key takes 1..8 arguments")
+      inputType.fields.foreach { f =>
+        val ok = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | DateType | TimestampType |
+               TimestampNTZType | _: DecimalType => true
+          case _ => false
+        }
+        require(ok, s"zorder_key argument ${f.name}: " +
+          s"unsupported type ${f.dataType.simpleString}")
+      }
       val expr = graft.functions.ZOrderKey(
         inputType.fields.toSeq.zipWithIndex.map { case (f, i) =>
           BoundReference(i, f.dataType, f.nullable)

@@ -74,7 +74,7 @@ object Pipeline {
     * each round's plan O(1) deep. */
   private[operators] def connectedComponents(
       s: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
@@ -94,6 +94,11 @@ object Pipeline {
       labels = next
       iter += 1
     }
+    // propagation converges in ≤ diameter ≤ |touched nodes| rounds; hitting
+    // the cap means something is wrong — fail loudly, never return labels
+    // that silently split a component
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds")
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
