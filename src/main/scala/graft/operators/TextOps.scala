@@ -186,7 +186,35 @@ object TextOps {
       .limit(50)
   }
 
+  /** Shannon character entropy per document — the low-entropy filter of a
+    * training pipeline (catches repeated-char spam, base64 blobs score
+    * high, natural text sits ~4-4.5 bits). Two hash aggregations:
+    * (doc, char) counts then per-doc entropy; n comes from sum(k), not
+    * length(), so both engines count the same units. */
+  val qCharEntropy: Q = Q(
+    "q_char_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                   FROM documents),
+       f AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+       t AS (SELECT doc_id, sum(k) AS n FROM f GROUP BY 1)
+       SELECT f.doc_id,
+              round(-sum((k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))), 6)
+                AS entropy
+       FROM f JOIN t USING (doc_id)
+       GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+    val t = f.groupBy("doc_id").agg(sum("k").as("n"))
+    val p = col("k") / col("n").cast("double")
+    f.join(t, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(round(-sum(p * log2(p)), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
-    qWordFreq)
+    qWordFreq, qCharEntropy)
 }
