@@ -95,6 +95,73 @@ class LakePropertySpec extends SparkSpec {
     }
   }
 
+  private sealed trait Op2
+  private case class Append2(rows: Seq[(Int, String)]) extends Op2
+  private case class Delete2(lo: Int) extends Op2
+  private case object Compact2 extends Op2
+
+  private val genOp2: Gen[Op2] = Gen.frequency(
+    5 -> genRows.map(Append2),
+    3 -> Gen.choose(0, 80).map(Delete2),
+    1 -> Gen.const(Compact2))
+
+  test("zorder+bloom table under random append/delete/compact: model, " +
+      "bloom completeness, changelog replay") {
+    val wh = Files.createTempDirectory("graft-prop2-wh").toString
+    spark.conf.set("spark.sql.catalog.prop", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prop.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS prop.t")
+    var caseId = 0
+    forAllSeeded(Gen.listOfN(6, genOp2), cases = 6) { ops =>
+      caseId += 1
+      val tbl = s"prop.t.c$caseId"
+      spark.sql(s"""CREATE TABLE $tbl (k INT, v STRING) USING iceberg
+                    TBLPROPERTIES ('graft.sort-order' = 'zorder(k, v)',
+                                   'graft.bloom-columns' = 'v')""")
+      val store = new SnapshotStore(Paths.get(wh, "t", s"c$caseId"))
+      var model = Seq.empty[(Int, String)]
+      ops.foreach {
+        case Append2(rows) =>
+          val values = rows.map { case (k, v) => s"($k, '$v')" }.mkString(", ")
+          spark.sql(s"INSERT INTO $tbl VALUES $values")
+          model = model ++ rows
+        case Delete2(lo) =>
+          spark.sql(s"DELETE FROM $tbl WHERE k >= $lo AND k < ${lo + 20}")
+          model = model.filterNot { case (k, _) => k >= lo && k < lo + 20 }
+        case Compact2 =>
+          spark.sql(s"CALL prop.system.compact('t.c$caseId')")
+      }
+
+      // 1. content equals the model (multiset)
+      val got = spark.table(tbl).as[(Int, String)].collect().toSeq
+      assert(got.sorted == model.sorted, s"content diverged for $tbl")
+
+      // 2. bloom completeness: every live value keeps >= 1 file
+      val head = store.head().get
+      model.map(_._2).distinct.foreach { v =>
+        val kept = StatsPruner.prune(head.files,
+          Seq(org.apache.spark.sql.sources.EqualTo("v", v)), head.partitionSpec)
+        assert(kept.nonEmpty, s"bloom false-negative for '$v' in $tbl")
+      }
+
+      // 3. changelog replay reconstructs the model from the net CDC stream
+      val ch = Changes.between(spark, store, 1L, head.version)
+        .select("k", "v", Changes.ChangeType, Changes.CommitVersion)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      var replay = Seq.empty[(Int, String)]
+      ch.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        val ins = rows.filter(_._3 == "insert").map(r => (r._1, r._2))
+        val del = rows.filter(_._3 == "delete").map(r => (r._1, r._2))
+        replay = del.foldLeft(replay ++ ins) { (acc, d) =>
+          val i = acc.indexOf(d); assert(i >= 0, s"delete of absent row $d")
+          acc.patch(i, Nil, 1)
+        }
+      }
+      assert(replay.sorted == model.sorted, s"changelog replay diverged for $tbl")
+    }
+  }
+
   test("schema evolution preserves old rows under random add-column sequences") {
     forAllSeeded(Gen.listOfN(3, Gen.alphaLowerStr.map(s => "c_" + s.take(5))),
         cases = 5) { rawNames =>
