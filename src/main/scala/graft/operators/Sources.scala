@@ -61,7 +61,27 @@ object Sources {
       .orderBy("s_suppkey")
   }
 
-  val all: Seq[Q] = Seq(qCsvSource, qJsonSource)
+  /** ORC source/sink roundtrip (Spark's other native columnar format —
+    * same vectorized reader architecture as parquet). */
+  val qOrcSource: Q = Q(
+    "q_orc_source",
+    """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal,
+              c_mktsegment
+       FROM customer ORDER BY c_custkey""") { (s, d) =>
+    val dir = materialize(s, d, "orc", "customer", Tables.customer(s, d))
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.schema(schema).orc(dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(qCsvSource, qJsonSource, qOrcSource)
 }
 
 /** Skew-handling operators (the "salting for skew" scale tool): two-phase
