@@ -213,6 +213,7 @@ class GraftVectorScan(
     private val bytes = prunedFiles.map(_.sizeBytes).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
+    override def columnStats() = NdvStats.columnStats(snapshot)
   }
 
   override def description(): String =
@@ -246,12 +247,14 @@ class GraftScan(
     new GraftMicroBatchStream(store, required, checkpointLocation)
 
   /** Snapshot-resident stats → the optimizer's broadcast decisions see real
-    * sizes without touching the FS (SURVEY.md §4 "snapshot-based stats"). */
+    * sizes without touching the FS (SURVEY.md §4 "snapshot-based stats");
+    * per-column NDV from the merged HLL sketches feeds CBO when present. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = prunedFiles.map(_.rowCount).sum
     private val bytes = prunedFiles.map(_.sizeBytes).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
+    override def columnStats() = NdvStats.columnStats(snapshot)
   }
 
   override def description(): String =

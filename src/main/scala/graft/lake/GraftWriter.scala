@@ -151,8 +151,32 @@ object GraftWriter {
               s"graft.bloom-columns column '$logical' not in table schema")
           }
         }
-      val bloomsByFile: Map[String, Map[String, String]] =
-        if (bloomCols.isEmpty || staged.isEmpty) Map.empty
+      // Per-file NDV sketches (`graft.ndv-columns`): mergeable HLL sketches
+      // (datasketches, via Spark's hll_sketch_agg) — unioned across files
+      // they answer "how many distinct values" from METADATA ONLY, feeding
+      // the `t.stats` table and the optimizer's columnStats (join
+      // reordering / broadcast decisions under CBO).
+      val ndvCols: Seq[String] = store.head()
+        .flatMap(_.properties.get("graft.ndv-columns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+        .map { logical =>
+          schema.fields.find(_.name == logical) match {
+            case Some(f) =>
+              require(Seq(IntegerType, LongType, StringType).contains(f.dataType),
+                s"graft.ndv-columns supports INT/BIGINT/STRING columns; " +
+                  s"'$logical' is ${f.dataType.simpleString}")
+              SchemaNames.physicalName(f)
+            case None => throw new IllegalArgumentException(
+              s"graft.ndv-columns column '$logical' not in table schema")
+          }
+        }
+      // One column-pruned pass over the staged files computes BOTH sketch
+      // families, grouped by file.
+      val (bloomsByFile, ndvByFile): (Map[String, Map[String, String]],
+          Map[String, Map[String, String]]) =
+        if ((bloomCols.isEmpty && ndvCols.isEmpty) || staged.isEmpty)
+          (Map.empty, Map.empty)
         else {
           import org.apache.spark.sql.graftbridge.ColumnBridge
           import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
@@ -160,22 +184,26 @@ object GraftWriter {
           val numBits = store.head()
             .flatMap(_.properties.get("graft.bloom-bits"))
             .map(_.toLong).getOrElse(65536L)
-          val aggs = bloomCols.map { c =>
+          val bloomAggs = bloomCols.map { c =>
             ColumnBridge.column(new BloomFilterAggregate(
               new XxHash64(Seq(ColumnBridge.expression(col(c)))),
               Literal(math.max(numBits / 10, 64L)), Literal(numBits))
               .toAggregateExpression()).as(s"__bf_$c")
           }
-          spark.read.parquet(staging.toString)
+          val ndvAggs = ndvCols.map(c => hll_sketch_agg(col(c), 12).as(s"__ndv_$c"))
+          val aggs = bloomAggs ++ ndvAggs
+          val rows = spark.read.parquet(staging.toString)
             .groupBy(input_file_name().as("__f"))
             .agg(aggs.head, aggs.tail: _*)
-            .collect().map { r =>
-              val fname = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-              fname -> bloomCols.zipWithIndex.flatMap { case (c, i) =>
-                Option(r.getAs[Array[Byte]](i + 1)).map(b =>
-                  c -> java.util.Base64.getEncoder.encodeToString(b))
-              }.toMap
+            .collect()
+          def sliceOf(offset: Int, cols: Seq[String]) = rows.map { r =>
+            val fname = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+            fname -> cols.zipWithIndex.flatMap { case (c, i) =>
+              Option(r.getAs[Array[Byte]](offset + i)).map(b =>
+                c -> java.util.Base64.getEncoder.encodeToString(b))
             }.toMap
+          }.toMap
+          (sliceOf(1, bloomCols), sliceOf(1 + bloomCols.size, ndvCols))
         }
 
       staged.map { p =>
@@ -196,7 +224,8 @@ object GraftWriter {
         val (cnt, stats) = FooterStats.read(p, sf)
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         DataFile(s"data/$newName", cnt, size, pvs, stats,
-          blooms = bloomsByFile.getOrElse(p.getFileName.toString, Map.empty))
+          blooms = bloomsByFile.getOrElse(p.getFileName.toString, Map.empty),
+          ndv = ndvByFile.getOrElse(p.getFileName.toString, Map.empty))
       }
     } finally {
       if (Files.exists(staging)) {

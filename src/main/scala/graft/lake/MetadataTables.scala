@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object MetadataTables {
 
   val names: Set[String] = Set("history", "snapshots", "files", "partitions",
-    "refs")
+    "refs", "stats")
 
   val historySchema: StructType = StructType(Seq(
     StructField("made_current_at", TimestampType),
@@ -52,6 +52,13 @@ object MetadataTables {
     StructField("name", StringType),
     StructField("type", StringType),
     StructField("snapshot_id", LongType)))
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("column", StringType),
+    StructField("min", StringType),
+    StructField("max", StringType),
+    StructField("null_count", LongType),
+    StructField("ndv_estimate", LongType)))
 
   def build(tableName: String, metaName: String, store: SnapshotStore): Table = {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
@@ -87,6 +94,34 @@ object MetadataTables {
         val rows = store.refs().toSeq.sortBy(_._1)
           .map { case (n, v) => Row(n, "TAG", v) }
         new LocalTable(s"$tableName.refs", refsSchema, rows)
+      case "stats" =>
+        // table-level column stats from metadata only: min/max/null_count
+        // folded over file stats, NDV from unioned per-file HLL sketches
+        val rows = store.head().toSeq.flatMap { snap =>
+          // min/max are normalized strings; numerics compare as decimals
+          def ord(a: String, b: String): Int =
+            (scala.util.Try(BigDecimal(a)).toOption,
+             scala.util.Try(BigDecimal(b)).toOption) match {
+              case (Some(x), Some(y)) => x.compare(y)
+              case _ => a.compareTo(b)
+            }
+          snap.schema.fields.toSeq.map { f =>
+            val phys = SchemaNames.physicalName(f)
+            val sts = snap.files.flatMap(_.stats.get(phys))
+            val mins = sts.flatMap(_.min)
+            val maxs = sts.flatMap(_.max)
+            val nulls = snap.files.map(_.stats.get(phys).flatMap(_.nullCount))
+            val sketches = snap.files.map(_.ndv.get(phys))
+            Row(f.name,
+              if (mins.isEmpty) null else mins.reduce((a, b) => if (ord(a, b) <= 0) a else b),
+              if (maxs.isEmpty) null else maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b),
+              if (nulls.nonEmpty && nulls.forall(_.isDefined))
+                Long.box(nulls.flatten.sum) else null,
+              if (sketches.nonEmpty && sketches.forall(_.isDefined))
+                Long.box(NdvStats.estimate(sketches.flatten)) else null)
+          }
+        }
+        new LocalTable(s"$tableName.stats", statsSchema, rows)
       case other =>
         throw new IllegalArgumentException(s"unknown metadata table $other")
     }

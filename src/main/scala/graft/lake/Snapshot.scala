@@ -37,7 +37,8 @@ final case class DataFile(
     sizeBytes: Long,
     partitionValues: Map[String, String],
     stats: Map[String, ColumnStats],
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    ndv: Map[String, String] = Map.empty)
 
 final case class PartitionField(
     name: String,      // partition field name, e.g. "created_date" or "days(created_at)"
