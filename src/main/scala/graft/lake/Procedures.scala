@@ -28,7 +28,8 @@ object Procedures {
 
   val Namespace: Array[String] = Array("system")
   val names: Seq[String] = Seq("compact", "expire_snapshots",
-    "remove_orphan_files", "create_tag", "drop_tag", "rollback_to_version")
+    "remove_orphan_files", "create_tag", "drop_tag", "rollback_to_version",
+    "refresh_mv")
 
   def load(catalogName: String, warehouse: Path, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -103,6 +104,25 @@ object Procedures {
               summary = Map("rolled-back-to" -> v.toString))
           }
           Seq(Row(tbl, snap.version, v))
+        }
+      case "refresh_mv" =>
+        simple(ident.name(),
+          "incrementally refresh a materialized count/sum aggregate",
+          Seq(ProcedureParameter.in("source", StringType).build(),
+            ProcedureParameter.in("mv", StringType).build(),
+            ProcedureParameter.in("keys", StringType).build(), // comma list
+            ProcedureParameter.in("value_col", StringType).build())) { args =>
+          val src = args.getUTF8String(0).toString
+          val mv = args.getUTF8String(1).toString
+          val keys = args.getUTF8String(2).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val valueCol = args.getUTF8String(3).toString
+          // the MV table may not exist yet (first refresh creates it)
+          val mvStore = new SnapshotStore(
+            mv.split('.').foldLeft(warehouse)((p, e) => p.resolve(e)))
+          val through = IncrementalAgg.refresh(SparkSession.active,
+            storeFor(src), mvStore, keys, valueCol)
+          Seq(Row(mv, through, 0L))
         }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")

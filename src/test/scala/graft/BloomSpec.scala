@@ -71,6 +71,35 @@ class BloomSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pruning survives a column rename (logical→physical translation)") {
+    spark.sql("""CREATE TABLE bl.t.ren (k STRING) USING iceberg
+                 TBLPROPERTIES ('graft.bloom-columns' = 'k')""")
+    spark.sql("INSERT INTO bl.t.ren VALUES ('alpha'), ('beta')")
+    spark.sql("ALTER TABLE bl.t.ren RENAME COLUMN k TO kk")
+    // property still names the OLD logical name — the next write must fail
+    // loudly rather than silently stop building blooms
+    intercept[Exception] {
+      spark.sql("INSERT INTO bl.t.ren VALUES ('gamma')")
+    }
+    spark.sql("ALTER TABLE bl.t.ren SET TBLPROPERTIES ('graft.bloom-columns' = 'kk')")
+    spark.sql("INSERT INTO bl.t.ren VALUES ('gamma')")
+
+    val head = new SnapshotStore(Paths.get(wh, "t", "ren")).head().get
+    // blooms stay keyed by the immutable physical name across the rename
+    assert(head.files.forall(_.blooms.contains("k")))
+    // rename-aware pruning: filters arrive with the NEW logical name
+    val rename = SchemaNames.renameMap(head.schema)
+    val keptPresent = StatsPruner.prune(head.files,
+      Seq(org.apache.spark.sql.sources.EqualTo("kk", "alpha")),
+      head.partitionSpec, rename)
+    val keptAbsent = StatsPruner.prune(head.files,
+      Seq(org.apache.spark.sql.sources.EqualTo("kk", "nope")),
+      head.partitionSpec, rename)
+    assert(keptPresent.nonEmpty)
+    assert(keptAbsent.isEmpty, "bloom not consulted after rename")
+    assert(spark.sql("SELECT * FROM bl.t.ren WHERE kk = 'alpha'").count() == 1)
+  }
+
   test("tables without the property carry no blooms (zero overhead)") {
     spark.sql("CREATE TABLE bl.t.plain (k STRING) USING iceberg")
     spark.sql("INSERT INTO bl.t.plain VALUES ('a')")

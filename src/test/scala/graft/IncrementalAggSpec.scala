@@ -68,4 +68,13 @@ class IncrementalAggSpec extends AnyFunSuite {
     IncrementalAgg.refresh(spark, srcStore, mvStore, Seq("cat"), "v")
     assert(mvContent() == recompute())
   }
+
+  test("CALL refresh_mv drives the same refresh from SQL") {
+    spark.sql("INSERT INTO mv.t.sales VALUES ('d', 9.0)")
+    val out = spark.sql(
+      "CALL mv.system.refresh_mv('t.sales', 't.sales_by_cat', 'cat', 'v')")
+      .head()
+    assert(out.getLong(1) == srcStore.currentVersion().get)
+    assert(mvContent() == recompute())
+  }
 }
