@@ -29,7 +29,19 @@ object Procedures {
   val Namespace: Array[String] = Array("system")
   val names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "create_tag", "drop_tag", "rollback_to_version",
-    "refresh_mv")
+    "refresh_mv", "set_partition_spec")
+
+  /** Parse a comma list of partition-field specs: `col` (identity),
+    * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
+  private[lake] def parsePartitionSpec(s: String): Seq[PartitionField] = {
+    val Fn = """(days|months|years)\(([^)]+)\)""".r
+    val Bucket = """bucket\[(\d+)\]\(([^)]+)\)""".r
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case Fn(fn, c) => PartitionField(s"$fn($c)", fn, c.trim)
+      case Bucket(n, c) => PartitionField(s"bucket[$n]($c)", s"bucket[$n]", c.trim)
+      case c => PartitionField(c, "identity", c)
+    }
+  }
 
   def load(catalogName: String, warehouse: Path, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
@@ -123,6 +135,34 @@ object Procedures {
           val through = IncrementalAgg.refresh(SparkSession.active,
             storeFor(src), mvStore, keys, valueCol)
           Seq(Row(mv, through, 0L))
+        }
+      case "set_partition_spec" =>
+        simple(ident.name(),
+          "evolve the partition spec without rewriting data (Iceberg " +
+            "partition evolution: old files keep their layout and prune " +
+            "conservatively; new writes use the new spec)",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("spec", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val specStr = args.getUTF8String(1).toString
+          val st = storeFor(tbl)
+          val snap = st.commit { prev =>
+            val p = prev.getOrElse(
+              throw new IllegalArgumentException(s"empty table $tbl"))
+            val spec = parsePartitionSpec(specStr)
+            // sources must resolve against the CURRENT schema (physical)
+            spec.foreach { f =>
+              val known = p.schema.fields.map(SchemaNames.physicalName).toSet
+              require(known.contains(f.source),
+                s"partition source column '${f.source}' not in table schema")
+            }
+            p.copy(
+              timestampMs = System.currentTimeMillis(),
+              operation = "evolve-partition",
+              partitionSpec = spec,
+              summary = Map("new-spec" -> specStr))
+          }
+          Seq(Row(tbl, snap.version, snap.partitionSpec.size.toLong))
         }
       case other =>
         throw new IllegalArgumentException(s"unknown procedure $other")
