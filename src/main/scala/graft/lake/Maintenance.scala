@@ -75,6 +75,80 @@ object Maintenance {
     expire
   }
 
+  /** Backfill per-file sketches (`graft.bloom-columns` blooms,
+    * `graft.ndv-columns` HLLs) for files written BEFORE the properties
+    * were set — one column-pruned pass over exactly the files missing a
+    * sketch, committed as a metadata-only `analyze` snapshot. Data files
+    * are immutable, so a computed sketch can be merged onto whatever head
+    * exists at commit time (no version requirement; a concurrent append's
+    * new files simply keep their own write-time sketches). */
+  def analyze(spark: SparkSession, store: SnapshotStore): Snapshot = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, input_file_name}
+    val head = store.head().getOrElse(
+      throw new IllegalStateException(s"no table at ${store.tableDir}"))
+    def colsOf(prop: String): Seq[String] = head.properties.get(prop)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .map { logical =>
+        head.schema.fields.find(_.name == logical)
+          .map(SchemaNames.physicalName)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$prop column '$logical' not in table schema"))
+      }
+    val bloomCols = colsOf("graft.bloom-columns")
+    val ndvCols = colsOf("graft.ndv-columns")
+    val missing = head.files.filter(f =>
+      bloomCols.exists(c => !f.blooms.contains(c)) ||
+        ndvCols.exists(c => !f.ndv.contains(c)))
+    if (missing.isEmpty || (bloomCols.isEmpty && ndvCols.isEmpty)) return head
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = head.properties.get("graft.bloom-bits")
+      .map(_.toLong).getOrElse(65536L)
+    val bloomAggs = bloomCols.map { c =>
+      ColumnBridge.column(new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(col(c)))),
+        Literal(math.max(numBits / 10, 64L)), Literal(numBits))
+        .toAggregateExpression()).as(s"__bf_$c")
+    }
+    val ndvAggs = ndvCols.map(c => hll_sketch_agg(col(c), 12).as(s"__ndv_$c"))
+    val aggs = bloomAggs ++ ndvAggs
+    val rows = spark.read
+      .schema(SchemaNames.toPhysical(head.schema))
+      .parquet(missing.map(f => store.tableDir.resolve(f.path).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def b64(r: org.apache.spark.sql.Row, i: Int): Option[String] =
+      Option(r.getAs[Array[Byte]](i))
+        .map(java.util.Base64.getEncoder.encodeToString)
+    val computed: Map[String, (Map[String, String], Map[String, String])] =
+      rows.map { r =>
+        val fname = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        val blooms = bloomCols.zipWithIndex
+          .flatMap { case (c, i) => b64(r, i + 1).map(c -> _) }.toMap
+        val ndv = ndvCols.zipWithIndex
+          .flatMap { case (c, i) => b64(r, 1 + bloomCols.size + i).map(c -> _) }
+          .toMap
+        s"data/$fname" -> (blooms, ndv)
+      }.toMap
+
+    store.commit { prev =>
+      val p = prev.getOrElse(head)
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "analyze",
+        files = p.files.map { f =>
+          computed.get(f.path) match {
+            case Some((bl, nd)) => f.copy(blooms = bl ++ f.blooms, ndv = nd ++ f.ndv)
+            case None => f
+          }
+        },
+        summary = Map("analyzed-files" -> computed.size.toString))
+    }
+  }
+
   /** Remove data files not referenced by ANY snapshot (failed writes,
     * crashed commits). */
   def removeOrphanFiles(store: SnapshotStore): Seq[String] = {

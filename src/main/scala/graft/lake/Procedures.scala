@@ -29,7 +29,7 @@ object Procedures {
   val Namespace: Array[String] = Array("system")
   val names: Seq[String] = Seq("compact", "expire_snapshots",
     "remove_orphan_files", "create_tag", "drop_tag", "rollback_to_version",
-    "refresh_mv", "set_partition_spec")
+    "refresh_mv", "set_partition_spec", "analyze")
 
   /** Parse a comma list of partition-field specs: `col` (identity),
     * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
@@ -135,6 +135,15 @@ object Procedures {
           val through = IncrementalAgg.refresh(SparkSession.active,
             storeFor(src), mvStore, keys, valueCol)
           Seq(Row(mv, through, 0L))
+        }
+      case "analyze" =>
+        simple(ident.name(),
+          "backfill bloom/NDV sketches for files missing them",
+          Seq(ProcedureParameter.in("table", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val snap = Maintenance.analyze(SparkSession.active, storeFor(tbl))
+          Seq(Row(tbl, snap.version,
+            snap.summary.getOrElse("analyzed-files", "0").toLong))
         }
       case "set_partition_spec" =>
         simple(ident.name(),

@@ -67,6 +67,35 @@ class NdvSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL analyze backfills sketches for pre-property files") {
+    spark.sql("CREATE TABLE ndv.t.late (k BIGINT, v STRING) USING iceberg")
+    spark.sql("INSERT INTO ndv.t.late SELECT id, concat('x', CAST(id AS STRING)) FROM range(0, 1000)")
+    spark.sql("INSERT INTO ndv.t.late SELECT id, concat('x', CAST(id AS STRING)) FROM range(500, 1500)")
+    // properties set AFTER data exists → old files have no sketches
+    spark.sql("""ALTER TABLE ndv.t.late SET TBLPROPERTIES
+                 ('graft.ndv-columns' = 'k', 'graft.bloom-columns' = 'v')""")
+    val store = new SnapshotStore(Paths.get(wh, "t", "late"))
+    assert(store.head().get.files.forall(f => f.ndv.isEmpty && f.blooms.isEmpty))
+
+    val nFiles = store.head().get.files.size
+    val out = spark.sql("CALL ndv.system.analyze('t.late')").head()
+    assert(out.getLong(2) == nFiles.toLong) // every file analyzed
+    val head = store.head().get
+    assert(head.operation == "analyze")
+    assert(head.files.forall(f => f.ndv.contains("k") && f.blooms.contains("v")))
+
+    // merged NDV is ~1500 (overlapping ranges), not the 2000 a naive sum gives
+    val est = spark.sql(
+      "SELECT ndv_estimate FROM ndv.t.late.stats WHERE column = 'k'")
+      .head().getLong(0)
+    assert(math.abs(est - 1500).toDouble / 1500 < 0.05, s"estimate $est")
+
+    // re-analyze is a no-op (no files missing sketches)
+    val v = store.currentVersion().get
+    spark.sql("CALL ndv.system.analyze('t.late')").collect()
+    assert(store.currentVersion().get == v)
+  }
+
   test("tables without the property carry no sketches") {
     spark.sql("CREATE TABLE ndv.t.plain (k INT) USING iceberg")
     spark.sql("INSERT INTO ndv.t.plain VALUES (1)")
