@@ -192,7 +192,38 @@ object LakeOps {
              ORDER BY id_a""")
   }
 
+  /** Clustered-write correctness: lineitem pushed through a table with
+    * z-order clustering, bloom AND NDV sketches all active, then read back
+    * through every pruning path (stats + bloom) — must exactly match the
+    * plain filter on the source parquet. Any wrong prune loses rows; any
+    * clustering bug reorders or corrupts them. */
+  val qLakeClustered: Q = Q(
+    "q_lake_clustered",
+    """SELECT l_orderkey, l_partkey, l_suppkey, round(l_quantity, 2) AS qty
+       FROM lineitem
+       WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_returnflag = 'R'
+       ORDER BY l_orderkey, l_partkey, l_suppkey, qty""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.li_clustered")
+    s.sql(s"""CREATE TABLE $Cat.verify.li_clustered
+              (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+               l_quantity DOUBLE, l_returnflag STRING)
+              USING graft
+              TBLPROPERTIES ('graft.sort-order' = 'zorder(l_orderkey, l_partkey)',
+                             'graft.bloom-columns' = 'l_returnflag',
+                             'graft.ndv-columns' = 'l_suppkey')""")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+      .createOrReplaceTempView("graft_src_li")
+    s.sql(s"INSERT INTO $Cat.verify.li_clustered SELECT * FROM graft_src_li")
+    s.sql(s"""SELECT l_orderkey, l_partkey, l_suppkey, round(l_quantity, 2) AS qty
+              FROM $Cat.verify.li_clustered
+              WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_returnflag = 'R'
+              ORDER BY l_orderkey, l_partkey, l_suppkey, qty""")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
-    qLakeDynOverwrite, qLakeChanges, qSqlCosine)
+    qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered)
 }
