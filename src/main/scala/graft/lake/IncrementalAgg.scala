@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * non-subtractable aggregates would need a re-aggregate of affected
   * GROUPS only (same changelog, different merge) — not implemented here.
   *
+  * Null semantics: `n` counts rows (like count(*)); null values simply
+  * don't contribute to `s`, and a group whose values are all null holds
+  * s = 0.0 where a direct sum(v) would yield NULL — the stable choice for
+  * an incrementally-maintained accumulator.
+  *
   * The refresh watermark (`graft.mv.source-version`) commits WITH the
   * materialized rows in the same snapshot, so a crashed refresh leaves
   * either the old state+watermark or the new state+watermark — never a
@@ -55,9 +60,10 @@ object IncrementalAgg {
     }
     if (srcHead.version <= lastVersion) return lastVersion // already current
 
-    // signed delta from the changelog: inserts count +1, deletes -1
-    val ch = Changes.between(spark, srcStore,
-      math.max(lastVersion, 1L), srcHead.version)
+    // signed delta from the changelog: inserts count +1, deletes -1.
+    // First refresh starts at 0 so a v1-with-data source (CTAS) is not
+    // skipped — v1's changelog is its full file set as inserts.
+    val ch = Changes.between(spark, srcStore, lastVersion, srcHead.version)
     val sign = when(col(Changes.ChangeType) === "insert", lit(1L))
       .otherwise(lit(-1L))
     val delta = ch.groupBy(keys.map(col): _*)

@@ -69,6 +69,18 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(mvContent() == recompute())
   }
 
+  test("first refresh of a CTAS source picks up the v1 data") {
+    spark.sql("""CREATE TABLE mv.t.ctas USING iceberg AS
+                 SELECT 'x' AS cat, 1.5 AS v UNION ALL SELECT 'x', 2.5""")
+    val src = new SnapshotStore(Paths.get(wh, "t", "ctas"))
+    val mvs = new SnapshotStore(Paths.get(wh, "t", "ctas_mv"))
+    IncrementalAgg.refresh(spark, src, mvs, Seq("cat"), "v")
+    val got = SchemaNames.readLogical(spark, mvs.head().get.schema,
+      mvs.head().get.files.map(f => mvs.tableDir.resolve(f.path).toString))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("x", 2L, 4.0)))
+  }
+
   test("CALL refresh_mv drives the same refresh from SQL") {
     spark.sql("INSERT INTO mv.t.sales VALUES ('d', 9.0)")
     val out = spark.sql(
