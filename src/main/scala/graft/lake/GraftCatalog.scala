@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables resolved as a 4th name part.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog with FunctionCatalog {
+  with ProcedureCatalog with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Path = _
@@ -50,6 +50,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.sameElements(Procedures.Namespace))
       Procedures.names.map(Identifier.of(Procedures.Namespace, _)).toArray
     else Array.empty
+
+  // ---------- persistent views (ViewCatalog): CREATE VIEW graft.ns.v ----------
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Views.list(nsPath(ns)).map(Identifier.of(ns, _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    Views.exists(nsPath(ident.namespace()), ident.name())
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Views.toView(fullName(ident),
+      Views.read(nsPath(ident.namespace()), ident.name()))
+  }
+
+  private def defOf(info: ViewInfo): ViewDef = ViewDef(
+    sql = info.sql(),
+    currentCatalog = info.currentCatalog(),
+    currentNamespace = info.currentNamespace().toSeq,
+    schemaJson = info.schema().json,
+    queryColumnNames = info.queryColumnNames().toSeq,
+    columnAliases = info.columnAliases().toSeq,
+    columnComments = info.columnComments().toSeq,
+    properties = {
+      import scala.jdk.CollectionConverters._
+      info.properties().asScala.toMap
+    })
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    try Views.write(nsPath(ident.namespace()), ident.name(), defOf(info),
+      replace = false)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    }
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Views.write(nsPath(ident.namespace()), ident.name(), defOf(info),
+      replace = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val nsDir = nsPath(ident.namespace())
+    var d = Views.read(nsDir, ident.name())
+    changes.foreach {
+      case sp: ViewChange.SetProperty =>
+        d = d.copy(properties = d.properties + (sp.property() -> sp.value()))
+      case rp: ViewChange.RemoveProperty =>
+        d = d.copy(properties = d.properties - rp.property())
+    }
+    Views.write(nsDir, ident.name(), d, replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Views.drop(nsPath(ident.namespace()), ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    Files.move(Views.path(nsPath(oldIdent.namespace()), oldIdent.name()),
+      Views.path(nsPath(newIdent.namespace()), newIdent.name()))
+  }
 
   // ---------- SQL functions (§2.10): SELECT graft.system.cosine(a, b) ----------
 
@@ -131,7 +211,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(namespace)
     if (!namespaceExists(namespace)) return false
     val tables = listTables(namespace)
-    if (tables.nonEmpty && !cascade)
+    if ((tables.nonEmpty || Views.list(p).nonEmpty) && !cascade)
       throw new NonEmptyNamespaceException(namespace)
     tables.foreach(dropTable)
     Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -199,6 +279,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     val spec = PartitionTransforms.fromTransforms(partitions)
