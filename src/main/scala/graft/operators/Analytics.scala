@@ -344,8 +344,49 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** UNPIVOT (melt): wide measure columns to (measure, value) rows —
+    * the inverse of pivot, a per-row expand with no shuffle until the
+    * summarizing aggregation. Sums go through DECIMAL for exactness. */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    """SELECT measure, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+       FROM (UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+             ON l_quantity, l_extendedprice, l_discount
+             INTO NAME measure VALUE val)
+       GROUP BY measure ORDER BY measure""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("measure")
+  }
+
+  /** Multiset set ops: UNION ALL keeps duplicates, EXCEPT ALL removes one
+    * occurrence per match — the overlap region survives exactly once,
+    * which distinct set ops would erase entirely. */
+  val qSetOpsAll: Q = Q(
+    "q_set_ops_all",
+    """SELECT n_nationkey, n_name FROM
+       ((SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2
+         UNION ALL
+         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2)
+        EXCEPT ALL
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2)
+       ORDER BY n_nationkey""") { (s, d) =>
+    val n = Tables.nation(s, d)
+    val a = n.filter(col("n_regionkey") <= 2).select("n_nationkey", "n_name")
+    val b = n.filter(col("n_regionkey") >= 2).select("n_nationkey", "n_name")
+    val c = n.filter(col("n_regionkey") === 2).select("n_nationkey", "n_name")
+    a.unionAll(b).exceptAll(c).orderBy("n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     qOrderByLimit, qTopkCustomers, qWindowRank, qWindowRunning, qWindowLag,
     qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents, qPercentiles,
-    qPivot, qRevenueShare, qWindowDistribution, qFunnel)
+    qPivot, qRevenueShare, qWindowDistribution, qFunnel, qUnpivot, qSetOpsAll)
 }
