@@ -121,8 +121,19 @@ object Multimodal {
       .orderBy("codec")
   }
 
-  /** Frame-sampling query: frames per media item. */
-  val qFrameSample: Q = Q.noOracle("q_frame_sample") { (s, d) =>
+  /** Frame-sampling query: frames per media item. The frame count and
+    * byte totals are pure integer arithmetic over the payload length
+    * (full 32-byte frames except a single short frame for sub-frame
+    * payloads), so the byte-slice plumbing IS oracle-checkable: strlen
+    * in DuckDB counts bytes, matching Spark's length(binary). */
+  val qFrameSample: Q = Q(
+    "q_frame_sample",
+    """SELECT doc_id AS media_id,
+              CAST(greatest((strlen(text) - 32) // 16 + 1, 1) AS BIGINT) AS n_frames,
+              CAST(CASE WHEN strlen(text) >= 32
+                        THEN greatest((strlen(text) - 32) // 16 + 1, 1) * 32
+                        ELSE strlen(text) END AS BIGINT) AS sampled_bytes
+       FROM documents ORDER BY media_id""") { (s, d) =>
     sampleFrames(mediaTable(s, d), frameLen = 32, stride = 16)
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"),
