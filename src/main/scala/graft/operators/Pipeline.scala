@@ -226,6 +226,51 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** The composed corpus-preparation pipeline — quality filter → exact
+    * dedup on normalized fingerprint → deterministic split → per-split
+    * token accounting — in ONE declarative query. Each stage is an
+    * operator verified on its own elsewhere; this checks the COMPOSITION
+    * end to end (three aggregations, each shuffling only what the
+    * previous stage kept). */
+  val qCorpusPrep: Q = Q(
+    "q_corpus_prep",
+    """WITH t AS (SELECT doc_id, text,
+                         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_toks,
+                         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                           / length(text) AS punct
+                  FROM documents),
+       q AS (SELECT * FROM t WHERE n_toks BETWEEN 10 AND 100000 AND punct < 0.1),
+       d AS (SELECT min(doc_id) AS doc_id, min(n_toks) AS n_toks
+             FROM q
+             GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+       s AS (SELECT doc_id, n_toks,
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                         ELSE 'test' END AS split
+             FROM d)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       FROM s GROUP BY split ORDER BY split""") { (s, d) =>
+    val toks = size(split(trim(lower(col("text"))), "\\s+"))
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") / length(col("text"))
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      .cast("binary"))
+    val deduped = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks.as("n_toks"))
+      .filter(toks.between(10, 100000) && punct < 0.1)
+      .groupBy(fp.as("fp"))
+      .agg(min("doc_id").as("doc_id"), min("n_toks").as("n_toks"))
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    deduped
+      .select(col("doc_id"), col("n_toks"),
+        when(bucket <= "b", "train").when(bucket <= "d", "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
-    qDocChunks)
+    qDocChunks, qCorpusPrep)
 }
