@@ -51,26 +51,50 @@ object Changes {
     val netEffective = net && !schema.fields.exists(f => hasMap(f.dataType))
     val versions = all.filter(v => v > fromVersion && v <= toVersion).sorted
 
-    def readFiles(files: Seq[DataFile]): DataFrame =
-      SchemaNames.readLogical(spark, schema,
+    /** Read `files` as LIVE rows under `deletes` (merge-on-read tuples
+      * subtracted) — a file-set diff names changed files, but the rows a
+      * reader actually saw at a version exclude its position deletes. */
+    def readFiles(files: Seq[DataFile], deletes: Seq[DeleteFile]): DataFrame = {
+      val df = SchemaNames.readLogicalWithProvenance(spark, schema,
         files.map(f => store.tableDir.resolve(f.path).toString))
+      PositionDeletes.applyTo(spark, store, df, deletes)
+        .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
+    }
 
     val parts = versions.flatMap { v =>
       val snap = store.read(v)
-      val parentFiles: Seq[DataFile] = snap.parentVersion match {
-        case Some(p) if all.contains(p) => store.read(p).files
+      val parent: Option[Snapshot] = snap.parentVersion match {
+        case Some(p) if all.contains(p) => Some(store.read(p))
         case Some(p) => throw new IllegalStateException(
           s"parent snapshot v$p has been expired; the changelog for v$v " +
             "cannot be computed. Keep snapshots longer than the CDC lag " +
             "(expire_snapshots keep_last).")
-        case None => Seq.empty
+        case None => None
       }
+      val parentFiles: Seq[DataFile] = parent.map(_.files).getOrElse(Seq.empty)
+      val parentDeletes: Seq[DeleteFile] =
+        parent.map(_.deleteFiles).getOrElse(Seq.empty)
       val parentSet = parentFiles.map(_.path).toSet
       val curSet = snap.files.map(_.path).toSet
       val added = snap.files.filterNot(f => parentSet.contains(f.path))
       val removed = parentFiles.filterNot(f => curSet.contains(f.path))
-      val ins = if (added.nonEmpty) Some(readFiles(added)) else None
-      val del = if (removed.nonEmpty) Some(readFiles(removed)) else None
+      // a merge-on-read DELETE changes no data file — its changed rows are
+      // named by the NEW delete tuples, read back from the data files
+      val parentDelSet = parentDeletes.map(_.path).toSet
+      val newDeleteFiles = snap.deleteFiles.filterNot(f => parentDelSet.contains(f.path))
+      val morDeleted: Option[DataFrame] =
+        if (newDeleteFiles.isEmpty) None
+        else PositionDeletes.tuples(spark, store, newDeleteFiles).map { t =>
+          val data = SchemaNames.readLogicalWithProvenance(spark, schema,
+            snap.files.map(f => store.tableDir.resolve(f.path).toString))
+          data.join(t,
+            data(PositionDeletes.NameCol) === t(PositionDeletes.NameCol) &&
+              data(PositionDeletes.RowPosCol) === t(PositionDeletes.RowPosCol),
+            "left_semi")
+            .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
+        }
+      val ins = if (added.nonEmpty) Some(readFiles(added, snap.deleteFiles)) else None
+      val del = if (removed.nonEmpty) Some(readFiles(removed, parentDeletes)) else None
       val (insN, delN) = if (netEffective) (ins, del) match {
         case (Some(i), Some(dl)) => (Some(i.exceptAll(dl)), Some(dl.exceptAll(i)))
         case other => other
@@ -79,7 +103,8 @@ object Changes {
         .withColumn(ChangeType, lit(t))
         .withColumn(CommitVersion, lit(v))
         .withColumn(CommitTimestamp, lit(new java.sql.Timestamp(snap.timestampMs)))
-      insN.map(tag(_, "insert")) ++ delN.map(tag(_, "delete"))
+      insN.map(tag(_, "insert")) ++ delN.map(tag(_, "delete")) ++
+        morDeleted.map(tag(_, "delete"))
     }
 
     parts.reduceOption(_.unionAll(_)).getOrElse {

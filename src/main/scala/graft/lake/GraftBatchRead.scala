@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null-fills columns missing from old files (schema evolution) like the
   * main read path.
   */
-final case class GraftInputPartition(filePath: String) extends InputPartition
+/** @param deletedPositions sorted 0-based row indexes (merge-on-read
+  *                         position deletes) the reader must skip */
+final case class GraftInputPartition(
+    filePath: String,
+    deletedPositions: Array[Long] = Array.empty) extends InputPartition
 
 final class GraftBatchScan(
     snapshot: Snapshot,
@@ -103,10 +107,20 @@ final class GraftBatchScan(
     onRuntimePrune(narrowed)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    currentFiles.map(f =>
-      GraftInputPartition(store.tableDir.resolve(f.path).toString): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // merge-on-read: hand each reader the sorted deleted positions of its
+    // file so COW rewrites never resurrect deleted rows
+    val posByName: Map[String, Array[Long]] =
+      PositionDeletes.positionsByFileName(
+        org.apache.spark.sql.SparkSession.active, store,
+        snapshot.deleteFiles, currentFiles)
+    currentFiles.map { f =>
+      GraftInputPartition(
+        store.tableDir.resolve(f.path).toString,
+        posByName.getOrElse(PositionDeletes.fileName(f.path), Array.empty))
+        : InputPartition
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json, snapshot.schema.json)
@@ -133,9 +147,10 @@ final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
     SchemaNames.renameMap(
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType])
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].filePath, required, rename)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.filePath, required, rename, p.deletedPositions)
+  }
 }
 
 /** Reads one parquet file as InternalRows of `required` (missing fields →
@@ -146,7 +161,8 @@ final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
   * encodings (the only forms our writers — Spark datasource and
   * GraftBatchWrite — produce). */
 final class GraftPartitionReader(filePath: String, required: StructType,
-    rename: Map[String, String] = Map.empty)
+    rename: Map[String, String] = Map.empty,
+    deletedPositions: Array[Long] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
@@ -160,9 +176,23 @@ final class GraftPartitionReader(filePath: String, required: StructType,
     * reader itself — also the join key of runtime group filtering. */
   private val fileName = UTF8String.fromString(filePath)
 
+  // merge-on-read skip cursor: rows arrive in file order, so one pointer
+  // into the SORTED deleted-position array replaces any per-row lookup
+  private var rowIdx: Long = -1L
+  private var delIdx: Int = 0
+
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    while (true) {
+      current = reader.read()
+      if (current == null) return false
+      rowIdx += 1
+      while (delIdx < deletedPositions.length &&
+          deletedPositions(delIdx) < rowIdx) delIdx += 1
+      if (delIdx >= deletedPositions.length ||
+          deletedPositions(delIdx) != rowIdx) return true
+      // else: position is deleted — skip this row
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {

@@ -107,16 +107,69 @@ class GraftTable(
     val cond = FilterTranslate.conjunction(filters.toSeq)
       .getOrElse(throw new UnsupportedOperationException(
         s"untranslatable delete condition: ${filters.mkString(", ")}"))
+    if (s.properties.getOrElse("graft.delete-mode", "copy-on-write")
+        == "merge-on-read") {
+      // Merge-on-read: record (file, pos) tuples of the matching rows in a
+      // small delete file; data files stay untouched. Cost scales with the
+      // MATCHES, not the table — the 100 TB DELETE shape.
+      val newDeletes: Seq[DeleteFile] =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
+          val data = SchemaNames.readLogicalWithProvenance(spark, s.schema, paths)
+          // apply EXISTING deletes first so re-deleting an already-deleted
+          // row never records a duplicate tuple (keeps totalRows exact)
+          val live = PositionDeletes.applyTo(spark, store, data, s.deleteFiles)
+          // MOR records rows where cond IS TRUE (the complement of COW's
+          // keep-set): NULL-evaluating rows are not deleted.
+          val matched = live.filter(coalesce(cond, lit(false)))
+            .select(col(PositionDeletes.NameCol), col(PositionDeletes.RowPosCol))
+          val nameToPath = spark.createDataFrame(
+            s.files.map(f => (PositionDeletes.fileName(f.path), f.path)))
+            .toDF(PositionDeletes.NameCol, PositionDeletes.FilePathCol)
+          val tuples = matched
+            .join(org.apache.spark.sql.functions.broadcast(nameToPath),
+              PositionDeletes.NameCol)
+            .select(col(PositionDeletes.FilePathCol),
+              col(PositionDeletes.RowPosCol).as(PositionDeletes.PosCol))
+          PositionDeletes.writeDeleteFiles(spark, store, tuples)
+        }
+      store.commit { prev =>
+        val p = prev.getOrElse(s)
+        require(p.version == s.version,
+          s"concurrent commit during DELETE on $tableName; retry")
+        p.copy(
+          timestampMs = System.currentTimeMillis(),
+          operation = "delete",
+          deleteFiles = p.deleteFiles ++ newDeletes,
+          summary = Map(
+            "delete-mode" -> "merge-on-read",
+            "added-delete-files" -> newDeletes.size.toString,
+            "added-position-deletes" -> newDeletes.map(_.rowCount).sum.toString,
+            "total-records" ->
+              (p.files.map(_.rowCount).sum -
+                (p.deleteFiles ++ newDeletes).map(_.rowCount).sum).toString))
+      }
+      return
+    }
     val rewritten: Seq[DataFile] =
       if (touched.isEmpty) Seq.empty
       else {
         val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
         // SQL DELETE removes only rows where cond IS TRUE; rows where it
-        // evaluates NULL (e.g. `c = 5` on a NULL c) must be KEPT.
-        val kept = SchemaNames.readLogical(spark, s.schema, paths)
+        // evaluates NULL (e.g. `c = 5` on a NULL c) must be KEPT. Pending
+        // MOR deletes on the touched files are folded into the rewrite
+        // (the kept rows are the LIVE complement of the condition).
+        val kept = PositionDeletes.applyTo(spark, store,
+            SchemaNames.readLogicalWithProvenance(spark, s.schema, paths),
+            s.deleteFiles)
           .filter(fnot(coalesce(cond, lit(false))))
+          .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
         GraftWriter.writeFiles(spark, store, s.schema, s.partitionSpec, kept)
       }
+    // drop tuples that referenced the rewritten files (folded in above)
+    val keptDeletes =
+      PositionDeletes.retain(spark, store, s.deleteFiles, untouched)
     store.commit { prev =>
       val p = prev.getOrElse(s)
       // retry-safe only versus the snapshot we planned from
@@ -126,10 +179,12 @@ class GraftTable(
         timestampMs = System.currentTimeMillis(),
         operation = "delete",
         files = untouched ++ rewritten,
+        deleteFiles = keptDeletes,
         summary = Map(
           "deleted-candidate-files" -> touched.size.toString,
           "rewritten-files" -> rewritten.size.toString,
-          "total-records" -> (untouched ++ rewritten).map(_.rowCount).sum.toString))
+          "total-records" -> ((untouched ++ rewritten).map(_.rowCount).sum -
+            keptDeletes.map(_.rowCount).sum).toString))
     }
   }
 
@@ -159,12 +214,13 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
 
   override def build(): Scan = {
     // Vectorized DSv2 path by default; the V1 bridge remains for the
-    // `_file` metadata column (served via input_file_name) and as an
-    // escape hatch (spark.graft.vectorizedReader=false).
+    // `_file` metadata column (served via input_file_name), for pending
+    // merge-on-read deletes (the anti-join composes at the DataFrame
+    // level), and as an escape hatch (spark.graft.vectorizedReader=false).
     val wantsFile = required.fieldNames.contains("_file")
     val vectorized = SparkSession.active.conf
       .getOption("spark.graft.vectorizedReader").forall(_.toBoolean)
-    if (vectorized && !wantsFile)
+    if (vectorized && !wantsFile && snapshot.deleteFiles.isEmpty)
       new GraftVectorScan(snapshot, store, snapshot.schema, required, filters)
     else
       new GraftScan(snapshot, store, snapshot.schema, required, filters)
@@ -250,7 +306,10 @@ class GraftScan(
     * sizes without touching the FS (SURVEY.md §4 "snapshot-based stats");
     * per-column NDV from the merged HLL sketches feeds CBO when present. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = prunedFiles.map(_.rowCount).sum
+    // position deletes remove rows the file counts still include; clamp at
+    // 0 because the tuples may reference files outside the pruned set
+    private val rows = math.max(0L, prunedFiles.map(_.rowCount).sum -
+      snapshot.deleteFiles.map(_.rowCount).sum)
     private val bytes = prunedFiles.map(_.sizeBytes).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
@@ -289,12 +348,22 @@ final class GraftRelation(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required).rdd
     } else {
       val paths = files.map(f => store.tableDir.resolve(f.path).toString)
-      var df: DataFrame = SchemaNames.readLogical(spark, fullSchema, paths)
+      val hasDeletes = snapshot.deleteFiles.nonEmpty
+      var df: DataFrame =
+        if (hasDeletes)
+          SchemaNames.readLogicalWithProvenance(spark, fullSchema, paths)
+        else SchemaNames.readLogical(spark, fullSchema, paths)
       // `_file` metadata column (SupportsMetadataColumns) is served from
       // the parquet reader's provenance function
       if (required.fieldNames.contains("_file"))
         df = df.withColumn("_file", org.apache.spark.sql.functions.input_file_name())
       FilterTranslate.conjunction(filters.toIndexedSeq).foreach(c => df = df.filter(c))
+      // merge-on-read: subtract position-delete tuples (after the pushed
+      // filters — deletes only ever REMOVE rows, so filtering first is
+      // both safe and cheaper), then drop the provenance columns
+      if (hasDeletes)
+        df = PositionDeletes.applyTo(spark, store, df, snapshot.deleteFiles)
+          .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
       val projected =
         if (required.isEmpty) df
         else df.select(required.fieldNames.map(col).toIndexedSeq: _*)
@@ -362,19 +431,27 @@ final class GraftWriteBuilder(store: SnapshotStore)
                   val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
                   // NULL-evaluating rows are outside the overwritten region
                   // and must survive (same NULL semantics as DELETE).
-                  val kept = SchemaNames.readLogical(spark, head.schema, paths)
+                  // Pending MOR deletes fold into the rewrite.
+                  val kept = PositionDeletes.applyTo(spark, store,
+                      SchemaNames.readLogicalWithProvenance(
+                        spark, head.schema, paths),
+                      head.deleteFiles)
                     .filter(fnot(coalesce(cond, lit(false))))
+                    .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
                   GraftWriter.writeFiles(spark, store, head.schema,
                     head.partitionSpec, kept)
                 }
               val added = GraftWriter.writeFiles(spark, store, head.schema,
                 head.partitionSpec, data)
+              val keptDeletes = PositionDeletes.retain(spark, store,
+                head.deleteFiles, untouched)
               store.commit { prev =>
                 val p = prev.getOrElse(head)
                 p.copy(
                   timestampMs = System.currentTimeMillis(),
                   operation = "overwrite",
                   files = untouched ++ keptFiles ++ added,
+                  deleteFiles = keptDeletes,
                   summary = Map(
                     "replaced-files" -> touched.size.toString,
                     "added-files" -> added.size.toString))
@@ -412,10 +489,14 @@ final class GraftWriteBuilder(store: SnapshotStore)
         if (head.partitionSpec.isEmpty) (p.files, Seq.empty[DataFile])
         else p.files.partition(f => f.partitionValues.size == nSpec &&
           completeNew.contains(f.partitionValues))
+      // tuples referencing replaced partitions' files die with them
+      val keptDeletes = PositionDeletes.retain(
+        org.apache.spark.sql.SparkSession.active, store, p.deleteFiles, kept)
       p.copy(
         timestampMs = System.currentTimeMillis(),
         operation = "overwrite",
         files = kept ++ added,
+        deleteFiles = keptDeletes,
         summary = Map(
           "replaced-files" -> replaced.size.toString,
           "added-files" -> added.size.toString,

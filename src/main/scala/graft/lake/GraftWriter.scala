@@ -267,15 +267,20 @@ object GraftWriter {
     store.commit { prev =>
       val p = prev.getOrElse(head)
       val base = if (overwrite) Seq.empty else p.files
+      // full overwrite discards every previous row — pending MOR delete
+      // tuples reference only discarded files, so they go too
+      val dels = if (overwrite) Seq.empty else p.deleteFiles
       p.copy(
         timestampMs = System.currentTimeMillis(),
         operation = if (overwrite) "overwrite" else "append",
         files = base ++ newFiles,
+        deleteFiles = dels,
         summary = Map(
           "added-files" -> newFiles.size.toString,
           "added-records" -> newFiles.map(_.rowCount).sum.toString,
           "total-files" -> (base.size + newFiles.size).toString,
-          "total-records" -> (base ++ newFiles).map(_.rowCount).sum.toString))
+          "total-records" -> ((base ++ newFiles).map(_.rowCount).sum -
+            dels.map(_.rowCount).sum).toString))
     }
   }
 }

@@ -31,10 +31,15 @@ object Maintenance {
     if (small.size <= 1) return head // nothing to gain
     val keep = head.files.filterNot(small.contains)
     val paths = small.map(f => store.tableDir.resolve(f.path).toString)
-    val df = SchemaNames.readLogical(spark, head.schema, paths)
+    // pending MOR delete tuples on compacted files fold into the rewrite
+    val df = PositionDeletes.applyTo(spark, store,
+        SchemaNames.readLogicalWithProvenance(spark, head.schema, paths),
+        head.deleteFiles)
+      .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
       .coalesce(math.max(1, small.map(_.sizeBytes).sum / smallFileThresholdBytes).toInt)
     val rewritten = GraftWriter.writeFiles(spark, store, head.schema,
       head.partitionSpec, df)
+    val keptDeletes = PositionDeletes.retain(spark, store, head.deleteFiles, keep)
     store.commit { prev =>
       val p = prev.getOrElse(head)
       require(p.version == head.version,
@@ -43,10 +48,56 @@ object Maintenance {
         timestampMs = System.currentTimeMillis(),
         operation = "replace",
         files = keep ++ rewritten,
+        deleteFiles = keptDeletes,
         summary = Map(
           "compacted-files" -> small.size.toString,
           "new-files" -> rewritten.size.toString,
-          "total-records" -> (keep ++ rewritten).map(_.rowCount).sum.toString))
+          "total-records" -> ((keep ++ rewritten).map(_.rowCount).sum -
+            keptDeletes.map(_.rowCount).sum).toString))
+    }
+  }
+
+  /** Fold accumulated merge-on-read position deletes back into the data:
+    * every data file with pending tuples is rewritten without its deleted
+    * rows; the commit clears `deleteFiles`. The MOR maintenance
+    * counterpart of `compact` (Iceberg's `rewrite_position_delete_files` +
+    * data rewrite in one): DELETEs stay O(matches) at write time, and this
+    * periodic rewrite keeps the read-side anti-join from growing. Only
+    * files actually referenced by a tuple are rewritten. */
+  def rewriteDeletes(spark: SparkSession, store: SnapshotStore): Snapshot = {
+    val head = store.head().getOrElse(
+      throw new IllegalStateException(s"no table at ${store.tableDir}"))
+    if (head.deleteFiles.isEmpty) return head
+    val touchedNames = PositionDeletes.positionsByFileName(
+      spark, store, head.deleteFiles, head.files).keySet
+    val (touched, untouched) = head.files.partition(f =>
+      touchedNames.contains(PositionDeletes.fileName(f.path)))
+    val rewritten: Seq[DataFile] =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
+        val live = PositionDeletes.applyTo(spark, store,
+            SchemaNames.readLogicalWithProvenance(spark, head.schema, paths),
+            head.deleteFiles)
+          .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
+        GraftWriter.writeFiles(spark, store, head.schema, head.partitionSpec, live)
+      }
+    store.commit { prev =>
+      val p = prev.getOrElse(head)
+      require(p.version == head.version,
+        "concurrent commit during rewrite_deletes; retry")
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "replace",
+        files = untouched ++ rewritten,
+        deleteFiles = Seq.empty,
+        summary = Map(
+          "rewritten-files" -> touched.size.toString,
+          "removed-delete-files" -> head.deleteFiles.size.toString,
+          "applied-position-deletes" ->
+            head.deleteFiles.map(_.rowCount).sum.toString,
+          "total-records" ->
+            (untouched ++ rewritten).map(_.rowCount).sum.toString))
     }
   }
 
@@ -62,10 +113,12 @@ object Maintenance {
     val (expirable, keepTail) = versions.splitAt(versions.size - keepLast)
     val (tagged, expire) = expirable.partition(pinned.contains)
     val keep = tagged ++ keepTail
+    def allPaths(s: Snapshot): Seq[String] =
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
     val referenced: Set[String] =
-      keep.map(store.read).flatMap(_.files.map(_.path)).toSet
+      keep.map(store.read).flatMap(allPaths).toSet
     val expiredRefs: Set[String] =
-      expire.map(store.read).flatMap(_.files.map(_.path)).toSet
+      expire.map(store.read).flatMap(allPaths).toSet
     (expiredRefs -- referenced).foreach { rel =>
       Files.deleteIfExists(store.tableDir.resolve(rel))
     }
@@ -153,7 +206,7 @@ object Maintenance {
     * crashed commits). */
   def removeOrphanFiles(store: SnapshotStore): Seq[String] = {
     val referenced = store.listVersions().map(store.read)
-      .flatMap(_.files.map(_.path)).toSet
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     if (!Files.isDirectory(store.dataDir)) return Seq.empty
     val orphans = Files.list(store.dataDir).iterator().asScala
       .filter(p => !referenced.contains(s"data/${p.getFileName}"))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object MetadataTables {
 
   val names: Set[String] = Set("history", "snapshots", "files", "partitions",
-    "refs", "stats")
+    "refs", "stats", "delete_files")
 
   val historySchema: StructType = StructType(Seq(
     StructField("made_current_at", TimestampType),
@@ -39,6 +39,11 @@ object MetadataTables {
   val filesSchema: StructType = StructType(Seq(
     StructField("file_path", StringType),
     StructField("partition", MapType(StringType, StringType)),
+    StructField("record_count", LongType),
+    StructField("file_size_in_bytes", LongType)))
+
+  val deleteFilesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType),
     StructField("record_count", LongType),
     StructField("file_size_in_bytes", LongType)))
 
@@ -80,6 +85,12 @@ object MetadataTables {
         val rows = head.flatMap(_.files).map(f =>
           Row(f.path, f.partitionValues, f.rowCount, f.sizeBytes))
         new LocalTable(s"$tableName.files", filesSchema, rows)
+      case "delete_files" =>
+        // pending merge-on-read position-delete files (the rewrite_deletes
+        // dashboard: how much anti-join weight has accumulated)
+        val rows = store.head().toSeq.flatMap(_.deleteFiles).map(f =>
+          Row(f.path, f.rowCount, f.sizeBytes))
+        new LocalTable(s"$tableName.delete_files", deleteFilesSchema, rows)
       case "partitions" =>
         // the small-files / hot-partition dashboard query (what the
         // compaction procedure reads to decide where to work)

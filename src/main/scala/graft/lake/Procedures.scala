@@ -27,9 +27,9 @@ import org.apache.spark.sql.types._
 object Procedures {
 
   val Namespace: Array[String] = Array("system")
-  val names: Seq[String] = Seq("compact", "expire_snapshots",
-    "remove_orphan_files", "create_tag", "drop_tag", "rollback_to_version",
-    "refresh_mv", "set_partition_spec", "analyze")
+  val names: Seq[String] = Seq("compact", "rewrite_deletes",
+    "expire_snapshots", "remove_orphan_files", "create_tag", "drop_tag",
+    "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze")
 
   /** Parse a comma list of partition-field specs: `col` (identity),
     * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
@@ -62,6 +62,14 @@ object Procedures {
           val tbl = args.getUTF8String(0).toString
           val snap = Maintenance.compact(SparkSession.active, storeFor(tbl))
           Seq(Row(tbl, snap.version, snap.files.size.toLong))
+        }
+      case "rewrite_deletes" =>
+        simple(ident.name(),
+          "fold merge-on-read position deletes back into the data files",
+          Seq(ProcedureParameter.in("table", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val snap = Maintenance.rewriteDeletes(SparkSession.active, storeFor(tbl))
+          Seq(Row(tbl, snap.version, snap.deleteFiles.size.toLong))
         }
       case "expire_snapshots" =>
         simple(ident.name(), "drop old snapshot versions and unreferenced files",

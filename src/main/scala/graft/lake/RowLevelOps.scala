@@ -89,15 +89,23 @@ final class GraftRowLevelOperation(
         cmd.name().toLowerCase,
         commitFiles = { newFiles =>
           val replaced = scannedFiles
+          val replacedSet = replaced.map(_.path).toSet
+          val surviving = base.files.filterNot(f => replacedSet.contains(f.path))
+          // MOR tuples for replaced files were applied by the rewrite scan
+          // (GraftPartitionReader skips them); keep only tuples that still
+          // reference a surviving file
+          val keptDeletes = PositionDeletes.retain(
+            org.apache.spark.sql.SparkSession.active, store,
+            base.deleteFiles, surviving)
           store.commit { prev =>
             val p = prev.getOrElse(base)
             require(p.version == base.version,
               s"concurrent commit during ${cmd.name()} on ${store.tableDir}")
-            val replacedSet = replaced.map(_.path).toSet
             p.copy(
               timestampMs = System.currentTimeMillis(),
               operation = cmd.name().toLowerCase,
               files = p.files.filterNot(f => replacedSet.contains(f.path)) ++ newFiles,
+              deleteFiles = keptDeletes,
               summary = Map(
                 "replaced-files" -> replaced.size.toString,
                 "added-files" -> newFiles.size.toString))

@@ -58,6 +58,21 @@ object SchemaNames {
     spark.read.schema(toPhysical(schema)).parquet(paths: _*)
       .toDF(schema.fieldNames.toIndexedSeq: _*)
 
+  /** [[readLogical]] plus two provenance columns from the parquet reader's
+    * `_metadata` struct: the data file's NAME ([[PositionDeletes.NameCol]])
+    * and the row's 0-based index within it ([[PositionDeletes.RowPosCol]]) —
+    * the join identity of merge-on-read position deletes. */
+  def readLogicalWithProvenance(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val phys = spark.read.schema(toPhysical(schema)).parquet(paths: _*)
+    val cols = schema.fields.toSeq.map(f => col(physicalName(f)).as(f.name)) ++ Seq(
+      element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as(PositionDeletes.NameCol),
+      col("_metadata.row_index").as(PositionDeletes.RowPosCol))
+    phys.select(cols: _*)
+  }
+
   /** Rewrite a V1 filter's attribute names through `m` (logical →
     * physical). Identity when `m` is empty. */
   def renameFilter(f: Filter, m: Map[String, String]): Filter = {

@@ -40,6 +40,19 @@ final case class DataFile(
     blooms: Map[String, String] = Map.empty,
     ndv: Map[String, String] = Map.empty)
 
+/** One immutable position-delete file (merge-on-read DELETE): a parquet
+  * file with columns `(file_path STRING, pos BIGINT)` naming rows of DATA
+  * files (by their snapshot-relative path + 0-based row index) that are
+  * deleted as of this snapshot. Readers anti-join these tuples; data files
+  * themselves are untouched — the Iceberg v2 position-delete design
+  * (reference stack: Iceberg 1.4, `README.md:124` "new data files created,
+  * old ones marked deleted"). A 100 TB table deleting 100 rows writes one
+  * KB-sized file instead of rewriting TB of data. */
+final case class DeleteFile(
+    path: String,      // relative to tableDir, e.g. "data/<uuid>-deletes.parquet"
+    rowCount: Long,    // number of (file_path, pos) tuples
+    sizeBytes: Long)
+
 final case class PartitionField(
     name: String,      // partition field name, e.g. "created_date" or "days(created_at)"
     transform: String, // identity | days | months | years | bucket[N]
@@ -54,12 +67,18 @@ final case class Snapshot(
     partitionSpec: Seq[PartitionField],
     properties: Map[String, String],
     files: Seq[DataFile],
-    summary: Map[String, String]) {
+    summary: Map[String, String],
+    deleteFiles: Seq[DeleteFile] = Seq.empty) {
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
-  def totalRows: Long = files.map(_.rowCount).sum
+  /** Live row count: data-file rows minus position-delete tuples. Delete
+    * files never hold duplicate or dangling tuples (deleteWhere anti-joins
+    * against already-deleted positions before writing), so plain
+    * subtraction is exact. */
+  def totalRows: Long =
+    files.map(_.rowCount).sum - deleteFiles.map(_.rowCount).sum
   def totalBytes: Long = files.map(_.sizeBytes).sum
 }
 

@@ -223,7 +223,40 @@ object LakeOps {
               ORDER BY l_orderkey, l_partkey, l_suppkey, qty""")
   }
 
+  /** Merge-on-read DELETE correctness end to end: customers loaded into a
+    * MOR table, two stacked DELETEs recorded as position-delete files (data
+    * files untouched), then a full scan + aggregation — must hash-match
+    * DuckDB computing the same deletes as WHERE complements. Exercises the
+    * tuple write path, the anti-join read path, and their NULL semantics. */
+  val qLakeMorDelete: Q = Q(
+    "q_lake_mor_delete",
+    """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+       FROM customer
+       WHERE NOT (c_mktsegment = 'BUILDING')
+         AND NOT (c_custkey % 7 = 0)
+       GROUP BY c_nationkey ORDER BY c_nationkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.customer_mor")
+    s.sql(s"""CREATE TABLE $Cat.verify.customer_mor
+              (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE,
+               c_mktsegment STRING)
+              USING graft
+              TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("graft_src_customer_mor")
+    s.sql(s"INSERT INTO $Cat.verify.customer_mor SELECT * FROM graft_src_customer_mor")
+    s.sql(s"DELETE FROM $Cat.verify.customer_mor WHERE c_mktsegment = 'BUILDING'")
+    s.sql(s"DELETE FROM $Cat.verify.customer_mor WHERE c_custkey % 7 = 0")
+    s.sql(s"""SELECT c_nationkey, count(*) AS n,
+                     round(sum(c_acctbal), 2) AS bal
+              FROM $Cat.verify.customer_mor
+              GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
-    qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered)
+    qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
+    qLakeMorDelete)
 }
