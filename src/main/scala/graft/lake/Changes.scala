@@ -51,13 +51,15 @@ object Changes {
     val netEffective = net && !schema.fields.exists(f => hasMap(f.dataType))
     val versions = all.filter(v => v > fromVersion && v <= toVersion).sorted
 
-    /** Read `files` as LIVE rows under `deletes` (merge-on-read tuples
-      * subtracted) — a file-set diff names changed files, but the rows a
-      * reader actually saw at a version exclude its position deletes. */
-    def readFiles(files: Seq[DataFile], deletes: Seq[DeleteFile]): DataFrame = {
+    /** Read `files` as LIVE rows under `asOf`'s deletes (merge-on-read
+      * position tuples and equality keys subtracted) — a file-set diff
+      * names changed files, but the rows a reader actually saw at a
+      * version exclude its pending deletes. */
+    def readFiles(files: Seq[DataFile], asOf: Snapshot): DataFrame = {
       val df = SchemaNames.readLogicalWithProvenance(spark, schema,
         files.map(f => store.tableDir.resolve(f.path).toString))
-      PositionDeletes.applyTo(spark, store, df, deletes)
+      PositionDeletes.applySnapshotDeletes(spark, store, df, asOf,
+          readSchema = schema)
         .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
     }
 
@@ -79,12 +81,14 @@ object Changes {
       val added = snap.files.filterNot(f => parentSet.contains(f.path))
       val removed = parentFiles.filterNot(f => curSet.contains(f.path))
       // a merge-on-read DELETE changes no data file — its changed rows are
-      // named by the NEW delete tuples, read back from the data files
+      // named by the NEW delete files: position tuples are read back
+      // directly; equality keys are resolved to rows live at the PARENT
+      // (an equality delete is written blind, so its keys may also hit
+      // rows that were already deleted — those must not be re-emitted)
       val parentDelSet = parentDeletes.map(_.path).toSet
       val newDeleteFiles = snap.deleteFiles.filterNot(f => parentDelSet.contains(f.path))
-      val morDeleted: Option[DataFrame] =
-        if (newDeleteFiles.isEmpty) None
-        else PositionDeletes.tuples(spark, store, newDeleteFiles).map { t =>
+      val morDeletedPos: Option[DataFrame] =
+        PositionDeletes.tuples(spark, store, newDeleteFiles).map { t =>
           val data = SchemaNames.readLogicalWithProvenance(spark, schema,
             snap.files.map(f => store.tableDir.resolve(f.path).toString))
           data.join(t,
@@ -93,8 +97,17 @@ object Changes {
             "left_semi")
             .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
         }
-      val ins = if (added.nonEmpty) Some(readFiles(added, snap.deleteFiles)) else None
-      val del = if (removed.nonEmpty) Some(readFiles(removed, parentDeletes)) else None
+      val morDeletedEq: Option[DataFrame] = parent.flatMap { par =>
+        PositionDeletes.equalityMatchedRows(spark, store, snap,
+            newDeleteFiles.filter(_.kind == "equality"), par.files,
+            readSchema = schema)
+          .map(m => PositionDeletes.applySnapshotDeletes(spark, store, m, par,
+              readSchema = schema)
+            .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol))
+      }
+      val ins = if (added.nonEmpty) Some(readFiles(added, snap)) else None
+      val del = if (removed.nonEmpty) Some(readFiles(removed,
+        parent.getOrElse(snap))) else None
       val (insN, delN) = if (netEffective) (ins, del) match {
         case (Some(i), Some(dl)) => (Some(i.exceptAll(dl)), Some(dl.exceptAll(i)))
         case other => other
@@ -104,7 +117,7 @@ object Changes {
         .withColumn(CommitVersion, lit(v))
         .withColumn(CommitTimestamp, lit(new java.sql.Timestamp(snap.timestampMs)))
       insN.map(tag(_, "insert")) ++ delN.map(tag(_, "delete")) ++
-        morDeleted.map(tag(_, "delete"))
+        morDeletedPos.map(tag(_, "delete")) ++ morDeletedEq.map(tag(_, "delete"))
     }
 
     parts.reduceOption(_.unionAll(_)).getOrElse {

@@ -111,9 +111,9 @@ final class GraftBatchScan(
     // merge-on-read: hand each reader the sorted deleted positions of its
     // file so COW rewrites never resurrect deleted rows
     val posByName: Map[String, Array[Long]] =
-      PositionDeletes.positionsByFileName(
+      PositionDeletes.allPositionsByFileName(
         org.apache.spark.sql.SparkSession.active, store,
-        snapshot.deleteFiles, currentFiles)
+        snapshot, currentFiles)
     currentFiles.map { f =>
       GraftInputPartition(
         store.tableDir.resolve(f.path).toString,

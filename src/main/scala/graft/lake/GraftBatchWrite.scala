@@ -147,7 +147,8 @@ final class GraftDataWriter(
       w.close()
       val size = java.nio.file.Files.size(
         java.nio.file.Paths.get(tableDirStr).resolve(name))
-      DataFile(name, stats.rowCount, size, pv, stats.result())
+      DataFile(name, stats.rowCount, size, pv, stats.result(),
+        seq = Snapshot.UnassignedSeq)
     }
     GraftCommitMessage(files)
   }

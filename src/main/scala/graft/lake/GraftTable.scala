@@ -109,6 +109,32 @@ class GraftTable(
         s"untranslatable delete condition: ${filters.mkString(", ")}"))
     if (s.properties.getOrElse("graft.delete-mode", "copy-on-write")
         == "merge-on-read") {
+      // Fastest path: a pure-equality condition (k = v [AND ...] or
+      // k IN (...)) commits as an EQUALITY delete file — key values only,
+      // NO scan of any data file. O(keys) regardless of table size; the
+      // read side resolves matches under sequence ordering.
+      equalityDeleteKeys(filters, s.schema) match {
+        case Some((physCols, keysDf)) =>
+          val newDeletes = PositionDeletes.writeEqualityDeleteFiles(
+            spark, store, keysDf, physCols)
+          store.commit { prev =>
+            val p = prev.getOrElse(s)
+            require(p.version == s.version,
+              s"concurrent commit during DELETE on $tableName; retry")
+            p.copy(
+              timestampMs = System.currentTimeMillis(),
+              operation = "delete",
+              deleteFiles = p.deleteFiles ++ newDeletes,
+              summary = Map(
+                "delete-mode" -> "merge-on-read",
+                "delete-kind" -> "equality",
+                "added-delete-files" -> newDeletes.size.toString,
+                "equality-delete-keys" ->
+                  newDeletes.map(_.rowCount).sum.toString))
+          }
+          return
+        case None => // fall through to the positional path
+      }
       // Merge-on-read: record (file, pos) tuples of the matching rows in a
       // small delete file; data files stay untouched. Cost scales with the
       // MATCHES, not the table — the 100 TB DELETE shape.
@@ -119,7 +145,7 @@ class GraftTable(
           val data = SchemaNames.readLogicalWithProvenance(spark, s.schema, paths)
           // apply EXISTING deletes first so re-deleting an already-deleted
           // row never records a duplicate tuple (keeps totalRows exact)
-          val live = PositionDeletes.applyTo(spark, store, data, s.deleteFiles)
+          val live = PositionDeletes.applySnapshotDeletes(spark, store, data, s)
           // MOR records rows where cond IS TRUE (the complement of COW's
           // keep-set): NULL-evaluating rows are not deleted.
           val matched = live.filter(coalesce(cond, lit(false)))
@@ -160,9 +186,8 @@ class GraftTable(
         // evaluates NULL (e.g. `c = 5` on a NULL c) must be KEPT. Pending
         // MOR deletes on the touched files are folded into the rewrite
         // (the kept rows are the LIVE complement of the condition).
-        val kept = PositionDeletes.applyTo(spark, store,
-            SchemaNames.readLogicalWithProvenance(spark, s.schema, paths),
-            s.deleteFiles)
+        val kept = PositionDeletes.applySnapshotDeletes(spark, store,
+            SchemaNames.readLogicalWithProvenance(spark, s.schema, paths), s)
           .filter(fnot(coalesce(cond, lit(false))))
           .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
         GraftWriter.writeFiles(spark, store, s.schema, s.partitionSpec, kept)
@@ -186,6 +211,50 @@ class GraftTable(
           "total-records" -> ((untouched ++ rewritten).map(_.rowCount).sum -
             keptDeletes.map(_.rowCount).sum).toString))
     }
+  }
+
+  /** Translate a DELETE condition into equality-delete keys when it is a
+    * conjunction of `col = literal` (one row over several columns) or a
+    * single `col IN (literals)` (one row per value). Nulls disqualify:
+    * `c = NULL` matches nothing in SQL, and equality tuples are non-null
+    * by contract. Returns (physical column names, key rows). */
+  private def equalityDeleteKeys(
+      filters: Array[Filter],
+      schema: StructType): Option[(Seq[String], DataFrame)] = {
+    import org.apache.spark.sql.{Row => SRow}
+    import scala.jdk.CollectionConverters._
+    def fieldOf(name: String) = schema.fields.find(_.name == name)
+    val flat = filters.flatMap {
+      case org.apache.spark.sql.sources.And(l, r) => Seq(l, r)
+      case f => Seq(f)
+    }
+    // single IN: one row per value
+    flat match {
+      case Array(org.apache.spark.sql.sources.In(a, vs))
+          if vs.nonEmpty && vs.forall(_ != null) && fieldOf(a).isDefined =>
+        val f = fieldOf(a).get
+        val phys = SchemaNames.physicalName(f)
+        val rows: Seq[SRow] = vs.toIndexedSeq.map(v => SRow(v))
+        val df = SparkSession.active.createDataFrame(rows.asJava,
+          StructType(Seq(f.copy(name = phys))))
+        return Some(Seq(phys) -> df)
+      case _ =>
+    }
+    // conjunction of EqualTo over distinct columns: one multi-column row
+    val eqs = flat.collect {
+      case org.apache.spark.sql.sources.EqualTo(a, v)
+          if v != null && fieldOf(a).isDefined => (a, v)
+    }
+    if (eqs.length != flat.length || eqs.isEmpty ||
+        eqs.map(_._1).distinct.length != eqs.length) return None
+    val fields = eqs.map { case (a, _) =>
+      val f = fieldOf(a).get
+      f.copy(name = SchemaNames.physicalName(f))
+    }
+    val df = SparkSession.active.createDataFrame(
+      Seq(SRow(eqs.map(_._2).toIndexedSeq: _*)).asJava,
+      StructType(fields.toIndexedSeq))
+    Some(fields.map(_.name).toSeq -> df)
   }
 
   override def toString: String = s"GraftTable($tableName)"
@@ -362,7 +431,7 @@ final class GraftRelation(
       // filters — deletes only ever REMOVE rows, so filtering first is
       // both safe and cheaper), then drop the provenance columns
       if (hasDeletes)
-        df = PositionDeletes.applyTo(spark, store, df, snapshot.deleteFiles)
+        df = PositionDeletes.applySnapshotDeletes(spark, store, df, snapshot)
           .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
       val projected =
         if (required.isEmpty) df
@@ -432,10 +501,10 @@ final class GraftWriteBuilder(store: SnapshotStore)
                   // NULL-evaluating rows are outside the overwritten region
                   // and must survive (same NULL semantics as DELETE).
                   // Pending MOR deletes fold into the rewrite.
-                  val kept = PositionDeletes.applyTo(spark, store,
+                  val kept = PositionDeletes.applySnapshotDeletes(spark, store,
                       SchemaNames.readLogicalWithProvenance(
                         spark, head.schema, paths),
-                      head.deleteFiles)
+                      head)
                     .filter(fnot(coalesce(cond, lit(false))))
                     .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
                   GraftWriter.writeFiles(spark, store, head.schema,

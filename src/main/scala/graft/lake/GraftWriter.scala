@@ -225,7 +225,8 @@ object GraftWriter {
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         DataFile(s"data/$newName", cnt, size, pvs, stats,
           blooms = bloomsByFile.getOrElse(p.getFileName.toString, Map.empty),
-          ndv = ndvByFile.getOrElse(p.getFileName.toString, Map.empty))
+          ndv = ndvByFile.getOrElse(p.getFileName.toString, Map.empty),
+          seq = Snapshot.UnassignedSeq)
       }
     } finally {
       if (Files.exists(staging)) {

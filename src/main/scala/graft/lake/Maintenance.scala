@@ -32,9 +32,9 @@ object Maintenance {
     val keep = head.files.filterNot(small.contains)
     val paths = small.map(f => store.tableDir.resolve(f.path).toString)
     // pending MOR delete tuples on compacted files fold into the rewrite
-    val df = PositionDeletes.applyTo(spark, store,
+    val df = PositionDeletes.applySnapshotDeletes(spark, store,
         SchemaNames.readLogicalWithProvenance(spark, head.schema, paths),
-        head.deleteFiles)
+        head)
       .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
       .coalesce(math.max(1, small.map(_.sizeBytes).sum / smallFileThresholdBytes).toInt)
     val rewritten = GraftWriter.writeFiles(spark, store, head.schema,
@@ -68,17 +68,22 @@ object Maintenance {
     val head = store.head().getOrElse(
       throw new IllegalStateException(s"no table at ${store.tableDir}"))
     if (head.deleteFiles.isEmpty) return head
-    val touchedNames = PositionDeletes.positionsByFileName(
+    // files to rewrite: referenced by a position tuple, or old enough for
+    // a pending equality delete to apply (conservative — the rewrite of an
+    // unaffected old file is a no-op content-wise)
+    val posNames = PositionDeletes.positionsByFileName(
       spark, store, head.deleteFiles, head.files).keySet
+    val eqDeletes = head.deleteFiles.filter(_.kind == "equality")
     val (touched, untouched) = head.files.partition(f =>
-      touchedNames.contains(PositionDeletes.fileName(f.path)))
+      posNames.contains(PositionDeletes.fileName(f.path)) ||
+        eqDeletes.exists(e => f.seq < e.seq))
     val rewritten: Seq[DataFile] =
       if (touched.isEmpty) Seq.empty
       else {
         val paths = touched.map(f => store.tableDir.resolve(f.path).toString)
-        val live = PositionDeletes.applyTo(spark, store,
+        val live = PositionDeletes.applySnapshotDeletes(spark, store,
             SchemaNames.readLogicalWithProvenance(spark, head.schema, paths),
-            head.deleteFiles)
+            head)
           .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
         GraftWriter.writeFiles(spark, store, head.schema, head.partitionSpec, live)
       }

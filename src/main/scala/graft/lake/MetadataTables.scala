@@ -45,7 +45,10 @@ object MetadataTables {
   val deleteFilesSchema: StructType = StructType(Seq(
     StructField("file_path", StringType),
     StructField("record_count", LongType),
-    StructField("file_size_in_bytes", LongType)))
+    StructField("file_size_in_bytes", LongType),
+    StructField("kind", StringType),
+    StructField("equality_columns", StringType),
+    StructField("sequence_number", LongType)))
 
   val partitionsSchema: StructType = StructType(Seq(
     StructField("partition", MapType(StringType, StringType)),
@@ -89,7 +92,9 @@ object MetadataTables {
         // pending merge-on-read position-delete files (the rewrite_deletes
         // dashboard: how much anti-join weight has accumulated)
         val rows = store.head().toSeq.flatMap(_.deleteFiles).map(f =>
-          Row(f.path, f.rowCount, f.sizeBytes))
+          Row(f.path, f.rowCount, f.sizeBytes, f.kind,
+            if (f.equalityColumns.isEmpty) null
+            else f.equalityColumns.mkString(","), f.seq))
         new LocalTable(s"$tableName.delete_files", deleteFilesSchema, rows)
       case "partitions" =>
         // the small-files / hot-partition dashboard query (what the

@@ -53,7 +53,8 @@ object PositionDeletes {
   /** All tuples of `deleteFiles` as `(NameCol, RowPosCol)` — file paths
     * reduced to names for provenance joins. None when there are none. */
   def tuples(spark: SparkSession, store: SnapshotStore,
-      deleteFiles: Seq[DeleteFile]): Option[DataFrame] =
+      deleteFilesIn: Seq[DeleteFile]): Option[DataFrame] = {
+    val deleteFiles = deleteFilesIn.filter(_.kind == "position")
     if (deleteFiles.isEmpty) None
     else {
       val paths = deleteFiles.map(f => store.tableDir.resolve(f.path).toString)
@@ -65,6 +66,7 @@ object PositionDeletes {
         if (deleteFiles.map(_.sizeBytes).sum <= BroadcastMaxBytes) broadcast(t)
         else t)
     }
+  }
 
   /** Remove deleted rows from a data read that carries `NameCol`/`RowPosCol`
     * provenance columns (see [[SchemaNames.readLogicalWithProvenance]]).
@@ -104,7 +106,8 @@ object PositionDeletes {
           val target = store.dataDir.resolve(newName)
           val size = Files.size(p)
           Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-          Some(DeleteFile(s"data/$newName", cnt, size))
+          Some(DeleteFile(s"data/$newName", cnt, size,
+            seq = Snapshot.UnassignedSeq))
         }
       }
     } finally {
@@ -115,21 +118,164 @@ object PositionDeletes {
     }
   }
 
-  /** Rewrite `deleteFiles` keeping only tuples that reference a surviving
-    * data file — called by commits that REMOVE data files (COW rewrites,
-    * compaction) so no dangling tuples accumulate and
-    * `Snapshot.totalRows`'s subtraction stays exact. Cheap by construction:
-    * delete files are small (else `rewrite_deletes` should have folded them
-    * in). Returns the replacement entries; the caller commits them. */
+  /** Stage an EQUALITY delete: `keys` holds one row per deleted key over
+    * `physCols` (the table's PHYSICAL column names, which is also the
+    * column naming inside the staged parquet). No data scan happens here —
+    * that is the whole point: an equality DELETE/upsert commits in O(keys)
+    * regardless of table size; readers subtract matches with sequence
+    * ordering (only files older than this commit are affected). */
+  def writeEqualityDeleteFiles(spark: SparkSession, store: SnapshotStore,
+      keys: DataFrame, physCols: Seq[String]): Seq[DeleteFile] = {
+    val staging = store.tableDir.resolve(s".staging-eqdel-${UUID.randomUUID()}")
+    try {
+      keys.select(physCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+        .coalesce(1) // key sets are small by design; one file per commit
+        .write.parquet(staging.toString)
+      val staged = Files.walk(staging).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toSeq
+      staged.flatMap { p =>
+        val (cnt, _) = FooterStats.read(p, Seq.empty)
+        if (cnt == 0) None
+        else {
+          val newName = s"${UUID.randomUUID()}-eq-deletes.parquet"
+          val target = store.dataDir.resolve(newName)
+          val size = Files.size(p)
+          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          Some(DeleteFile(s"data/$newName", cnt, size, kind = "equality",
+            equalityColumns = physCols, seq = Snapshot.UnassignedSeq))
+        }
+      }
+    } finally {
+      if (Files.exists(staging)) {
+        Files.walk(staging).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** Sequence column names for equality application (collision-proofed
+    * like the provenance columns). */
+  val FileSeqCol = "__gdel_fseq"
+  val DelSeqCol = "__gdel_dseq"
+
+  /** Apply ALL of `snap`'s pending deletes (position tuples + equality
+    * keys) to a provenance-carrying data read. Equality semantics: a row
+    * dies iff its key equals a tuple AND its data file's commit sequence
+    * is strictly below the delete's. Provenance columns are kept. */
+  def applySnapshotDeletes(spark: SparkSession, store: SnapshotStore,
+      dataWithProvenance: DataFrame, snap: Snapshot,
+      readSchema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    val (eq, pos) = snap.deleteFiles.partition(_.kind == "equality")
+    var df = applyTo(spark, store, dataWithProvenance, pos)
+    if (eq.nonEmpty) {
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      // file name -> commit sequence, tiny and driver-known
+      val seqLookup = broadcast(spark.createDataFrame(
+        snap.files.map(f => (fileName(f.path), f.seq)))
+        .toDF(NameCol, FileSeqCol))
+      df = df.join(seqLookup, NameCol)
+      // physical -> current logical name (files + delete tuples store
+      // physical; the provenance read exposes logical). `readSchema`
+      // overrides when the data was read under a DIFFERENT schema version
+      // than `snap` (CDC reads everything under the range's end schema).
+      val sch = Option(readSchema).getOrElse(snap.schema)
+      val physToLogical: Map[String, String] =
+        sch.fields.map(f => SchemaNames.physicalName(f) -> f.name).toMap
+      for ((cols, group) <- eq.groupBy(_.equalityColumns)) {
+        val logical = cols.map(c => physToLogical.getOrElse(c,
+          throw new IllegalStateException(
+            s"equality-delete column '$c' no longer exists in the table " +
+              "schema; run rewrite_deletes before dropping delete-key columns")))
+        val parts = group.map { g =>
+          spark.read.parquet(store.tableDir.resolve(g.path).toString)
+            .toDF(cols.map(c => s"__geq_$c"): _*)
+            .withColumn(DelSeqCol, lit(g.seq))
+        }
+        val tup0 = parts.reduce(_ unionByName _)
+        val tup = if (group.map(_.sizeBytes).sum <= 32L * 1024 * 1024)
+          broadcast(tup0) else tup0
+        val keyEq = cols.zip(logical).map { case (p, l) =>
+          df(l) === tup(s"__geq_$p")
+        }.reduce(_ && _)
+        df = df.join(tup, keyEq && df(FileSeqCol) < tup(DelSeqCol), "left_anti")
+      }
+      df = df.drop(FileSeqCol)
+    }
+    df
+  }
+
+  /** Rewrite `deleteFiles` keeping only entries still needed over the
+    * surviving data files — called by commits that REMOVE data files (COW
+    * rewrites, compaction) so no dangling tuples accumulate and
+    * `Snapshot.totalRows`'s subtraction stays exact. Position files are
+    * rewritten to the surviving tuple subset; an equality file survives
+    * as-is while ANY surviving data file is older than it (its keys may
+    * still mask rows there). Cheap by construction: delete files are small
+    * (else `rewrite_deletes` should have folded them in). Returns the
+    * replacement entries; the caller commits them. */
   def retain(spark: SparkSession, store: SnapshotStore,
       deleteFiles: Seq[DeleteFile],
       survivingFiles: Seq[DataFile]): Seq[DeleteFile] = {
     if (deleteFiles.isEmpty) return Seq.empty
-    val surviving = survivingFiles.map(_.path).toSet
-    val paths = deleteFiles.map(f => store.tableDir.resolve(f.path).toString)
-    val kept = spark.read.schema(tupleSchema).parquet(paths: _*)
-      .filter(col(FilePathCol).isin(surviving.toSeq: _*))
-    writeDeleteFiles(spark, store, kept)
+    val (eq, pos) = deleteFiles.partition(_.kind == "equality")
+    val posKept =
+      if (pos.isEmpty) Seq.empty
+      else {
+        val surviving = survivingFiles.map(_.path).toSet
+        val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
+        val kept = spark.read.schema(tupleSchema).parquet(paths: _*)
+          .filter(col(FilePathCol).isin(surviving.toSeq: _*))
+        writeDeleteFiles(spark, store, kept)
+      }
+    val eqKept = eq.filter(e => survivingFiles.exists(_.seq < e.seq))
+    posKept ++ eqKept
+  }
+
+  /** Rows of a provenance-carrying read over `files` that MATCH any
+    * equality tuple of `eqFiles` under sequence ordering (file.seq <
+    * delete.seq) — the inverse of the anti-join in
+    * [[applySnapshotDeletes]]. Used to materialize what an equality delete
+    * killed (CDC) and to convert equality deletes to positions (COW
+    * reads). Result is deduplicated by provenance. */
+  def equalityMatchedRows(spark: SparkSession, store: SnapshotStore,
+      snap: Snapshot, eqFiles: Seq[DeleteFile], files: Seq[DataFile],
+      readSchema: org.apache.spark.sql.types.StructType = null): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val relevant = files.filter(f => eqFiles.exists(e => f.seq < e.seq))
+    if (eqFiles.isEmpty || relevant.isEmpty) return None
+    val sch = Option(readSchema).getOrElse(snap.schema)
+    val data = SchemaNames.readLogicalWithProvenance(spark, sch,
+      relevant.map(f => store.tableDir.resolve(f.path).toString))
+    val seqLookup = broadcast(spark.createDataFrame(
+      (snap.files ++ files).distinct.map(f => (fileName(f.path), f.seq)))
+      .toDF(NameCol, FileSeqCol))
+    val withSeq = data.join(seqLookup, NameCol)
+    val physToLogical: Map[String, String] =
+      sch.fields.map(f => SchemaNames.physicalName(f) -> f.name).toMap
+    val matches = eqFiles.groupBy(_.equalityColumns).toSeq.map {
+      case (cols, group) =>
+        val logical = cols.map(c => physToLogical.getOrElse(c,
+          throw new IllegalStateException(
+            s"equality-delete column '$c' no longer exists in the table schema")))
+        val parts = group.map { g =>
+          spark.read.parquet(store.tableDir.resolve(g.path).toString)
+            .toDF(cols.map(c => s"__geq_$c"): _*)
+            .withColumn(DelSeqCol, lit(g.seq))
+        }
+        val tup0 = parts.reduce(_ unionByName _)
+        val tup = if (group.map(_.sizeBytes).sum <= 32L * 1024 * 1024)
+          broadcast(tup0) else tup0
+        val keyEq = cols.zip(logical).map { case (p, l) =>
+          withSeq(l) === tup(s"__geq_$p")
+        }.reduce(_ && _)
+        withSeq.join(tup, keyEq && withSeq(FileSeqCol) < tup(DelSeqCol),
+          "left_semi")
+    }
+    Some(matches.reduce(_ unionByName _)
+      .dropDuplicates(NameCol, RowPosCol)
+      .drop(FileSeqCol))
   }
 
   /** Per-data-file deleted positions (sorted ascending), keyed by file
@@ -142,9 +288,10 @@ object PositionDeletes {
   def positionsByFileName(spark: SparkSession, store: SnapshotStore,
       deleteFiles: Seq[DeleteFile],
       files: Seq[DataFile]): Map[String, Array[Long]] = {
-    if (deleteFiles.isEmpty || files.isEmpty) return Map.empty
+    val pos = deleteFiles.filter(_.kind == "position")
+    if (pos.isEmpty || files.isEmpty) return Map.empty
     val wanted = files.map(f => fileName(f.path)).toSet
-    val paths = deleteFiles.map(f => store.tableDir.resolve(f.path).toString)
+    val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
     spark.read.schema(tupleSchema).parquet(paths: _*)
       .select(
         element_at(split(col(FilePathCol), "/"), -1).as(NameCol),
@@ -153,5 +300,26 @@ object PositionDeletes {
       .collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getLong(1)).distinct.sorted).toMap
+  }
+
+  /** [[positionsByFileName]] over BOTH delete kinds: equality deletes are
+    * converted to concrete positions with one scan of the affected files
+    * (a COW rewrite is about to read them anyway). */
+  def allPositionsByFileName(spark: SparkSession, store: SnapshotStore,
+      snap: Snapshot, files: Seq[DataFile]): Map[String, Array[Long]] = {
+    val posMap = positionsByFileName(spark, store, snap.deleteFiles, files)
+    val eq = snap.deleteFiles.filter(_.kind == "equality")
+    equalityMatchedRows(spark, store, snap, eq, files) match {
+      case None => posMap
+      case Some(rows) =>
+        val eqMap = rows.select(col(NameCol), col(RowPosCol))
+          .collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getLong(1))).toMap
+        (posMap.keySet ++ eqMap.keySet).map { k =>
+          k -> (posMap.getOrElse(k, Array.empty[Long]) ++
+            eqMap.getOrElse(k, Array.empty[Long])).distinct.sorted
+        }.toMap
+    }
   }
 }

@@ -38,7 +38,8 @@ final case class DataFile(
     partitionValues: Map[String, String],
     stats: Map[String, ColumnStats],
     blooms: Map[String, String] = Map.empty,
-    ndv: Map[String, String] = Map.empty)
+    ndv: Map[String, String] = Map.empty,
+    seq: Long = 0L)
 
 /** One immutable position-delete file (merge-on-read DELETE): a parquet
   * file with columns `(file_path STRING, pos BIGINT)` naming rows of DATA
@@ -48,10 +49,24 @@ final case class DataFile(
   * (reference stack: Iceberg 1.4, `README.md:124` "new data files created,
   * old ones marked deleted"). A 100 TB table deleting 100 rows writes one
   * KB-sized file instead of rewriting TB of data. */
+/** Two kinds (Iceberg v2's two delete-file contents):
+  *  - `position` — tuples name exact (file, row-index) positions.
+  *  - `equality` — rows hold key VALUES over `equalityColumns` (physical
+  *    names); a data row is deleted iff its key equals some tuple AND its
+  *    file's commit sequence is strictly below `seq` (rows appended after
+  *    the delete are new rows, not deleted ones). Writing one costs no
+  *    scan at all — the O(1) DELETE/upsert primitive for streaming CDC.
+  *
+  * `seq` is the commit sequence (== snapshot version) the file entered the
+  * table at; [[SnapshotStore.commit]] stamps [[Snapshot.UnassignedSeq]]
+  * placeholders with the final version, so writers never guess it. */
 final case class DeleteFile(
     path: String,      // relative to tableDir, e.g. "data/<uuid>-deletes.parquet"
-    rowCount: Long,    // number of (file_path, pos) tuples
-    sizeBytes: Long)
+    rowCount: Long,    // number of tuples
+    sizeBytes: Long,
+    kind: String = "position", // position | equality
+    equalityColumns: Seq[String] = Seq.empty, // physical names (equality kind)
+    seq: Long = 0L)
 
 final case class PartitionField(
     name: String,      // partition field name, e.g. "created_date" or "days(created_at)"
@@ -73,17 +88,26 @@ final case class Snapshot(
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
-  /** Live row count: data-file rows minus position-delete tuples. Delete
-    * files never hold duplicate or dangling tuples (deleteWhere anti-joins
-    * against already-deleted positions before writing), so plain
-    * subtraction is exact. */
+  /** Live row count: data-file rows minus position-delete tuples. Position
+    * delete files never hold duplicate or dangling tuples (deleteWhere
+    * anti-joins against already-deleted positions before writing), so the
+    * subtraction is exact for them. Pending EQUALITY deletes are written
+    * without a scan, so their matched-row count is unknown — they are not
+    * subtracted, making this an upper bound until `rewrite_deletes` folds
+    * them in (same caveat as Iceberg's record_count with eq-deletes). */
   def totalRows: Long =
-    files.map(_.rowCount).sum - deleteFiles.map(_.rowCount).sum
+    files.map(_.rowCount).sum -
+      deleteFiles.filter(_.kind == "position").map(_.rowCount).sum
   def totalBytes: Long = files.map(_.sizeBytes).sum
 }
 
 object Snapshot {
   implicit val formats: Formats = DefaultFormats
+
+  /** Placeholder commit sequence: files created during a write carry this
+    * until [[SnapshotStore.commit]] stamps the final version (the builder
+    * can retry on a new head, so the true version isn't known earlier). */
+  val UnassignedSeq: Long = -1L
 
   def toJson(s: Snapshot): String = Serialization.writePretty(s)
   def fromJson(json: String): Snapshot = Serialization.read[Snapshot](json)

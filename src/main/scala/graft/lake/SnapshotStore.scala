@@ -79,9 +79,17 @@ final class SnapshotStore(val tableDir: Path) {
     while (true) {
       val head0 = head()
       val next0 = build(head0)
+      val v = head0.map(_.version + 1).getOrElse(1L)
+      // stamp commit sequences: files added by THIS commit carry the
+      // UnassignedSeq placeholder (one central site — no builder can
+      // forget, and retries restamp against the new head's version)
       val next = next0.copy(
-        version = head0.map(_.version + 1).getOrElse(1L),
-        parentVersion = head0.map(_.version))
+        version = v,
+        parentVersion = head0.map(_.version),
+        files = next0.files.map(f =>
+          if (f.seq == Snapshot.UnassignedSeq) f.copy(seq = v) else f),
+        deleteFiles = next0.deleteFiles.map(d =>
+          if (d.seq == Snapshot.UnassignedSeq) d.copy(seq = v) else d))
       val target = versionFile(next.version)
       val tmp = Files.createTempFile(metaDir, ".commit", ".tmp")
       try {

@@ -1,0 +1,59 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Merge-on-read UPSERT: one commit appends the incoming rows as new data
+  * files AND equality-deletes their keys from everything older — the
+  * Flink/Iceberg streaming-CDC ingestion pattern (the reference stack's
+  * Iceberg 1.4 supports exactly this via equality deletes; the reference
+  * itself prescribes MERGE for the same need, `SETUP_GUIDE_WIN.md:362-371`).
+  *
+  * Cost is O(incoming batch): no scan, no join, no rewrite of existing
+  * data — where a MERGE INTO would read and rewrite every file that might
+  * contain a matching key. Sequence ordering makes it correct: the delete
+  * and the new files commit with the same sequence `v`, and equality
+  * deletes apply only to files with seq strictly below `v`, so the batch's
+  * own rows survive while every older row with a matching key dies.
+  * Accumulated deletes fold back into data via `rewrite_deletes`.
+  *
+  * Within-batch duplicates are NOT collapsed (both rows land; SQL MERGE
+  * would raise instead) — dedupe the batch first if keys can repeat.
+  */
+object Upsert {
+
+  /** Upsert `df` into the table at `store` keyed by `keys` (logical
+    * column names). Returns the committed snapshot. */
+  def into(spark: SparkSession, store: SnapshotStore, df: DataFrame,
+      keys: Seq[String]): Snapshot = {
+    val head = store.head().getOrElse(
+      throw new IllegalStateException(s"table not initialized: ${store.tableDir}"))
+    val schema = head.schema
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val fields = keys.map(k => schema.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"upsert key '$k' not in table schema")))
+    val physKeys = fields.map(SchemaNames.physicalName)
+
+    val newFiles = GraftWriter.writeFiles(spark, store, schema,
+      head.partitionSpec, df)
+    // key tuples under PHYSICAL names (what delete files store)
+    val keyDf = df.select(keys.zip(physKeys).map { case (l, p) =>
+      org.apache.spark.sql.functions.col(l).as(p)
+    }: _*)
+    val eqDeletes = PositionDeletes.writeEqualityDeleteFiles(
+      spark, store, keyDf, physKeys)
+
+    store.commit { prev =>
+      val p = prev.getOrElse(head)
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "upsert",
+        files = p.files ++ newFiles,
+        deleteFiles = p.deleteFiles ++ eqDeletes,
+        summary = Map(
+          "added-files" -> newFiles.size.toString,
+          "added-records" -> newFiles.map(_.rowCount).sum.toString,
+          "upsert-keys" -> eqDeletes.map(_.rowCount).sum.toString,
+          "upsert-key-columns" -> physKeys.mkString(",")))
+    }
+  }
+}

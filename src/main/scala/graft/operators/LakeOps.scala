@@ -255,8 +255,52 @@ object LakeOps {
               GROUP BY c_nationkey ORDER BY c_nationkey""")
   }
 
+  /** Merge-on-read UPSERT correctness end to end: orders loaded, then an
+    * O(batch) upsert (append + equality-delete of the batch keys, one
+    * commit, no scan of existing data) — the full-table read must equal
+    * DuckDB's UNION of untouched rows and the replacement batch. Proves
+    * sequence ordering: the batch's own rows survive the equality delete
+    * committed alongside them. */
+  val qLakeUpsert: Q = Q(
+    "q_lake_upsert",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, round(price, 2) AS price
+       FROM (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price
+         FROM orders WHERE NOT (o_orderkey % 10 = 3)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                o_totalprice * 2 AS price
+         FROM orders WHERE o_orderkey % 10 = 3
+       ) ORDER BY o_orderkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.orders_upsert")
+    s.sql(s"""CREATE TABLE $Cat.verify.orders_upsert
+              (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+               o_totalprice DOUBLE)
+              USING graft
+              TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("graft_src_orders_upsert")
+    s.sql(s"""INSERT INTO $Cat.verify.orders_upsert
+              SELECT * FROM graft_src_orders_upsert""")
+    val batch = s.sql("""SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                                o_totalprice * 2 AS o_totalprice
+                         FROM graft_src_orders_upsert
+                         WHERE o_orderkey % 10 = 3""")
+    val wh = s.conf.get(s"spark.sql.catalog.$Cat.warehouse")
+    graft.lake.Upsert.into(s,
+      new graft.lake.SnapshotStore(
+        java.nio.file.Paths.get(wh, "verify", "orders_upsert")),
+      batch, Seq("o_orderkey"))
+    s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     round(o_totalprice, 2) AS price
+              FROM $Cat.verify.orders_upsert ORDER BY o_orderkey""")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
-    qLakeMorDelete)
+    qLakeMorDelete, qLakeUpsert)
 }

@@ -55,7 +55,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("MOR DELETE removes rows without touching data files") {
     makeTable("t1")
     val before = dataFilePaths("t1")
-    sql("DELETE FROM morspec.demo.t1 WHERE id IN (2, 4)")
+    // OR of equalities is not an equality conjunction -> POSITIONAL path
+    sql("DELETE FROM morspec.demo.t1 WHERE id = 2 OR id = 4")
     assert(dataFilePaths("t1") == before, "data files must be untouched")
     assert(deleteFiles("t1").map(_.rowCount).sum == 2)
     val ids = sql("SELECT id FROM morspec.demo.t1 ORDER BY id")
@@ -78,7 +79,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("stacked MOR deletes never record duplicate tuples") {
     makeTable("t3")
-    sql("DELETE FROM morspec.demo.t3 WHERE grp = 'a'")   // ids 1,2
+    // the range term forces the POSITIONAL path (not equality kind)
+    sql("DELETE FROM morspec.demo.t3 WHERE grp = 'a' AND id < 100") // ids 1,2
     sql("DELETE FROM morspec.demo.t3 WHERE id <= 3")     // id 3 only (1,2 gone)
     assert(deleteFiles("t3").map(_.rowCount).sum == 3,
       "re-deleting already-deleted rows must not add tuples")
@@ -112,7 +114,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("COW UPDATE on a table with pending MOR deletes does not resurrect rows") {
     makeTable("t6")
-    sql("DELETE FROM morspec.demo.t6 WHERE id = 2")
+    // range term -> positional tuples (the test below reads them back)
+    sql("DELETE FROM morspec.demo.t6 WHERE id = 2 AND v < 1000")
     // UPDATE rewrites whole files (COW): the rewrite read must skip pos 1
     sql("UPDATE morspec.demo.t6 SET v = 99 WHERE grp = 'a'")
     val rows = sql("SELECT id, v FROM morspec.demo.t6 ORDER BY id")
