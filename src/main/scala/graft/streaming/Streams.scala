@@ -216,4 +216,40 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming CDC UPSERT into a lake table: each micro-batch lands as one
+    * merge-on-read upsert commit (append + equality-delete of the batch's
+    * keys — `graft.lake.Upsert`), so per-batch cost is O(batch) with no
+    * read or rewrite of existing data. This is the Flink/Iceberg
+    * continuous-ingestion shape: a 100 TB table absorbs a keyed changelog
+    * at the stream's rate, and `rewrite_deletes` folds the accumulated
+    * keys back into data files off the hot path. Within a batch, later
+    * rows win per key (changelog order), enforced here with a
+    * last-by-key dedup before the commit. */
+  def upsertStreamIntoLakeTable(
+      spark: SparkSession,
+      stream: DataFrame,
+      store: graft.lake.SnapshotStore,
+      keys: Seq[String],
+      orderCol: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val lastPerKey = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!lastPerKey.isEmpty)
+          graft.lake.Upsert.into(spark, store, lastPerKey, keys)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -136,6 +136,51 @@ class StreamingSpec extends SparkSpec {
     assert(store.head().get.totalRows == 3)
     assert(store.listVersions().size >= 3)
   }
+
+  test("streaming CDC upsert: each batch lands as one O(batch) upsert commit") {
+    val dir = Files.createTempDirectory("graft-stream-upsert")
+    val store = new SnapshotStore(dir.resolve("t"))
+    store.init()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq_no",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    store.commit(_ => graft.lake.Snapshot(1, None, 1L, "create",
+      schema.json, Nil, Map.empty, Nil, Map.empty))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ck = Files.createTempDirectory("graft-ck-upsert").toString
+    val input = MemoryStream[(Long, Long, Double)]
+    def readAll(): Map[Long, (Long, Double)] = {
+      val head = store.head().get
+      val df = graft.lake.PositionDeletes.applySnapshotDeletes(spark,
+        store,
+        graft.lake.SchemaNames.readLogicalWithProvenance(spark, head.schema,
+          head.files.map(f => store.tableDir.resolve(f.path).toString)),
+        head)
+      df.select("user_id", "seq_no", "value").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    }
+    // batch 1: two keys; key 1 appears TWICE — later seq_no must win
+    input.addData((1L, 1L, 1.0), (1L, 2L, 1.5), (2L, 1L, 2.0))
+    val stream = input.toDF().toDF("user_id", "seq_no", "value")
+    Streams.upsertStreamIntoLakeTable(spark, stream, store,
+      keys = Seq("user_id"), orderCol = "seq_no", ck)
+    assert(readAll() == Map(1L -> (2L, 1.5), 2L -> (1L, 2.0)))
+    assert(store.head().get.operation == "upsert")
+    // batch 2: update key 2, add key 3 — key 1 untouched
+    input.addData((2L, 5L, 2.5), (3L, 1L, 3.0))
+    Streams.upsertStreamIntoLakeTable(spark, stream, store,
+      keys = Seq("user_id"), orderCol = "seq_no", ck)
+    assert(readAll() == Map(1L -> (2L, 1.5), 2L -> (5L, 2.5), 3L -> (1L, 3.0)))
+    // deletes accumulated — rewrite folds them; content unchanged
+    graft.lake.Maintenance.rewriteDeletes(spark, store)
+    assert(store.head().get.deleteFiles.isEmpty)
+    assert(readAll() == Map(1L -> (2L, 1.5), 2L -> (5L, 2.5), 3L -> (1L, 3.0)))
+  }
 }
 
 /** Small accessor so the spec reuses the exact driver-facing query. */
