@@ -93,11 +93,28 @@ object GraftWriter {
           list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
             .map(c => col(physical(c)))
       }
+      // Write distribution (`graft.write.distribution-mode`, Iceberg's
+      // write.distribution-mode): without it, every task writes a file per
+      // partition value it happens to hold — T tasks × P values small
+      // files per append, the classic 100 TB small-file explosion. `hash`
+      // shuffles rows so each partition tuple lands in one task (one file
+      // per tuple per append); `range` orders tuples across tasks, which
+      // also bounds skew when one partition dominates. A sort-order table
+      // clusters by (partition, sort keys) already — strictly stronger —
+      // so the mode only applies when no sort order is set.
+      val distMode = store.head()
+        .flatMap(_.properties.get("graft.write.distribution-mode"))
+        .getOrElse("none")
       val clustered =
-        if (sortKeys.isEmpty) withParts
-        else {
+        if (sortKeys.nonEmpty) {
           val keys = partCols.map(col) ++ sortKeys
           withParts.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+        } else distMode match {
+          case "hash" if spec.nonEmpty =>
+            withParts.repartition(partCols.map(col): _*)
+          case "range" if spec.nonEmpty =>
+            withParts.repartitionByRange(partCols.map(col): _*)
+          case "none" | _ => withParts
         }
 
       // INT96 (Spark's compatibility default) has no usable footer stats;
