@@ -158,6 +158,35 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rewrite must not resurrect equality-deleted rows")
   }
 
+  test("concurrent upserts serialize via optimistic commit retries") {
+    makeTable("e12")
+    val st = store("e12")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two writers, disjoint key ranges, racing on the same head
+    val fa = Future {
+      (10 to 14).foreach { k =>
+        Upsert.into(spark, st, spark.sql(
+          s"SELECT * FROM VALUES ($k, 'wa', $k) AS t(id, grp, v)"), Seq("id"))
+      }
+    }
+    val fb = Future {
+      (20 to 24).foreach { k =>
+        Upsert.into(spark, st, spark.sql(
+          s"SELECT * FROM VALUES ($k, 'wb', $k) AS t(id, grp, v)"), Seq("id"))
+      }
+    }
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    val ids = sql("SELECT id FROM eqspec.demo.e12 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids == (Seq(1, 2, 3, 4) ++ (10 to 14) ++ (20 to 24)),
+      "every racing upsert must land exactly once")
+    // versions form one linear chain (no lost commits)
+    val versions = st.listVersions()
+    assert(versions == (1L to versions.max))
+  }
+
   test("time travel reads the pre-delete snapshot unaffected") {
     makeTable("e11")
     val vBefore = store("e11").currentVersion().get
