@@ -266,10 +266,12 @@ class GraftTable(
   * a pure optimization and correctness never depends on stats. */
 class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = snapshot.schema
   private var filters: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -281,7 +283,130 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     required = requiredSchema
   }
 
+  // ---- metadata-only aggregates (SELECT count(*)/min/max FROM t) ----
+  //
+  // A full-table COUNT/MIN/MAX is answered from the snapshot — row counts,
+  // null counts, and per-file min/max collected at write time — with ZERO
+  // data files opened. On a 100 TB table that turns a full scan into a
+  // metadata lookup, the same trick Iceberg manifests enable. Only taken
+  // when provably exact:
+  //  - no residual filters (Spark keeps our filters in-plan, so it only
+  //    attempts the pushdown on unfiltered scans; guarded anyway),
+  //  - COUNT(*): exact under position deletes (tuple counts are exact),
+  //    refused under pending equality deletes (matched count unknown),
+  //  - COUNT(col)/MIN/MAX: refused under ANY pending delete, and need
+  //    every file to carry the stat. MIN/MAX limited to numeric/date/
+  //    timestamp columns — parquet string stats may be truncated, and
+  //    these types' stat domain is exact by construction.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryPushAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggPushed = tryPushAgg(agg)
+    aggPushed.isDefined
+  }
+
+  private def tryPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val s = snapshot
+    val hasEq = s.deleteFiles.exists(_.kind == "equality")
+    val hasAny = s.deleteFiles.nonEmpty
+    val rename = SchemaNames.renameMap(s.schema)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        s.schema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    def statVal(stat: String, dt: DataType): Option[Any] = dt match {
+      case IntegerType => Some(stat.toInt)
+      case LongType => Some(stat.toLong)
+      case ShortType => Some(stat.toShort)
+      case ByteType => Some(stat.toByte)
+      case FloatType => Some(stat.toFloat)
+      case DoubleType => Some(stat.toDouble)
+      case d: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(BigDecimal(stat), d.precision, d.scale))
+      case DateType => Some(stat.toInt)      // epoch days
+      case TimestampType => Some(stat.toLong) // epoch micros
+      case _ => None // strings (truncation risk), booleans, nested: refuse
+    }
+    def extremum(f: StructField, isMin: Boolean): Option[Any] = {
+      if (hasAny) return None // a delete may have removed the extreme row
+      val phys = rename.getOrElse(f.name, f.name)
+      // files that are all-null in the column contribute nothing; any other
+      // file missing the stat makes the answer unprovable
+      val contributing = s.files.filter(df =>
+        !df.stats.get(phys).flatMap(_.nullCount).contains(df.rowCount))
+      val stats = contributing.map(df =>
+        df.stats.get(phys).flatMap(st => if (isMin) st.min else st.max))
+      if (stats.exists(_.isEmpty)) return None
+      val vals = stats.flatten.flatMap(v => statVal(v, f.dataType))
+      if (vals.length != stats.length) return None
+      if (vals.isEmpty) Some(null) // empty table / all nulls -> NULL
+      else {
+        val ord = f.dataType match {
+          case _: DecimalType => Ordering.by((a: Any) =>
+            a.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
+          case FloatType => Ordering.by((a: Any) => a.asInstanceOf[Float].toDouble)
+          case _ => Ordering.by((a: Any) => BigDecimal(a.toString))
+        }
+        Some(if (isMin) vals.min(ord) else vals.max(ord))
+      }
+    }
+    val out = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        if (hasEq) return None
+        ("count(*)", LongType: DataType, false, s.totalRows: Any)
+      case c: Count if !c.isDistinct =>
+        if (hasAny) return None
+        colOf(c.column) match {
+          case Some(f) =>
+            val phys = rename.getOrElse(f.name, f.name)
+            val nulls = s.files.map(df => df.stats.get(phys).flatMap(_.nullCount))
+            if (nulls.exists(_.isEmpty)) return None
+            ("count(" + f.name + ")", LongType: DataType, false,
+              (s.files.map(_.rowCount).sum - nulls.flatten.sum): Any)
+          case None => return None
+        }
+      case m: Min =>
+        colOf(m.column) match {
+          case Some(f) => extremum(f, isMin = true) match {
+            case Some(v) => ("min(" + f.name + ")", f.dataType, true, v: Any)
+            case None => return None
+          }
+          case None => return None
+        }
+      case m: Max =>
+        colOf(m.column) match {
+          case Some(f) => extremum(f, isMin = false) match {
+            case Some(v) => ("max(" + f.name + ")", f.dataType, true, v: Any)
+            case None => return None
+          }
+          case None => return None
+        }
+      case _ => return None
+    }
+    val schema = StructType(out.map { case (n, dt, nullable, _) =>
+      org.apache.spark.sql.types.StructField(n, dt, nullable)
+    }.toIndexedSeq)
+    Some(schema -> out.map(_._4).toArray)
+  }
+
   override def build(): Scan = {
+    aggPushed match {
+      case Some((aggSchema, values)) =>
+        return new GraftMetadataAggScan(aggSchema, values, snapshot)
+      case None =>
+    }
     // Vectorized DSv2 path by default; the V1 bridge remains for the
     // `_file` metadata column (served via input_file_name), for pending
     // merge-on-read deletes (the anti-join composes at the DataFrame
@@ -294,6 +419,53 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     else
       new GraftScan(snapshot, store, snapshot.schema, required, filters)
   }
+}
+
+/** Metadata-only aggregate result: one row computed on the DRIVER from
+  * snapshot statistics, emitted through a single-partition Batch. No data
+  * file is opened — `description` carries the values so plans show what
+  * was answered from metadata. */
+final class GraftMetadataAggScan(
+    aggSchema: StructType,
+    values: Array[Any],
+    snapshot: Snapshot)
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array(GraftAggPartition(values))
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftAggReaderFactory
+
+  override def description(): String =
+    s"GraftMetadataAggScan[v${snapshot.version}, " +
+      aggSchema.fieldNames.zip(values).map { case (n, v) => s"$n=$v" }
+        .mkString(", ") + "]"
+}
+
+final case class GraftAggPartition(values: Array[Any])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+final class GraftAggReaderFactory
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val vals = partition.asInstanceOf[GraftAggPartition].values
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
 }
 
 /** Main read path: native DSv2 Batch over the pruned file set, delegating

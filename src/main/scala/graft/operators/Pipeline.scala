@@ -83,15 +83,16 @@ object Pipeline {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("comp").as("nbr_comp"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // one materialized step carries (old, new) label per node: the
+      // convergence probe is then a filter over the checkpointed frame
+      // instead of a second join against the previous labels — one join
+      // per round, not two
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.withColumnRenamed("comp", "new_comp")
-        .join(labels, Seq("id"))
-        .filter(col("new_comp") =!= col("comp"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("comp") =!= col("old_comp")).isEmpty
+      labels = step.select("id", "comp")
       iter += 1
     }
     // propagation converges in ≤ diameter ≤ |touched nodes| rounds; hitting

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake._
+
+/** Metadata-only aggregate pushdown: full-table COUNT(*) / COUNT(col) /
+  * MIN / MAX are answered from snapshot statistics with zero data files
+  * opened — and REFUSED (falling back to a real scan, still correct)
+  * whenever the stats can't prove the answer: residual filters, pending
+  * equality deletes, missing per-file stats, string columns.
+  */
+class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-aggwh").toString
+
+  private lazy val spark = {
+    val s = SparkSpec.session
+    s.conf.set("spark.sql.catalog.aggspec", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.aggspec.warehouse", wh)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def plan(q: String): String =
+    sql(q).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  override def beforeAll(): Unit = {
+    sql("CREATE NAMESPACE IF NOT EXISTS aggspec.demo")
+    sql("""CREATE TABLE aggspec.demo.t (id INT, grp STRING, v DOUBLE,
+             d DATE)
+           USING graft""")
+    sql("""INSERT INTO aggspec.demo.t VALUES
+           (1, 'a', 1.5, DATE '2024-01-01'),
+           (2, 'a', NULL, DATE '2024-06-30'),
+           (3, 'b', -2.5, NULL),
+           (4, NULL, 7.25, DATE '2023-12-31')""")
+    sql("INSERT INTO aggspec.demo.t VALUES (5, 'c', 0.0, DATE '2025-02-28')")
+  }
+
+  test("COUNT(*) is answered from metadata — no file read") {
+    val p = plan("SELECT count(*) FROM aggspec.demo.t")
+    assert(p.contains("GraftMetadataAggScan"), s"not pushed:\n$p")
+    assert(sql("SELECT count(*) FROM aggspec.demo.t")
+      .collect().head.getLong(0) == 5)
+  }
+
+  test("COUNT(col) subtracts per-file null counts from metadata") {
+    val p = plan("SELECT count(v) FROM aggspec.demo.t")
+    assert(p.contains("GraftMetadataAggScan"), s"not pushed:\n$p")
+    assert(sql("SELECT count(v) FROM aggspec.demo.t")
+      .collect().head.getLong(0) == 4)
+    assert(sql("SELECT count(d) FROM aggspec.demo.t")
+      .collect().head.getLong(0) == 4)
+  }
+
+  test("MIN/MAX over numeric and date columns come from file stats") {
+    val p = plan("SELECT min(v), max(v), min(id), max(d) FROM aggspec.demo.t")
+    assert(p.contains("GraftMetadataAggScan"), s"not pushed:\n$p")
+    val r = sql("SELECT min(v), max(v), min(id), max(d) FROM aggspec.demo.t")
+      .collect().head
+    assert(r.getDouble(0) == -2.5 && r.getDouble(1) == 7.25)
+    assert(r.getInt(2) == 1)
+    assert(r.getDate(3).toString == "2025-02-28")
+  }
+
+  test("filtered aggregates are NOT pushed and stay correct") {
+    val q = "SELECT count(*) FROM aggspec.demo.t WHERE id > 2"
+    assert(!plan(q).contains("GraftMetadataAggScan"))
+    assert(sql(q).collect().head.getLong(0) == 3)
+  }
+
+  test("MIN/MAX on a string column are NOT pushed (truncation risk)") {
+    val q = "SELECT max(grp) FROM aggspec.demo.t"
+    assert(!plan(q).contains("GraftMetadataAggScan"))
+    assert(sql(q).collect().head.getString(0) == "c")
+  }
+
+  test("position deletes: COUNT(*) stays exact and pushed; MIN/MAX refuse") {
+    sql("""CREATE TABLE aggspec.demo.mor (id INT, v DOUBLE)
+           USING graft
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO aggspec.demo.mor VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    sql("DELETE FROM aggspec.demo.mor WHERE id = 1 OR id = 3") // positional
+    val pc = plan("SELECT count(*) FROM aggspec.demo.mor")
+    assert(pc.contains("GraftMetadataAggScan"),
+      s"count under position deletes should push (tuple counts exact):\n$pc")
+    assert(sql("SELECT count(*) FROM aggspec.demo.mor")
+      .collect().head.getLong(0) == 1)
+    val pm = plan("SELECT min(v) FROM aggspec.demo.mor")
+    assert(!pm.contains("GraftMetadataAggScan"),
+      "min under deletes must fall back (extreme row may be deleted)")
+    assert(sql("SELECT min(v) FROM aggspec.demo.mor")
+      .collect().head.getDouble(0) == 2.0)
+  }
+
+  test("equality deletes: COUNT(*) refuses (matched count unknown)") {
+    sql("""CREATE TABLE aggspec.demo.eq (id INT, grp STRING)
+           USING graft
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO aggspec.demo.eq VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    sql("DELETE FROM aggspec.demo.eq WHERE grp = 'a'") // equality kind
+    val p = plan("SELECT count(*) FROM aggspec.demo.eq")
+    assert(!p.contains("GraftMetadataAggScan"))
+    assert(sql("SELECT count(*) FROM aggspec.demo.eq")
+      .collect().head.getLong(0) == 1)
+    // folding restores the metadata path
+    sql("CALL aggspec.system.rewrite_deletes('demo.eq')")
+    assert(plan("SELECT count(*) FROM aggspec.demo.eq")
+      .contains("GraftMetadataAggScan"))
+    assert(sql("SELECT count(*) FROM aggspec.demo.eq")
+      .collect().head.getLong(0) == 1)
+  }
+
+  test("group-by aggregates are NOT pushed") {
+    val q = "SELECT grp, count(*) FROM aggspec.demo.t GROUP BY grp"
+    assert(!plan(q).contains("GraftMetadataAggScan"))
+    assert(sql(q).collect().length == 4) // a, b, c, NULL
+  }
+}
