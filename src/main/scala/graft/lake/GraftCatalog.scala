@@ -245,6 +245,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (tableExists(base))
         MetadataTables.build(fullName(base), ident.name(), store(base))
       else throw new NoSuchTableException(ident)
+    } else if (ident.namespace().length >= 1 &&
+        ident.name().startsWith("branch_")) {
+      // `t.branch_<name>`: reads AND writes against the branch's chain
+      // (Iceberg's branch identifier spelling). Data dir is shared; only
+      // metadata forks.
+      val base = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      val bname = ident.name().stripPrefix("branch_")
+      if (tableExists(base)) {
+        val bst = store(base).branchStore(bname)
+        if (!bst.exists) throw new NoSuchTableException(ident)
+        new GraftTable(s"${fullName(base)}.branch_$bname", bst)
+      } else throw new NoSuchTableException(ident)
     } else throw new NoSuchTableException(ident)
   }
 

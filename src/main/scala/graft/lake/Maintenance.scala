@@ -106,6 +106,69 @@ object Maintenance {
     }
   }
 
+  // ---------- branches (write-audit-publish) ----------
+
+  private def validBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"invalid branch name '$name' (want letter first, then [A-Za-z0-9._-])")
+
+  /** Fork a branch at the current main head: `t.branch_<name>` then reads
+    * and writes an independent snapshot chain over the SHARED data dir —
+    * metadata-only, zero data copied, however large the table. The WAP
+    * (write-audit-publish) staging area: load into the branch, audit it
+    * with real queries, publish with [[fastForward]] or discard with
+    * [[dropBranch]]. */
+  def createBranch(store: SnapshotStore, name: String): Unit = {
+    validBranchName(name)
+    val head = store.head().getOrElse(
+      throw new IllegalStateException(s"no table at ${store.tableDir}"))
+    val bst = store.branchStore(name)
+    require(!bst.exists, s"branch '$name' already exists")
+    bst.seed(head)
+  }
+
+  def dropBranch(store: SnapshotStore, name: String): Unit = {
+    validBranchName(name)
+    val bst = store.branchStore(name)
+    require(bst.exists, s"no branch '$name'")
+    bst.drop()
+  }
+
+  /** Publish a branch: one atomic main-chain commit adopting the branch
+    * head's content. Refused when main advanced past the fork point — the
+    * branch would silently overwrite those commits (rebase by re-branching
+    * instead). Pending EQUALITY deletes are folded into the data first:
+    * their sequence numbers are branch-chain-relative and would misorder
+    * against main's version counter; data files are then re-stamped to the
+    * published version (they enter MAIN at this commit). The branch chain
+    * itself stays intact for audit history until dropped. */
+  def fastForward(spark: SparkSession, store: SnapshotStore,
+      name: String): Snapshot = {
+    validBranchName(name)
+    val bst = store.branchStore(name)
+    require(bst.exists, s"no branch '$name'")
+    var bHead = bst.head().getOrElse(
+      throw new IllegalStateException(s"branch '$name' is empty"))
+    if (bHead.deleteFiles.exists(_.kind == "equality"))
+      bHead = rewriteDeletes(spark, bst)
+    val fork = bst.listVersions().min
+    store.commit { prev =>
+      val mainHead = prev.getOrElse(
+        throw new IllegalStateException("cannot publish into an empty table"))
+      require(mainHead.version == fork,
+        s"main is at v${mainHead.version} but branch '$name' forked at " +
+          s"v$fork — main advanced; re-branch and replay instead of publishing")
+      bHead.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "publish",
+        files = bHead.files.map(_.copy(seq = Snapshot.UnassignedSeq)),
+        summary = Map(
+          "published-branch" -> name,
+          "branch-head-version" -> bHead.version.toString,
+          "total-records" -> bHead.totalRows.toString))
+    }
+  }
+
   /** Drop snapshot metadata older than `keepLast` versions and delete data
     * files no remaining snapshot references (`README.md:142` "Expire old
     * snapshots you don't need"). Time travel to expired versions stops
@@ -120,8 +183,14 @@ object Maintenance {
     val keep = tagged ++ keepTail
     def allPaths(s: Snapshot): Seq[String] =
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    // live branches pin their files: a branch snapshot referencing a file
+    // keeps it alive however old the main versions that shared it
+    val branchRefs: Set[String] = store.listBranches().flatMap { b =>
+      val bst = store.branchStore(b)
+      bst.listVersions().map(bst.read).flatMap(allPaths)
+    }.toSet
     val referenced: Set[String] =
-      keep.map(store.read).flatMap(allPaths).toSet
+      keep.map(store.read).flatMap(allPaths).toSet ++ branchRefs
     val expiredRefs: Set[String] =
       expire.map(store.read).flatMap(allPaths).toSet
     (expiredRefs -- referenced).foreach { rel =>
@@ -210,7 +279,8 @@ object Maintenance {
   /** Remove data files not referenced by ANY snapshot (failed writes,
     * crashed commits). */
   def removeOrphanFiles(store: SnapshotStore): Seq[String] = {
-    val referenced = store.listVersions().map(store.read)
+    val chains = store +: store.listBranches().map(store.branchStore)
+    val referenced = chains.flatMap(st => st.listVersions().map(st.read))
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     if (!Files.isDirectory(store.dataDir)) return Seq.empty
     val orphans = Files.list(store.dataDir).iterator().asScala

@@ -29,7 +29,8 @@ object Procedures {
   val Namespace: Array[String] = Array("system")
   val names: Seq[String] = Seq("compact", "rewrite_deletes",
     "expire_snapshots", "remove_orphan_files", "create_tag", "drop_tag",
-    "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze")
+    "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze",
+    "create_branch", "drop_branch", "fast_forward")
 
   /** Parse a comma list of partition-field specs: `col` (identity),
     * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
@@ -70,6 +71,35 @@ object Procedures {
           val tbl = args.getUTF8String(0).toString
           val snap = Maintenance.rewriteDeletes(SparkSession.active, storeFor(tbl))
           Seq(Row(tbl, snap.version, snap.deleteFiles.size.toLong))
+        }
+      case "create_branch" =>
+        simple(ident.name(),
+          "fork a writable branch at the current head (write-audit-publish)",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("branch", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val b = args.getUTF8String(1).toString
+          Maintenance.createBranch(storeFor(tbl), b)
+          Seq(Row(s"$tbl@$b", 0L, 0L))
+        }
+      case "drop_branch" =>
+        simple(ident.name(), "delete a branch's snapshot chain",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("branch", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val b = args.getUTF8String(1).toString
+          Maintenance.dropBranch(storeFor(tbl), b)
+          Seq(Row(s"$tbl@$b", 0L, 0L))
+        }
+      case "fast_forward" =>
+        simple(ident.name(),
+          "publish a branch head as one atomic main-chain commit",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("branch", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val b = args.getUTF8String(1).toString
+          val snap = Maintenance.fastForward(SparkSession.active, storeFor(tbl), b)
+          Seq(Row(s"$tbl@$b", snap.version, snap.files.size.toLong))
         }
       case "expire_snapshots" =>
         simple(ident.name(), "drop old snapshot versions and unreferenced files",

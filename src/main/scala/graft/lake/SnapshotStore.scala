@@ -23,10 +23,45 @@ import scala.jdk.CollectionConverters._
   * on the new head (optimistic concurrency). On object stores this maps to
   * conditional PUT (if-none-match) — same protocol, different primitive.
   */
-final class SnapshotStore(val tableDir: Path) {
+/** @param branch None = the main snapshot chain; Some(name) = the chain
+  *               under `metadata/branches/<name>` (same layout, same
+  *               shared `data/` dir — a branch commits metadata only).
+  *               Created by `create_branch`, published by `fast_forward`,
+  *               removed by `drop_branch` (Procedures). */
+final class SnapshotStore(val tableDir: Path,
+    val branch: Option[String] = None) {
 
-  private def metaDir: Path = tableDir.resolve("metadata")
+  private def metaDir: Path = branch match {
+    case None => tableDir.resolve("metadata")
+    case Some(b) => tableDir.resolve("metadata").resolve("branches").resolve(b)
+  }
   def dataDir: Path = tableDir.resolve("data")
+
+  /** Names of existing branches (main store only). */
+  def listBranches(): Seq[String] = {
+    val dir = tableDir.resolve("metadata").resolve("branches")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def branchStore(name: String): SnapshotStore = {
+    require(branch.isEmpty, "branches fork from the main chain only")
+    new SnapshotStore(tableDir, Some(name))
+  }
+
+  /** Seed a NEW branch chain with an existing snapshot (kept at its
+    * original version so the fork point is recorded as the chain's first
+    * version). Fails if the branch already has that version. */
+  def seed(snapshot: Snapshot): Unit = {
+    Files.createDirectories(metaDir)
+    val target = versionFile(snapshot.version)
+    val tmp = Files.createTempFile(metaDir, ".seed", ".tmp")
+    Files.writeString(tmp, Snapshot.toJson(snapshot), UTF_8)
+    Files.createLink(target, tmp)
+    Files.deleteIfExists(tmp)
+    swapHint(snapshot.version)
+  }
   private def hintFile: Path = metaDir.resolve("version-hint.text")
   private def versionFile(v: Long): Path = metaDir.resolve(s"v$v.json")
 
@@ -157,10 +192,16 @@ final class SnapshotStore(val tableDir: Path) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Delete the whole table directory tree. */
+  /** Delete the whole table directory tree — or, on a branch store, just
+    * the branch's metadata chain (shared data files stay; orphan cleanup
+    * reclaims any the main chain never referenced). */
   def drop(): Unit = {
-    if (Files.exists(tableDir)) {
-      Files.walk(tableDir).iterator().asScala.toSeq.reverse
+    val root = branch match {
+      case Some(_) => metaDir
+      case None => tableDir
+    }
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
     }
   }
