@@ -261,15 +261,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     } else throw new NoSuchTableException(ident)
   }
 
-  /** Time travel: `VERSION AS OF <n>` (S6). */
+  /** Time travel: `VERSION AS OF <n>` (S6); strings resolve tags first,
+    * then branch heads (`VERSION AS OF 'audit'` reads branch `audit`
+    * pinned at its current head). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val st = store(ident)
+    scala.util.Try(version.toLong).toOption.orElse(st.refs().get(version)) match {
+      case None if st.listBranches().contains(version) =>
+        val bst = st.branchStore(version)
+        return new GraftTable(s"${fullName(ident)}@$version", bst,
+          pinned = bst.head())
+      case _ =>
+    }
     // numeric → snapshot version; anything else → named ref (tag)
     val v = scala.util.Try(version.toLong).toOption
       .orElse(st.refs().get(version))
       .getOrElse(throw new IllegalArgumentException(
-        s"no snapshot version or tag '$version' for ${fullName(ident)}"))
+        s"no snapshot version, tag, or branch '$version' for ${fullName(ident)}"))
     if (!st.listVersions().contains(v))
       throw new IllegalArgumentException(
         s"no snapshot v$v for ${fullName(ident)}")

@@ -30,7 +30,7 @@ object Procedures {
   val names: Seq[String] = Seq("compact", "rewrite_deletes",
     "expire_snapshots", "remove_orphan_files", "create_tag", "drop_tag",
     "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze",
-    "create_branch", "drop_branch", "fast_forward")
+    "create_branch", "drop_branch", "fast_forward", "changelog")
 
   /** Parse a comma list of partition-field specs: `col` (identity),
     * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
@@ -71,6 +71,21 @@ object Procedures {
           val tbl = args.getUTF8String(0).toString
           val snap = Maintenance.rewriteDeletes(SparkSession.active, storeFor(tbl))
           Seq(Row(tbl, snap.version, snap.deleteFiles.size.toLong))
+        }
+      case "changelog" =>
+        simple(ident.name(),
+          "register a temp view with the row-level changelog between two versions",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("from_version", LongType).build(),
+            ProcedureParameter.in("to_version", LongType).build(),
+            ProcedureParameter.in("view", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val from = args.getLong(1)
+          val to = args.getLong(2)
+          val view = args.getUTF8String(3).toString
+          val df = Changes.between(SparkSession.active, storeFor(tbl), from, to)
+          df.createOrReplaceTempView(view)
+          Seq(Row(s"$tbl->$view", to, 0L))
         }
       case "create_branch" =>
         simple(ident.name(),

@@ -131,6 +131,31 @@ class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 3, "expiry deleted branch-pinned files")
   }
 
+  test("VERSION AS OF '<branch>' reads the branch head in SQL") {
+    makeTable("w7")
+    sql("CALL brspec.system.create_branch('demo.w7', 'peek')")
+    sql("INSERT INTO brspec.demo.w7.branch_peek VALUES (3, 'c')")
+    val viaVersion = sql(
+      "SELECT id FROM brspec.demo.w7 VERSION AS OF 'peek' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaVersion == Seq(1, 2, 3))
+    assert(sql("SELECT count(*) FROM brspec.demo.w7")
+      .collect().head.getLong(0) == 2)
+  }
+
+  test("changelog procedure registers a SQL-queryable CDC view") {
+    makeTable("w8")
+    sql("INSERT INTO brspec.demo.w8 VALUES (3, 'c')")
+    sql("DELETE FROM brspec.demo.w8 WHERE id = 1")
+    val head = store("w8").currentVersion().get
+    sql(s"CALL brspec.system.changelog('demo.w8', 1, $head, 'w8_changes')")
+    val ch = sql("""SELECT id, _change_type FROM w8_changes
+                    ORDER BY _commit_version, id""")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(ch == Seq((1, "insert"), (2, "insert"), (3, "insert"),
+      (1, "delete")))
+  }
+
   test("branch time travel works within the branch chain") {
     makeTable("w6")
     sql("CALL brspec.system.create_branch('demo.w6', 'tt')")
