@@ -272,6 +272,43 @@ object Pipeline {
       .orderBy("split")
   }
 
+  /** Benchmark decontamination: flag TRAIN docs sharing ≥ 3 word-3-gram
+    * shingles with the EVAL set (here: every 20th doc stands in for a
+    * held-out benchmark). The canonical leakage check before training.
+    *
+    * Scale design: the eval side is a benchmark suite — tiny next to a
+    * 100 TB corpus — so its distinct shingle set BROADCASTS and the train
+    * side streams through a map-side hash join + partial agg; no shuffle
+    * of the corpus. Same WordShingles kernel (and thus tokenization) as
+    * the dedup pack, so the DuckDB twin is shared too. */
+  val qDecontaminate: Q = Q(
+    "q_decontaminate",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+       tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0)
+       SELECT tr.doc_id, count(*) AS overlap_shingles
+       FROM tr JOIN ev ON tr.shingle = ev.shingle
+       GROUP BY tr.doc_id
+       HAVING count(*) >= 3
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val evalShingles = Dedup.docShingles(docs.filter(col("doc_id") % 20 === 0))
+      .select("shingle").distinct()
+    Dedup.docShingles(docs.filter(col("doc_id") % 20 =!= 0))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap_shingles"))
+      .filter(col("overlap_shingles") >= 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
-    qDocChunks, qCorpusPrep)
+    qDocChunks, qCorpusPrep, qDecontaminate)
 }
