@@ -181,6 +181,13 @@ final class GraftPartitionReader(filePath: String, required: StructType,
   private var rowIdx: Long = -1L
   private var delIdx: Int = 0
 
+  // EXISTS_DEFAULT fill for columns ABSENT from this file (added later
+  // with a DEFAULT): internal-format values, aligned to `required`; null
+  // where no default — matching Spark's own file-source behavior
+  private val existsDefaults: Array[Any] =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .existenceDefaultValues(required)
+
   override def next(): Boolean = {
     while (true) {
       current = reader.read()
@@ -203,7 +210,7 @@ final class GraftPartitionReader(filePath: String, required: StructType,
       val f = required.fields(i)
       val fileField = rename.getOrElse(f.name, f.name)
       if (f.name == "_file") row.update(i, fileName)
-      else if (!schema.containsField(fileField)) row.update(i, null)
+      else if (!schema.containsField(fileField)) row.update(i, existsDefaults(i))
       else {
         val idx = schema.getFieldIndex(fileField)
         if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)

@@ -235,6 +235,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Resolves real tables AND `t.history` / `t.snapshots` / `t.files`
     * metadata tables (extra trailing name part, SURVEY.md §2 S4-S5). */
+  /** Column DEFAULT values (D12 family): Spark encodes them as
+    * CURRENT_DEFAULT / EXISTS_DEFAULT field metadata, which rides the
+    * snapshot's schema JSON unchanged; readers fill EXISTS_DEFAULT for
+    * files written before the column existed (instead of null). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def loadTable(ident: Identifier): Table = {
     if (tableExists(ident)) {
       new GraftTable(fullName(ident), store(ident))
@@ -353,8 +363,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = editStructAt(schema, path.init) { st =>
             require(!st.fieldNames.contains(path.last),
               s"column ${path.mkString(".")} already exists")
-            val grown = st.add(path.last, add.dataType(), nullable = true,
+            var grown = st.add(path.last, add.dataType(), nullable = true,
               Option(add.comment()).getOrElse(""))
+            // ADD COLUMN ... DEFAULT <expr>: stamp Spark's default-value
+            // metadata keys; EXISTS_DEFAULT makes readers fill this value
+            // (not null) for rows in files that predate the column
+            Option(add.defaultValue()).foreach { dv =>
+              val idx = grown.length - 1
+              val f = grown.fields(idx)
+              val m = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("CURRENT_DEFAULT", dv.getSql)
+                .putString("EXISTS_DEFAULT", dv.getSql)
+                .build()
+              grown = StructType(grown.fields.updated(idx, f.copy(metadata = m)))
+            }
             // a retired physical name — renamed away OR dropped earlier —
             // may equal the new logical name; the new column must get a
             // FRESH physical name or old files would leak values into it
