@@ -277,16 +277,34 @@ object Maintenance {
   }
 
   /** Remove data files not referenced by ANY snapshot (failed writes,
-    * crashed commits). */
-  def removeOrphanFiles(store: SnapshotStore): Seq[String] = {
+    * crashed commits), plus `.staging-*` directories older than
+    * `staleStagingMillis` — the leftovers of writers that died before
+    * moving their files in. The age guard keeps CONCURRENT in-flight
+    * writes safe: a live writer's staging dir is, by definition, young. */
+  def removeOrphanFiles(store: SnapshotStore,
+      staleStagingMillis: Long = 60L * 60 * 1000): Seq[String] = {
     val chains = store +: store.listBranches().map(store.branchStore)
     val referenced = chains.flatMap(st => st.listVersions().map(st.read))
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
-    if (!Files.isDirectory(store.dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - staleStagingMillis
+    val staleStaging =
+      if (!Files.isDirectory(store.tableDir)) Seq.empty
+      else Files.list(store.tableDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".staging-") &&
+          Files.isDirectory(p) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+    staleStaging.foreach { dir =>
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    if (!Files.isDirectory(store.dataDir))
+      return staleStaging.map(_.getFileName.toString)
     val orphans = Files.list(store.dataDir).iterator().asScala
       .filter(p => !referenced.contains(s"data/${p.getFileName}"))
       .toSeq
     orphans.foreach(Files.deleteIfExists(_))
-    orphans.map(_.getFileName.toString)
+    orphans.map(_.getFileName.toString) ++
+      staleStaging.map(_.getFileName.toString)
   }
 }
