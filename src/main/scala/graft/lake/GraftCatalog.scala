@@ -243,7 +243,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   override def loadTable(ident: Identifier): Table = {
     if (tableExists(ident)) {
@@ -346,7 +348,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val prev = prevOpt.getOrElse(throw new NoSuchTableException(ident))
       var schema = prev.schema
       var props = prev.properties
+      var checks = prev.checks
       changes.foreach {
+        case ac: TableChange.AddConstraint =>
+          ac.constraint() match {
+            case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              require(!checks.contains(ch.name()),
+                s"constraint '${ch.name()}' already exists")
+              // validate EXISTING data: a row where the predicate is
+              // FALSE violates (NULL passes, per SQL CHECK semantics)
+              val spark = org.apache.spark.sql.SparkSession.active
+              if (prev.files.nonEmpty) {
+                val bad = PositionDeletes.applySnapshotDeletes(spark, st,
+                  SchemaNames.readLogicalWithProvenance(spark, prev.schema,
+                    prev.files.map(f => st.tableDir.resolve(f.path).toString)),
+                  prev)
+                  .filter(org.apache.spark.sql.functions.not(
+                    org.apache.spark.sql.functions.coalesce(
+                      org.apache.spark.sql.functions.expr(ch.predicateSql()),
+                      org.apache.spark.sql.functions.lit(true))))
+                require(bad.isEmpty,
+                  s"cannot add CHECK constraint '${ch.name()}': existing " +
+                    s"rows violate (${ch.predicateSql()})")
+              }
+              checks = checks + (ch.name() -> ch.predicateSql())
+            case other => throw new UnsupportedOperationException(
+              s"only CHECK constraints are enforced; ${other.toDDL} is not " +
+                "(UNIQUE/PK/FK need global state a single write cannot see)")
+          }
+        case dc: TableChange.DropConstraint =>
+          if (!checks.contains(dc.name()) && !dc.ifExists())
+            throw new IllegalArgumentException(s"no constraint '${dc.name()}'")
+          checks = checks - dc.name()
         case add: TableChange.AddColumn =>
           val path = add.fieldNames().toSeq
           if (path.length > 1) {
@@ -471,6 +504,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         operation = "evolve",
         schemaJson = schema.json,
         properties = props,
+        checks = checks,
         summary = Map("changes" -> changes.size.toString))
     }
     new GraftTable(fullName(ident), st)

@@ -55,6 +55,16 @@ class GraftTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelOperationBuilder(store, info)
 
+  /** Enforced CHECK constraints — Spark's analyzer wraps every write to
+    * this table (INSERT, UPDATE, MERGE) with validation from these. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snapshot.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   def snapshot: Snapshot = pinned.orElse(store.head()).getOrElse(
     throw new IllegalStateException(s"no snapshot for $tableName"))
 

@@ -273,6 +273,23 @@ object GraftWriter {
     sb.toString
   }
 
+  /** Fail the write when a row violates an enforced CHECK constraint
+    * (predicate FALSE; NULL passes, per SQL CHECK semantics). Evaluated
+    * inline as a filter wrapping `raise_error` — no extra pass over the
+    * data, and a `filter` cannot be pruned away like an unused column.
+    * Belt-and-suspenders under Spark's own analyzer-side enforcement
+    * (which covers SQL writes but not direct API ingest like Upsert). */
+  def enforceChecks(df: DataFrame, checks: Map[String, String]): DataFrame =
+    checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(
+        when(not(coalesce(expr(sql), lit(true))),
+          raise_error(concat(
+            lit(s"CHECK constraint '$n' ($sql) violated by row: "),
+            to_json(struct(d.columns.map(col).toIndexedSeq: _*))))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+    }
+
   /** Append or replace the table content with `df`. */
   def insert(
       spark: SparkSession,
@@ -281,7 +298,8 @@ object GraftWriter {
       overwrite: Boolean): Snapshot = {
     val head = store.head().getOrElse(
       throw new IllegalStateException(s"table not initialized: ${store.tableDir}"))
-    val newFiles = writeFiles(spark, store, head.schema, head.partitionSpec, df)
+    val newFiles = writeFiles(spark, store, head.schema, head.partitionSpec,
+      enforceChecks(df, head.checks))
     store.commit { prev =>
       val p = prev.getOrElse(head)
       val base = if (overwrite) Seq.empty else p.files

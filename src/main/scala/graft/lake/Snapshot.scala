@@ -83,7 +83,8 @@ final case class Snapshot(
     properties: Map[String, String],
     files: Seq[DataFile],
     summary: Map[String, String],
-    deleteFiles: Seq[DeleteFile] = Seq.empty) {
+    deleteFiles: Seq[DeleteFile] = Seq.empty,
+    checks: Map[String, String] = Map.empty) { // CHECK constraints: name -> predicate SQL
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

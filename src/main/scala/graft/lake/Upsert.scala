@@ -34,7 +34,7 @@ object Upsert {
     val physKeys = fields.map(SchemaNames.physicalName)
 
     val newFiles = GraftWriter.writeFiles(spark, store, schema,
-      head.partitionSpec, df)
+      head.partitionSpec, GraftWriter.enforceChecks(df, head.checks))
     // key tuples under PHYSICAL names (what delete files store)
     val keyDf = df.select(keys.zip(physKeys).map { case (l, p) =>
       org.apache.spark.sql.functions.col(l).as(p)
