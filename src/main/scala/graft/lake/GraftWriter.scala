@@ -44,12 +44,18 @@ object GraftWriter {
 
     val staging = store.tableDir.resolve(s".staging-${UUID.randomUUID()}")
     try {
+      // GENERATED ALWAYS AS columns are (re)computed here — the single
+      // choke point every batch write passes through — overriding whatever
+      // the incoming rows carried (that IS the ALWAYS semantics; the
+      // analyzer hands us NULL for them on INSERT).
+      val genApplied = store.head().map(_.generated).getOrElse(Map.empty)
+        .foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
       // Align to table schema by name (Spark has already resolved/ordered
       // for SQL inserts; this also covers direct API writes) + cast, and
       // rename to PHYSICAL column names — data files always carry the
       // physical name, so files from before/after a column rename are
       // interchangeable. Partition-spec sources are physical too.
-      val aligned = df.select(schema.fields.map(f =>
+      val aligned = genApplied.select(schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(SchemaNames.physicalName(f)))
         .toIndexedSeq: _*)
 

@@ -119,6 +119,16 @@ final class GraftRowLevelOperation(
 
 final class GraftRowLevelOperationBuilder(store: SnapshotStore, info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
+  override def build(): RowLevelOperation = {
+    // DELETE rewrites carry surviving rows unchanged (generated values
+    // stay correct), but the COW writer cannot recompute generation
+    // expressions, so an UPDATE/MERGE of a base column would leave its
+    // generated column stale — fail loudly instead.
+    if (info.command() != Command.DELETE)
+      require(store.head().forall(_.generated.isEmpty),
+        "UPDATE/MERGE on tables with GENERATED columns is not supported " +
+          "yet (the rewrite would not recompute generation expressions); " +
+          "use INSERT OVERWRITE or DELETE + INSERT")
     new GraftRowLevelOperation(store, info.command())
+  }
 }

@@ -84,7 +84,8 @@ final case class Snapshot(
     files: Seq[DataFile],
     summary: Map[String, String],
     deleteFiles: Seq[DeleteFile] = Seq.empty,
-    checks: Map[String, String] = Map.empty) { // CHECK constraints: name -> predicate SQL
+    checks: Map[String, String] = Map.empty, // CHECK constraints: name -> predicate SQL
+    generated: Map[String, String] = Map.empty) { // GENERATED ALWAYS: col -> expr SQL
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]

@@ -14,6 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** V2 `Column[]` → StructType (private[sql] CatalogV2Util): used by the
+    * generated-columns create path, where the column list carries more
+    * than the StructType conversion keeps. */
+  def columnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** V2 connector Predicate → V1 source Filter (for runtime group
     * filtering: Spark delivers dynamic-pruning predicates as V2
     * Predicates; our pruner evaluates V1 Filters). */
