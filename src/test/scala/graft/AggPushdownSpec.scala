@@ -117,6 +117,17 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 1)
   }
 
+  test("pushdown keys stats by PHYSICAL name after a column rename") {
+    sql("CREATE TABLE aggspec.demo.rn (id INT, v DOUBLE) USING graft")
+    sql("INSERT INTO aggspec.demo.rn VALUES (1, 1.5), (2, 9.5)")
+    sql("ALTER TABLE aggspec.demo.rn RENAME COLUMN v TO value")
+    val p = plan("SELECT min(value), max(value), count(value) FROM aggspec.demo.rn")
+    assert(p.contains("GraftMetadataAggScan"), s"not pushed after rename:\n$p")
+    val r = sql("SELECT min(value), max(value), count(value) FROM aggspec.demo.rn")
+      .collect().head
+    assert(r.getDouble(0) == 1.5 && r.getDouble(1) == 9.5 && r.getLong(2) == 2)
+  }
+
   test("group-by aggregates are NOT pushed") {
     val q = "SELECT grp, count(*) FROM aggspec.demo.t GROUP BY grp"
     assert(!plan(q).contains("GraftMetadataAggScan"))

@@ -187,6 +187,19 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(versions == (1L to versions.max))
   }
 
+  test("equality deletes survive a column rename (physical-name keyed)") {
+    makeTable("e13")
+    sql("DELETE FROM eqspec.demo.e13 WHERE grp = 'a'") // eq delete on 'grp'
+    sql("ALTER TABLE eqspec.demo.e13 RENAME COLUMN grp TO category")
+    val ids = sql("SELECT id FROM eqspec.demo.e13 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(3, 4), "rename must not un-delete masked rows")
+    // and deleting under the NEW name still works
+    sql("DELETE FROM eqspec.demo.e13 WHERE category = 'b'")
+    assert(sql("SELECT count(*) FROM eqspec.demo.e13")
+      .collect().head.getLong(0) == 0)
+  }
+
   test("time travel reads the pre-delete snapshot unaffected") {
     makeTable("e11")
     val vBefore = store("e11").currentVersion().get
