@@ -247,7 +247,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def loadTable(ident: Identifier): Table = {
     if (tableExists(ident)) {
@@ -331,9 +333,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c if c.generationExpression() != null =>
         c.name() -> c.generationExpression()
     }.toMap
+    val identity = columns.collect {
+      case c if c.identityColumnSpec() != null =>
+        val s = c.identityColumnSpec()
+        c.name() -> IdentityCol(s.getStart, s.getStep, s.isAllowExplicitInsert)
+    }.toMap
     val schema = org.apache.spark.sql.graftbridge.ColumnBridge
       .columnsToStructType(columns)
-    createTableImpl(ident, schema, partitions, properties, generated)
+    createTableImpl(ident, schema, partitions, properties, generated, identity)
   }
 
   private def createTableImpl(
@@ -341,7 +348,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String],
-      generated: Map[String, String]): Table = {
+      generated: Map[String, String],
+      identity: Map[String, IdentityCol] = Map.empty): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
@@ -364,7 +372,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         properties = props,
         files = Seq.empty,
         summary = Map("total-records" -> "0", "total-files" -> "0"),
-        generated = generated)
+        generated = generated,
+        identity = identity)
     }
     new GraftTable(fullName(ident), st)
   }

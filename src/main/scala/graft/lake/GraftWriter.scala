@@ -296,6 +296,29 @@ object GraftWriter {
           .otherwise(lit(true)))
     }
 
+  /** Fill IDENTITY columns at ingest: value = lastValue + step × (sparse
+    * per-partition id + 1). `monotonically_increasing_id` is unique and
+    * shuffle-free but NOT dense (partition ordinal lives in the high
+    * bits), so identity values have gaps — the standard warehouse
+    * semantics; what matters is uniqueness and step direction, and the
+    * committed high-water mark comes from the written files' own column
+    * stats, so it is exact whatever the gaps. */
+  private def fillIdentity(df: DataFrame, head: Snapshot): DataFrame =
+    head.identity.foldLeft(df) { case (d, (c, ic)) =>
+      val last = ic.lastValue.getOrElse(ic.start - ic.step)
+      val assigned = lit(last) +
+        lit(ic.step) * (monotonically_increasing_id() + lit(1L))
+      if (ic.allowExplicit) // BY DEFAULT: only fill rows that omitted it
+        d.withColumn(c, coalesce(col(c).cast("long"), assigned))
+      else // ALWAYS: an explicit value is an error (enforced here — the
+           // analyzer leaves v2 identity enforcement to the connector)
+        d.withColumn(c,
+          when(col(c).isNotNull,
+            raise_error(lit(s"cannot INSERT an explicit value into " +
+              s"'$c': it is GENERATED ALWAYS AS IDENTITY")).cast("long"))
+            .otherwise(assigned))
+    }
+
   /** Append or replace the table content with `df`. */
   def insert(
       spark: SparkSession,
@@ -305,14 +328,37 @@ object GraftWriter {
     val head = store.head().getOrElse(
       throw new IllegalStateException(s"table not initialized: ${store.tableDir}"))
     val newFiles = writeFiles(spark, store, head.schema, head.partitionSpec,
-      enforceChecks(df, head.checks))
+      enforceChecks(fillIdentity(df, head), head.checks))
     store.commit { prev =>
       val p = prev.getOrElse(head)
+      // identity assignment read the high-water mark at plan time: a
+      // concurrent insert that advanced it would make our values collide
+      if (head.identity.nonEmpty)
+        require(p.version == head.version,
+          s"concurrent insert into identity table ${store.tableDir}; retry")
+      // advance each identity column's high-water mark from the WRITTEN
+      // files' column stats (exact, independent of assignment gaps)
+      val newIdentity = p.identity.map { case (c, ic) =>
+        val phys = p.schema.fields.find(_.name == c)
+          .map(SchemaNames.physicalName).getOrElse(c)
+        val extremes = newFiles.flatMap(f => f.stats.get(phys)
+          .flatMap(st => if (ic.step > 0) st.max else st.min)
+          .flatMap(s => scala.util.Try(BigDecimal(s).toLongExact).toOption))
+        val batchEdge =
+          if (extremes.isEmpty) None
+          else Some(if (ic.step > 0) extremes.max else extremes.min)
+        val merged = (ic.lastValue, batchEdge) match {
+          case (Some(a), Some(b)) => Some(if (ic.step > 0) a.max(b) else a.min(b))
+          case (a, b) => b.orElse(a)
+        }
+        c -> ic.copy(lastValue = merged)
+      }
       val base = if (overwrite) Seq.empty else p.files
       // full overwrite discards every previous row — pending MOR delete
       // tuples reference only discarded files, so they go too
       val dels = if (overwrite) Seq.empty else p.deleteFiles
       p.copy(
+        identity = newIdentity,
         timestampMs = System.currentTimeMillis(),
         operation = if (overwrite) "overwrite" else "append",
         files = base ++ newFiles,

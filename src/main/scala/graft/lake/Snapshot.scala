@@ -68,6 +68,18 @@ final case class DeleteFile(
     equalityColumns: Seq[String] = Seq.empty, // physical names (equality kind)
     seq: Long = 0L)
 
+/** GENERATED ... AS IDENTITY column: values assigned at ingest from a
+  * per-table high-water mark. `lastValue` is the largest (or smallest,
+  * for negative step) value any committed insert assigned — the next
+  * insert continues from it. Gaps are expected (the assignment uses
+  * sparse per-partition ids to stay shuffle-free), matching every
+  * warehouse's identity semantics. */
+final case class IdentityCol(
+    start: Long,
+    step: Long,
+    allowExplicit: Boolean,        // BY DEFAULT (true) vs ALWAYS (false)
+    lastValue: Option[Long] = None)
+
 final case class PartitionField(
     name: String,      // partition field name, e.g. "created_date" or "days(created_at)"
     transform: String, // identity | days | months | years | bucket[N]
@@ -85,7 +97,8 @@ final case class Snapshot(
     summary: Map[String, String],
     deleteFiles: Seq[DeleteFile] = Seq.empty,
     checks: Map[String, String] = Map.empty, // CHECK constraints: name -> predicate SQL
-    generated: Map[String, String] = Map.empty) { // GENERATED ALWAYS: col -> expr SQL
+    generated: Map[String, String] = Map.empty, // GENERATED ALWAYS: col -> expr SQL
+    identity: Map[String, IdentityCol] = Map.empty) { // IDENTITY columns
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
