@@ -87,15 +87,39 @@ object Changes {
       // rows that were already deleted — those must not be re-emitted)
       val parentDelSet = parentDeletes.map(_.path).toSet
       val newDeleteFiles = snap.deleteFiles.filterNot(f => parentDelSet.contains(f.path))
+      // Position tuples diff at TUPLE level, not file level: retain()
+      // rewrites surviving tuples into NEW files on every COW/compact
+      // commit, so a path diff would re-emit long-deleted rows as fresh
+      // deletes. exceptAll against the parent's tuples leaves exactly the
+      // tuples this commit ADDED (both sides are KB-sized by design).
+      val newPosTuples: Option[DataFrame] =
+        (PositionDeletes.tuples(spark, store,
+            newDeleteFiles.filter(_.kind == "position")),
+          PositionDeletes.tuples(spark, store, parentDeletes)) match {
+          case (None, _) => None
+          case (Some(n), None) => Some(n)
+          case (Some(n), Some(p)) => Some(n.exceptAll(p))
+        }
       val morDeletedPos: Option[DataFrame] =
-        PositionDeletes.tuples(spark, store, newDeleteFiles).map { t =>
-          val data = SchemaNames.readLogicalWithProvenance(spark, schema,
-            snap.files.map(f => store.tableDir.resolve(f.path).toString))
-          data.join(t,
-            data(PositionDeletes.NameCol) === t(PositionDeletes.NameCol) &&
-              data(PositionDeletes.RowPosCol) === t(PositionDeletes.RowPosCol),
-            "left_semi")
-            .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol)
+        newPosTuples.flatMap { t0 =>
+          val t = t0.cache()
+          // only the files the tuples actually name are read — a commit
+          // deleting rows from one file of a 10k-file table opens one file
+          val touchedNames = t
+            .select(PositionDeletes.NameCol).distinct()
+            .collect().map(_.getString(0)).toSet
+          val touched = snap.files.filter(f =>
+            touchedNames.contains(PositionDeletes.fileName(f.path)))
+          if (touched.isEmpty) { t.unpersist(); None }
+          else {
+            val data = SchemaNames.readLogicalWithProvenance(spark, schema,
+              touched.map(f => store.tableDir.resolve(f.path).toString))
+            Some(data.join(t,
+              data(PositionDeletes.NameCol) === t(PositionDeletes.NameCol) &&
+                data(PositionDeletes.RowPosCol) === t(PositionDeletes.RowPosCol),
+              "left_semi")
+              .drop(PositionDeletes.NameCol, PositionDeletes.RowPosCol))
+          }
         }
       val morDeletedEq: Option[DataFrame] = parent.flatMap { par =>
         PositionDeletes.equalityMatchedRows(spark, store, snap,

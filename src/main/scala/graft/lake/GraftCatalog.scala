@@ -444,10 +444,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Option(add.defaultValue()).foreach { dv =>
               val idx = grown.length - 1
               val f = grown.fields(idx)
+              // EXISTS_DEFAULT must be the value FOLDED AT ALTER TIME (the
+              // analyzer ships it as the V2 literal): stamping the raw SQL
+              // would re-evaluate e.g. current_date() on every later read,
+              // so pre-column rows would drift day by day
+              val existsSql = Option(dv.getValue)
+                .map(lv => org.apache.spark.sql.catalyst.expressions
+                  .Literal(lv.value, lv.dataType).sql)
+                .getOrElse(dv.getSql)
               val m = new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
                 .putString("CURRENT_DEFAULT", dv.getSql)
-                .putString("EXISTS_DEFAULT", dv.getSql)
+                .putString("EXISTS_DEFAULT", existsSql)
                 .build()
               grown = StructType(grown.fields.updated(idx, f.copy(metadata = m)))
             }
@@ -488,6 +496,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .map(SchemaNames.physicalName).getOrElse(path.head)
           require(!prev.partitionSpec.exists(_.source == delPhys),
             s"cannot drop partition source column ${path.head}")
+          // pending equality deletes are keyed by this physical name —
+          // dropping it would make EVERY read (and rewrite_deletes itself)
+          // throw, bricking the table; refuse up front instead
+          require(!prev.deleteFiles.exists(d =>
+              d.kind == "equality" && d.equalityColumns.contains(delPhys)),
+            s"cannot drop column ${path.head}: pending equality deletes " +
+              "are keyed by it — run CALL <cat>.system.rewrite_deletes " +
+              "first")
           schema = editStructAt(schema, path.init) { st =>
             require(st.fieldNames.contains(path.last),
               s"no column ${path.mkString(".")}")

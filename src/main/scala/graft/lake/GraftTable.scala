@@ -363,10 +363,18 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
       if (vals.length != stats.length) return None
       if (vals.isEmpty) Some(null) // empty table / all nulls -> NULL
       else {
+        // floating types get IEEE-total orderings (NaN largest, matching
+        // Spark's sort order): BigDecimal("Infinity") would throw at plan
+        // time instead of falling back to a scan
         val ord = f.dataType match {
           case _: DecimalType => Ordering.by((a: Any) =>
             a.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
-          case FloatType => Ordering.by((a: Any) => a.asInstanceOf[Float].toDouble)
+          case FloatType =>
+            Ordering.by[Any, Float](_.asInstanceOf[Float])(
+              Ordering.Float.TotalOrdering)
+          case DoubleType =>
+            Ordering.by[Any, Double](_.asInstanceOf[Double])(
+              Ordering.Double.TotalOrdering)
           case _ => Ordering.by((a: Any) => BigDecimal(a.toString))
         }
         Some(if (isMin) vals.min(ord) else vals.max(ord))

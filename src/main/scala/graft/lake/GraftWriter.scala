@@ -43,12 +43,15 @@ object GraftWriter {
       df: DataFrame): Seq[DataFile] = {
 
     val staging = store.tableDir.resolve(s".staging-${UUID.randomUUID()}")
+    // ONE head read per write: every table-property lookup below shares it
+    // (each head() re-reads and re-parses the snapshot JSON)
+    val headOpt = store.head()
     try {
       // GENERATED ALWAYS AS columns are (re)computed here — the single
       // choke point every batch write passes through — overriding whatever
       // the incoming rows carried (that IS the ALWAYS semantics; the
       // analyzer hands us NULL for them on INSERT).
-      val genApplied = store.head().map(_.generated).getOrElse(Map.empty)
+      val genApplied = headOpt.map(_.generated).getOrElse(Map.empty)
         .foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
       // Align to table schema by name (Spark has already resolved/ordered
       // for SQL inserts; this also covers direct API writes) + cast, and
@@ -78,7 +81,7 @@ object GraftWriter {
       // z-column, so min/max pruning works on all of them — the
       // multi-dimensional analogue of the linear sort below (Iceberg/Delta
       // OPTIMIZE ZORDER).
-      val orderSpec = store.head()
+      val orderSpec = headOpt
         .flatMap(_.properties.get("graft.sort-order"))
         .map(_.trim).getOrElse("")
       def physical(logical: String): String =
@@ -108,7 +111,7 @@ object GraftWriter {
       // also bounds skew when one partition dominates. A sort-order table
       // clusters by (partition, sort keys) already — strictly stronger —
       // so the mode only applies when no sort order is set.
-      val distMode = store.head()
+      val distMode = headOpt
         .flatMap(_.properties.get("graft.write.distribution-mode"))
         .getOrElse("none")
       val clustered =
@@ -159,7 +162,7 @@ object GraftWriter {
       // Spark's own BloomFilterAggregate (the runtime-filter sketch), so
       // lookup uses the same xxhash64 domain. Opt-in per table because the
       // extra read pass is only worth it for point-lookup-heavy columns.
-      val bloomCols: Seq[String] = store.head()
+      val bloomCols: Seq[String] = headOpt
         .flatMap(_.properties.get("graft.bloom-columns"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
@@ -179,7 +182,7 @@ object GraftWriter {
       // they answer "how many distinct values" from METADATA ONLY, feeding
       // the `t.stats` table and the optimizer's columnStats (join
       // reordering / broadcast decisions under CBO).
-      val ndvCols: Seq[String] = store.head()
+      val ndvCols: Seq[String] = headOpt
         .flatMap(_.properties.get("graft.ndv-columns"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
@@ -204,7 +207,7 @@ object GraftWriter {
           import org.apache.spark.sql.graftbridge.ColumnBridge
           import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
           import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-          val numBits = store.head()
+          val numBits = headOpt
             .flatMap(_.properties.get("graft.bloom-bits"))
             .map(_.toLong).getOrElse(65536L)
           val bloomAggs = bloomCols.map { c =>

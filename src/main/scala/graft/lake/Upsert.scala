@@ -29,6 +29,11 @@ object Upsert {
       throw new IllegalStateException(s"table not initialized: ${store.tableDir}"))
     val schema = head.schema
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // this path calls writeFiles directly — it has no identity assignment
+    // and would neither fill BY DEFAULT values nor advance the high-water
+    // mark; upserts address rows by NATURAL keys anyway
+    require(head.identity.isEmpty,
+      "upsert into tables with IDENTITY columns is not supported")
     val fields = keys.map(k => schema.fields.find(_.name == k).getOrElse(
       throw new IllegalArgumentException(s"upsert key '$k' not in table schema")))
     val physKeys = fields.map(SchemaNames.physicalName)

@@ -240,11 +240,14 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(orderCol).desc)
-        val lastPerKey = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        if (!lastPerKey.isEmpty)
+        // probe the RAW batch: lastPerKey is empty iff batch is, and
+        // probing the windowed frame would run the dedup pipeline twice
+        if (!batch.isEmpty) {
+          val lastPerKey = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
           graft.lake.Upsert.into(spark, store, lastPerKey, keys)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

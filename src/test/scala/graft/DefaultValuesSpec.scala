@@ -66,6 +66,21 @@ class DefaultValuesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1, 11, "x"), (2, 20, "x")))
   }
 
+  test("non-deterministic ADD COLUMN defaults freeze at ALTER time") {
+    sql("CREATE TABLE dfspec.demo.t5 (id INT) USING graft")
+    sql("INSERT INTO dfspec.demo.t5 VALUES (1)")
+    sql("ALTER TABLE dfspec.demo.t5 ADD COLUMN d DATE DEFAULT current_date()")
+    val store = new SnapshotStore(
+      java.nio.file.Paths.get(wh, "demo", "t5"))
+    val f = store.head().get.schema.fields.find(_.name == "d").get
+    val exists = f.metadata.getString("EXISTS_DEFAULT")
+    // the exists-default must be the FOLDED date literal, not the SQL that
+    // would re-evaluate (and drift) on every later read
+    assert(exists.startsWith("DATE '"),
+      s"EXISTS_DEFAULT should be a frozen literal, got: $exists")
+    assert(sql("SELECT d FROM dfspec.demo.t5").collect().head.getDate(0) != null)
+  }
+
   test("defaults survive snapshot JSON roundtrip and time travel") {
     sql("CREATE TABLE dfspec.demo.t4 (id INT, s STRING DEFAULT 'd0') USING graft")
     sql("INSERT INTO dfspec.demo.t4 (id) VALUES (1)")

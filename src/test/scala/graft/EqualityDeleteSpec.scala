@@ -158,6 +158,21 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rewrite must not resurrect equality-deleted rows")
   }
 
+  test("DROP COLUMN of a pending equality-delete key is refused") {
+    makeTable("e14")
+    sql("DELETE FROM eqspec.demo.e14 WHERE grp = 'a'") // eq delete keyed by grp
+    val e = intercept[Exception] {
+      sql("ALTER TABLE eqspec.demo.e14 DROP COLUMN grp")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("rewrite_deletes"))
+    // after folding, the drop goes through
+    sql("CALL eqspec.system.rewrite_deletes('demo.e14')")
+    sql("ALTER TABLE eqspec.demo.e14 DROP COLUMN grp")
+    assert(sql("SELECT count(*) FROM eqspec.demo.e14")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("concurrent upserts serialize via optimistic commit retries") {
     makeTable("e12")
     val st = store("e12")

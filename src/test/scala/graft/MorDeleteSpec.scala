@@ -204,6 +204,22 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.length == 3 && files.forall(!_.isNullAt(0)))
   }
 
+  test("CDC does not re-emit old deletes when retain() rewrites tuple files") {
+    makeTable("t13")
+    sql("DELETE FROM morspec.demo.t13 WHERE id = 1 OR id = 3") // positional
+    val st = store("t13")
+    val vDelete = st.currentVersion().get
+    // compaction rewrites data files AND the surviving tuple set (retain):
+    // the changelog for that commit must be EMPTY, not a replay of the
+    // v-delete tuples under their new file path
+    Maintenance.compact(spark, st, smallFileThresholdBytes = 1024 * 1024 * 64)
+    val vCompact = st.currentVersion().get
+    assert(vCompact > vDelete, "compact must have committed")
+    val ch = Changes.between(spark, st, vDelete, vCompact)
+    assert(ch.count() == 0,
+      s"compaction changelog must be empty, got ${ch.collect().mkString(", ")}")
+  }
+
   test("delete_files metadata table reports pending tuples") {
     makeTable("t11")
     sql("DELETE FROM morspec.demo.t11 WHERE id <= 2")
