@@ -82,19 +82,15 @@ object PositionDeletes {
           "left_anti")
     }
 
-  /** Stage a `(file_path, pos)` tuple DataFrame as new delete files and
-    * move them into `data/`. Tuples are globally sorted by (file, pos) so
-    * each delete file covers a narrow file range (footer stats then let a
-    * future per-file pushdown prune them). Returns the committed entries
-    * (empty when the DataFrame is empty). */
-  def writeDeleteFiles(spark: SparkSession, store: SnapshotStore,
-      tuples: DataFrame): Seq[DeleteFile] = {
+  /** Shared staging protocol for delete files: write `df` to a temp dir,
+    * move each non-empty parquet into `data/` under a fresh name built
+    * from `suffix`, and register it via `mk`. The staging dir is always
+    * cleaned up. */
+  private def stageDeleteFiles(store: SnapshotStore, df: DataFrame,
+      suffix: String)(mk: (String, Long, Long) => DeleteFile): Seq[DeleteFile] = {
     val staging = store.tableDir.resolve(s".staging-del-${UUID.randomUUID()}")
     try {
-      tuples
-        .select(col(FilePathCol).cast(StringType), col(PosCol).cast(LongType))
-        .sort(FilePathCol, PosCol)
-        .write.parquet(staging.toString)
+      df.write.parquet(staging.toString)
       val staged = Files.walk(staging).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toSeq
@@ -102,12 +98,11 @@ object PositionDeletes {
         val (cnt, _) = FooterStats.read(p, Seq.empty)
         if (cnt == 0) None
         else {
-          val newName = s"${UUID.randomUUID()}-deletes.parquet"
+          val newName = s"${UUID.randomUUID()}-$suffix.parquet"
           val target = store.dataDir.resolve(newName)
           val size = Files.size(p)
           Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-          Some(DeleteFile(s"data/$newName", cnt, size,
-            seq = Snapshot.UnassignedSeq))
+          Some(mk(s"data/$newName", cnt, size))
         }
       }
     } finally {
@@ -117,6 +112,21 @@ object PositionDeletes {
       }
     }
   }
+
+  /** Stage a `(file_path, pos)` tuple DataFrame as new delete files and
+    * move them into `data/`. Tuples are globally sorted by (file, pos) so
+    * each delete file covers a narrow file range (footer stats then let a
+    * future per-file pushdown prune them). Returns the committed entries
+    * (empty when the DataFrame is empty). */
+  def writeDeleteFiles(spark: SparkSession, store: SnapshotStore,
+      tuples: DataFrame): Seq[DeleteFile] =
+    stageDeleteFiles(store,
+      tuples
+        .select(col(FilePathCol).cast(StringType), col(PosCol).cast(LongType))
+        .sort(FilePathCol, PosCol),
+      "deletes") { (path, cnt, size) =>
+      DeleteFile(path, cnt, size, seq = Snapshot.UnassignedSeq)
+    }
 
   /** Stage an EQUALITY delete: `keys` holds one row per deleted key over
     * `physCols` (the table's PHYSICAL column names, which is also the
@@ -125,40 +135,37 @@ object PositionDeletes {
     * regardless of table size; readers subtract matches with sequence
     * ordering (only files older than this commit are affected). */
   def writeEqualityDeleteFiles(spark: SparkSession, store: SnapshotStore,
-      keys: DataFrame, physCols: Seq[String]): Seq[DeleteFile] = {
-    val staging = store.tableDir.resolve(s".staging-eqdel-${UUID.randomUUID()}")
-    try {
-      keys.select(physCols.map(org.apache.spark.sql.functions.col): _*)
+      keys: DataFrame, physCols: Seq[String]): Seq[DeleteFile] =
+    stageDeleteFiles(store,
+      keys.select(physCols.map(col): _*)
         .distinct()
-        .coalesce(1) // key sets are small by design; one file per commit
-        .write.parquet(staging.toString)
-      val staged = Files.walk(staging).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toSeq
-      staged.flatMap { p =>
-        val (cnt, _) = FooterStats.read(p, Seq.empty)
-        if (cnt == 0) None
-        else {
-          val newName = s"${UUID.randomUUID()}-eq-deletes.parquet"
-          val target = store.dataDir.resolve(newName)
-          val size = Files.size(p)
-          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-          Some(DeleteFile(s"data/$newName", cnt, size, kind = "equality",
-            equalityColumns = physCols, seq = Snapshot.UnassignedSeq))
-        }
-      }
-    } finally {
-      if (Files.exists(staging)) {
-        Files.walk(staging).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
+        .coalesce(1), // key sets are small by design; one file per commit
+      "eq-deletes") { (path, cnt, size) =>
+      DeleteFile(path, cnt, size, kind = "equality",
+        equalityColumns = physCols, seq = Snapshot.UnassignedSeq)
     }
-  }
 
   /** Sequence column names for equality application (collision-proofed
     * like the provenance columns). */
   val FileSeqCol = "__gdel_fseq"
   val DelSeqCol = "__gdel_dseq"
+
+  /** Load one equality-column group's tuple files as a frame with columns
+    * `__geq_<physName>` plus [[DelSeqCol]] (each file's commit sequence),
+    * broadcast while the group stays small. Shared by the anti-join
+    * (delete application) and the semi-join (CDC / position conversion). */
+  private def eqTupleFrame(spark: SparkSession, store: SnapshotStore,
+      cols: Seq[String], group: Seq[DeleteFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val parts = group.map { g =>
+      spark.read.parquet(store.tableDir.resolve(g.path).toString)
+        .toDF(cols.map(c => s"__geq_$c"): _*)
+        .withColumn(DelSeqCol, lit(g.seq))
+    }
+    val tup0 = parts.reduce(_ unionByName _)
+    if (group.map(_.sizeBytes).sum <= BroadcastMaxBytes) broadcast(tup0)
+    else tup0
+  }
 
   /** Apply ALL of `snap`'s pending deletes (position tuples + equality
     * keys) to a provenance-carrying data read. Equality semantics: a row
@@ -188,14 +195,7 @@ object PositionDeletes {
           throw new IllegalStateException(
             s"equality-delete column '$c' no longer exists in the table " +
               "schema; run rewrite_deletes before dropping delete-key columns")))
-        val parts = group.map { g =>
-          spark.read.parquet(store.tableDir.resolve(g.path).toString)
-            .toDF(cols.map(c => s"__geq_$c"): _*)
-            .withColumn(DelSeqCol, lit(g.seq))
-        }
-        val tup0 = parts.reduce(_ unionByName _)
-        val tup = if (group.map(_.sizeBytes).sum <= 32L * 1024 * 1024)
-          broadcast(tup0) else tup0
+        val tup = eqTupleFrame(spark, store, cols, group)
         val keyEq = cols.zip(logical).map { case (p, l) =>
           df(l) === tup(s"__geq_$p")
         }.reduce(_ && _)
@@ -259,14 +259,7 @@ object PositionDeletes {
         val logical = cols.map(c => physToLogical.getOrElse(c,
           throw new IllegalStateException(
             s"equality-delete column '$c' no longer exists in the table schema")))
-        val parts = group.map { g =>
-          spark.read.parquet(store.tableDir.resolve(g.path).toString)
-            .toDF(cols.map(c => s"__geq_$c"): _*)
-            .withColumn(DelSeqCol, lit(g.seq))
-        }
-        val tup0 = parts.reduce(_ unionByName _)
-        val tup = if (group.map(_.sizeBytes).sum <= 32L * 1024 * 1024)
-          broadcast(tup0) else tup0
+        val tup = eqTupleFrame(spark, store, cols, group)
         val keyEq = cols.zip(logical).map { case (p, l) =>
           withSeq(l) === tup(s"__geq_$p")
         }.reduce(_ && _)
