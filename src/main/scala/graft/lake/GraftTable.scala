@@ -277,11 +277,43 @@ class GraftTable(
 class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = snapshot.schema
   private var filters: Array[Filter] = Array.empty
   private var aggPushed: Option[(StructType, Array[Any])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown as FILE-LIST truncation: an unfiltered `LIMIT n`
+    * needs only a prefix of files whose row counts reach n — on a
+    * 10k-file table, `SELECT * LIMIT 10` opens one file. Always
+    * "partially pushed" (Spark re-applies the limit; we only shrink the
+    * scan), so correctness never depends on it. Refused under pending
+    * deletes: file row counts overstate live rows there, and a too-short
+    * prefix would lose rows. Spark only offers the pushdown when nothing
+    * but projections sit between LIMIT and the scan, so the
+    * filters-empty guard is belt-and-suspenders. */
+  override def pushLimit(l: Int): Boolean = {
+    if (filters.isEmpty && snapshot.deleteFiles.isEmpty && l >= 0) {
+      limit = Some(l)
+      true
+    } else false
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Prefix of `files` whose cumulative row count covers `n` rows. */
+  private def limitPrefix(files: Seq[DataFile], n: Int): Seq[DataFile] = {
+    var acc = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    val it = files.iterator
+    while (acc < n && it.hasNext) {
+      val f = it.next()
+      out += f
+      acc += f.rowCount
+    }
+    out.toSeq
+  }
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -425,6 +457,15 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
         return new GraftMetadataAggScan(aggSchema, values, snapshot)
       case None =>
     }
+    // pushed LIMIT: truncate the file list before planning. The guard is
+    // re-checked HERE, after every pushdown phase ran — Spark has been
+    // observed offering pushLimit before/despite residual filters, and a
+    // prefix under a filter would DROP matching rows in later files.
+    val snapshot0 = limit match {
+      case Some(l) if filters.isEmpty && snapshot.deleteFiles.isEmpty =>
+        snapshot.copy(files = limitPrefix(snapshot.files, l))
+      case _ => snapshot
+    }
     // Vectorized DSv2 path by default; the V1 bridge remains for the
     // `_file` metadata column (served via input_file_name), for pending
     // merge-on-read deletes (the anti-join composes at the DataFrame
@@ -433,9 +474,9 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     val vectorized = SparkSession.active.conf
       .getOption("spark.graft.vectorizedReader").forall(_.toBoolean)
     if (vectorized && !wantsFile && snapshot.deleteFiles.isEmpty)
-      new GraftVectorScan(snapshot, store, snapshot.schema, required, filters)
+      new GraftVectorScan(snapshot0, store, snapshot0.schema, required, filters)
     else
-      new GraftScan(snapshot, store, snapshot.schema, required, filters)
+      new GraftScan(snapshot0, store, snapshot0.schema, required, filters)
   }
 }
 

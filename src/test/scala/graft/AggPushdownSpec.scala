@@ -128,6 +128,32 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(0) == 1.5 && r.getDouble(1) == 9.5 && r.getLong(2) == 2)
   }
 
+  test("LIMIT pushdown truncates the scanned file list") {
+    sql("CREATE TABLE aggspec.demo.lim (id INT) USING graft")
+    // several separate inserts -> several data files
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO aggspec.demo.lim VALUES (${i * 2}), (${i * 2 + 1})"))
+    val nFiles = new SnapshotStore(
+      java.nio.file.Paths.get(wh, "demo", "lim")).head().get.files.size
+    assert(nFiles >= 4)
+    val FilesPat = """files=(\d+)/(\d+)""".r
+    def scanned(p: String): Int =
+      FilesPat.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    val p = plan("SELECT id FROM aggspec.demo.lim LIMIT 2")
+    val k = scanned(p)
+    assert(k >= 1 && k < nFiles,
+      s"LIMIT 2 should scan a strict prefix of $nFiles files, got $k:\n$p")
+    assert(sql("SELECT id FROM aggspec.demo.lim LIMIT 2").collect().length == 2)
+    // a filtered LIMIT must NOT truncate by limit — only stats pruning may
+    // shrink the set. `id >= 0` matches every file (stats prune nothing),
+    // so any reduction would be the limit wrongly dropping matching files.
+    val pf = plan("SELECT id FROM aggspec.demo.lim WHERE id >= 0 LIMIT 1")
+    assert(scanned(pf) == nFiles,
+      s"filtered LIMIT must not truncate the file list:\n$pf")
+    assert(sql("SELECT id FROM aggspec.demo.lim WHERE id >= 6 LIMIT 1")
+      .collect().length == 1)
+  }
+
   test("group-by aggregates are NOT pushed") {
     val q = "SELECT grp, count(*) FROM aggspec.demo.t GROUP BY grp"
     assert(!plan(q).contains("GraftMetadataAggScan"))
