@@ -299,8 +299,58 @@ object LakeOps {
               FROM $Cat.verify.orders_upsert ORDER BY o_orderkey""")
   }
 
+  /** Column DEFAULTs through the full evolution path: rows written BEFORE
+    * an ADD COLUMN ... DEFAULT read the frozen default (not null), rows
+    * after carry their own values — oracle reproduces with a UNION. */
+  val qLakeDefaults: Q = Q(
+    "q_lake_defaults",
+    """SELECT r_regionkey, r_name, 'unreviewed' AS status FROM region
+       UNION ALL
+       SELECT 77, 'NOVA', 'approved'
+       ORDER BY r_regionkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.region_dflt")
+    s.sql(s"""CREATE TABLE $Cat.verify.region_dflt
+              (r_regionkey INT, r_name STRING) USING graft""")
+    Tables.region(s, d).createOrReplaceTempView("graft_src_region_dflt")
+    s.sql(s"INSERT INTO $Cat.verify.region_dflt SELECT * FROM graft_src_region_dflt")
+    s.sql(s"""ALTER TABLE $Cat.verify.region_dflt
+              ADD COLUMN status STRING DEFAULT 'unreviewed'""")
+    s.sql(s"INSERT INTO $Cat.verify.region_dflt VALUES (77, 'NOVA', 'approved')")
+    s.sql(s"""SELECT r_regionkey, r_name, status
+              FROM $Cat.verify.region_dflt ORDER BY r_regionkey""")
+  }
+
+  /** GENERATED ALWAYS AS columns end to end: the write path computes the
+    * expression (overriding analyzer-provided NULLs), and grouping by the
+    * generated column matches DuckDB computing it inline. */
+  val qLakeGenerated: Q = Q(
+    "q_lake_generated",
+    """SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY 1 ORDER BY o_year""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.orders_gen")
+    s.sql(s"""CREATE TABLE $Cat.verify.orders_gen
+              (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE,
+               o_year INT GENERATED ALWAYS AS (year(o_orderdate)))
+              USING graft""")
+    Tables.orders(s, d)
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS o_orderdate",
+        "o_totalprice")
+      .createOrReplaceTempView("graft_src_orders_gen")
+    s.sql(s"""INSERT INTO $Cat.verify.orders_gen (o_orderkey, o_orderdate, o_totalprice)
+              SELECT * FROM graft_src_orders_gen""")
+    s.sql(s"""SELECT o_year, count(*) AS n, round(sum(o_totalprice), 2) AS total
+              FROM $Cat.verify.orders_gen
+              GROUP BY o_year ORDER BY o_year""")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
-    qLakeMorDelete, qLakeUpsert)
+    qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated)
 }
