@@ -101,16 +101,18 @@ object Changes {
           case (Some(n), Some(p)) => Some(n.exceptAll(p))
         }
       val morDeletedPos: Option[DataFrame] =
-        newPosTuples.flatMap { t0 =>
-          val t = t0.cache()
+        newPosTuples.flatMap { t =>
           // only the files the tuples actually name are read — a commit
-          // deleting rows from one file of a 10k-file table opens one file
+          // deleting rows from one file of a 10k-file table opens one
+          // file. No cache: tuple files are KB-sized, so the two passes
+          // (names here, join below) are cheaper than a pinned cache
+          // entry per changed version in a long-lived session.
           val touchedNames = t
             .select(PositionDeletes.NameCol).distinct()
             .collect().map(_.getString(0)).toSet
           val touched = snap.files.filter(f =>
             touchedNames.contains(PositionDeletes.fileName(f.path)))
-          if (touched.isEmpty) { t.unpersist(); None }
+          if (touched.isEmpty) None
           else {
             val data = SchemaNames.readLogicalWithProvenance(spark, schema,
               touched.map(f => store.tableDir.resolve(f.path).toString))

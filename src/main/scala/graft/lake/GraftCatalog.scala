@@ -389,6 +389,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var schema = prev.schema
       var props = prev.properties
       var checks = prev.checks
+      var identity = prev.identity
       changes.foreach {
         case ac: TableChange.AddConstraint =>
           ac.constraint() match {
@@ -475,6 +476,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val path = rn.fieldNames().toSeq
           require(path.length == 1,
             "nested column rename not supported")
+          // generation expressions and CHECK predicates are stored as SQL
+          // over LOGICAL names — a rename would silently break them (the
+          // next write/validation would fail analysis); refuse instead.
+          // Identity specs are just keyed by name, so the key renames.
+          require(!sqlReferences(path.head,
+              prev.generated.values ++ prev.checks.values),
+            s"cannot rename ${path.head}: referenced by a GENERATED " +
+              "column expression or CHECK constraint — drop those first")
+          require(!prev.generated.contains(path.head),
+            s"cannot rename GENERATED column ${path.head} " +
+              "(stored generation expressions are keyed by name)")
+          if (identity.contains(path.head))
+            identity = identity - path.head +
+              (rn.newName() -> identity(path.head))
           schema = editStructAt(schema, Seq.empty) { st =>
             require(st.fieldNames.contains(path.head), s"no column ${path.head}")
             require(!st.fieldNames.contains(rn.newName()),
@@ -504,6 +519,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot drop column ${path.head}: pending equality deletes " +
               "are keyed by it — run CALL <cat>.system.rewrite_deletes " +
               "first")
+          // same bricking class for the write-time machinery: a stale
+          // identity/generated entry or a CHECK referencing a dropped
+          // column fails EVERY later insert at analysis
+          require(path.length > 1 || !prev.identity.contains(path.head),
+            s"cannot drop IDENTITY column ${path.head}")
+          require(path.length > 1 || !prev.generated.contains(path.head),
+            s"cannot drop GENERATED column ${path.head}")
+          require(path.length > 1 || !sqlReferences(path.head,
+              prev.generated.values ++ prev.checks.values),
+            s"cannot drop ${path.head}: referenced by a GENERATED column " +
+              "expression or CHECK constraint — drop those first")
           schema = editStructAt(schema, path.init) { st =>
             require(st.fieldNames.contains(path.last),
               s"no column ${path.mkString(".")}")
@@ -561,9 +587,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         schemaJson = schema.json,
         properties = props,
         checks = checks,
+        identity = identity,
         summary = Map("changes" -> changes.size.toString))
     }
     new GraftTable(fullName(ident), st)
+  }
+
+  /** Conservative word-boundary test: does any stored SQL fragment
+    * (generation expression, CHECK predicate) mention `col`? Used to
+    * refuse DROP/RENAME that would break stored SQL — a false positive
+    * only forces the user to drop the constraint first, never data loss. */
+  private def sqlReferences(col: String, sqls: Iterable[String]): Boolean = {
+    val p = ("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+    sqls.exists(s => p.findFirstIn(s).isDefined)
   }
 
   /** Apply `edit` to the struct at `parent` (a TableChange field path:

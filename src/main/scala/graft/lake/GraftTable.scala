@@ -705,6 +705,11 @@ final class GraftWriteBuilder(store: SnapshotStore)
       // MERGE/UPDATE rewrites use); the commit swaps whole partitions.
       val head = store.head().getOrElse(
         throw new IllegalStateException("no snapshot to overwrite"))
+      // this writer has no identity assignment — rows would land with
+      // NULL ids and the high-water mark would never advance
+      require(head.identity.isEmpty,
+        "dynamic partition overwrite on tables with IDENTITY columns is " +
+          "not supported; use a full INSERT OVERWRITE or plain INSERT")
       new GraftBatchWrite(store.tableDir.toString, head.schema.json,
         head.partitionSpec, "dynamic-overwrite",
         added => commitDynamic(head, added))
@@ -718,6 +723,13 @@ final class GraftWriteBuilder(store: SnapshotStore)
               // INSERT OVERWRITE t WHERE-style static partition overwrite:
               // delete matching rows (COW) then append the new data.
               val head = store.head().get
+              // identity fill + hwm advancement live in GraftWriter.insert
+              // (the append/full-overwrite path) — this branch would write
+              // NULL ids and leave the mark stale
+              require(head.identity.isEmpty,
+                "partition-filtered INSERT OVERWRITE on tables with " +
+                  "IDENTITY columns is not supported; use a full " +
+                  "INSERT OVERWRITE or plain INSERT")
               val cond = FilterTranslate.conjunction(fs.toSeq).getOrElse(
                 throw new UnsupportedOperationException(
                   s"untranslatable overwrite filter"))

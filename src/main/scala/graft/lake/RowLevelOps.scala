@@ -125,14 +125,15 @@ final class GraftRowLevelOperationBuilder(store: SnapshotStore, info: RowLevelOp
     // expressions, so an UPDATE/MERGE of a base column would leave its
     // generated column stale — fail loudly instead.
     if (info.command() != Command.DELETE) {
-      require(store.head().forall(_.generated.isEmpty),
+      val h = store.head() // one snapshot read for both guards
+      require(h.forall(_.generated.isEmpty),
         "UPDATE/MERGE on tables with GENERATED columns is not supported " +
           "yet (the rewrite would not recompute generation expressions); " +
           "use INSERT OVERWRITE or DELETE + INSERT")
       // MERGE-inserted rows flow through the COW writer, which has no
       // identity assignment — they would get NULL/arbitrary ids and the
       // high-water mark would not advance (later duplicates)
-      require(store.head().forall(_.identity.isEmpty),
+      require(h.forall(_.identity.isEmpty),
         "UPDATE/MERGE on tables with IDENTITY columns is not supported " +
           "yet (inserted rows would bypass identity assignment); " +
           "use plain INSERT")
