@@ -280,20 +280,34 @@ object Analytics {
     * the unique c_custkey so ranks are deterministic. */
   val qWindowDistribution: Q = Q(
     "q_window_distribution",
+    // percent_rank/cume_dist are exact rationals k/(n-1), k/n; emitting
+    // them as 6dp doubles flakes when a value lands on a rounding
+    // boundary and the two engines' doubles sit on opposite sides (seen
+    // at sf0.1: 1e-06 diffs). Multiplying back by the denominator
+    // recovers the exact integer numerator — hash-stable at ANY scale
+    // while still exercising both window functions.
     """SELECT c_custkey, c_nationkey,
               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-              round(percent_rank() OVER w, 6) AS pct_rank,
-              round(cume_dist() OVER w, 6) AS cume
+              CAST(round(percent_rank() OVER w *
+                   (count(*) OVER p - 1)) AS BIGINT) AS pr_num,
+              CAST(round(cume_dist() OVER w *
+                   count(*) OVER p) AS BIGINT) AS cume_num,
+              count(*) OVER p AS part_n
        FROM customer
-       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+              p AS (PARTITION BY c_nationkey)
        ORDER BY c_custkey""") { (s, d) =>
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal"), col("c_custkey"))
+    val p = Window.partitionBy("c_nationkey")
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        round(percent_rank().over(w) * (count(lit(1)).over(p) - 1))
+          .cast("long").as("pr_num"),
+        round(cume_dist().over(w) * count(lit(1)).over(p))
+          .cast("long").as("cume_num"),
+        count(lit(1)).over(p).as("part_n"))
       .orderBy("c_custkey")
   }
 
