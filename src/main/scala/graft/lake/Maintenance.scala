@@ -175,6 +175,10 @@ object Maintenance {
     * working — by design. Tag-pinned versions are NEVER expired: a tag's
     * whole purpose is outliving retention (same rule as Iceberg refs). */
   def expireSnapshots(store: SnapshotStore, keepLast: Int = 3): Seq[Long] = {
+    // a branch chain has no view of the MAIN chain's file references —
+    // expiring from it could delete files main still reads
+    require(store.branch.isEmpty,
+      "expire_snapshots runs on the main chain only (drop the branch instead)")
     val versions = store.listVersions()
     if (versions.size <= keepLast) return Seq.empty
     val pinned = store.refs().values.toSet
@@ -283,6 +287,10 @@ object Maintenance {
     * writes safe: a live writer's staging dir is, by definition, young. */
   def removeOrphanFiles(store: SnapshotStore,
       staleStagingMillis: Long = 60L * 60 * 1000): Seq[String] = {
+    // same reasoning as expireSnapshots: only the main store sees every
+    // chain that may reference a data file
+    require(store.branch.isEmpty,
+      "remove_orphan_files runs on the main chain only")
     val chains = store +: store.listBranches().map(store.branchStore)
     val referenced = chains.flatMap(st => st.listVersions().map(st.read))
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet

@@ -47,14 +47,30 @@ object Procedures {
   def load(catalogName: String, warehouse: Path, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
       s"unknown procedure namespace ${ident.namespace().mkString(".")}")
-    def storeFor(tbl: String): SnapshotStore = {
+    def storeFor(tblRef: String): SnapshotStore = {
+      // `ns.t@branch` addresses a branch's chain: maintenance (compact,
+      // rewrite_deletes, changelog, ...) then operates on the staged
+      // state — e.g. folding a branch's upsert deletes BEFORE publishing
+      val (tbl, branch) = tblRef.split('@') match {
+        case Array(t) => (t, None)
+        case Array(t, b) => (t, Some(b))
+        case _ => throw new IllegalArgumentException(
+          s"bad table reference '$tblRef' (want <ns>.<table>[@branch])")
+      }
       val parts = tbl.split('.')
-      val st = new SnapshotStore(parts.foldLeft(warehouse)((p, e) => p.resolve(e)))
-      if (!st.exists)
+      val main = new SnapshotStore(parts.foldLeft(warehouse)((p, e) => p.resolve(e)))
+      if (!main.exists)
         throw new IllegalArgumentException(
           s"table '$tbl' not found in catalog '$catalogName' " +
             s"(expected <namespace>.<table>)")
-      st
+      branch match {
+        case None => main
+        case Some(b) =>
+          val bst = main.branchStore(b)
+          if (!bst.exists)
+            throw new IllegalArgumentException(s"no branch '$b' on '$tbl'")
+          bst
+      }
     }
     ident.name() match {
       case "compact" =>

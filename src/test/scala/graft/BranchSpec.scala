@@ -156,6 +156,28 @@ class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1, "delete")))
   }
 
+  test("@branch procedure addressing: maintain the staged chain directly") {
+    sql("DROP TABLE IF EXISTS brspec.demo.w9")
+    sql("""CREATE TABLE brspec.demo.w9 (id INT, v STRING) USING graft
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO brspec.demo.w9 VALUES (1, 'a'), (2, 'b')")
+    sql("CALL brspec.system.create_branch('demo.w9', 'stage')")
+    Upsert.into(spark, store("w9").branchStore("stage"),
+      spark.sql("SELECT * FROM VALUES (2, 'B') AS t(id, v)"), Seq("id"))
+    // fold the branch's pending deletes IN PLACE via @branch addressing
+    sql("CALL brspec.system.rewrite_deletes('demo.w9@stage')")
+    assert(store("w9").branchStore("stage").head().get.deleteFiles.isEmpty)
+    val staged = sql("SELECT id, v FROM brspec.demo.w9.branch_stage ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(staged == Seq((1, "a"), (2, "B")))
+    // destructive chain-wide maintenance is refused on a branch
+    val e = intercept[Exception] {
+      sql("CALL brspec.system.expire_snapshots('demo.w9@stage', 1)")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("main chain"))
+  }
+
   test("branch time travel works within the branch chain") {
     makeTable("w6")
     sql("CALL brspec.system.create_branch('demo.w6', 'tt')")
