@@ -390,6 +390,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var props = prev.properties
       var checks = prev.checks
       var identity = prev.identity
+      var generated = prev.generated
       changes.foreach {
         case ac: TableChange.AddConstraint =>
           ac.constraint() match {
@@ -480,11 +481,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // over LOGICAL names — a rename would silently break them (the
           // next write/validation would fail analysis); refuse instead.
           // Identity specs are just keyed by name, so the key renames.
+          // Guards read the ACCUMULATED vars, not `prev`: a batched
+          // rename+drop in one alterTable call must see its own effects.
           require(!sqlReferences(path.head,
-              prev.generated.values ++ prev.checks.values),
+              generated.values ++ checks.values),
             s"cannot rename ${path.head}: referenced by a GENERATED " +
               "column expression or CHECK constraint — drop those first")
-          require(!prev.generated.contains(path.head),
+          require(!generated.contains(path.head),
             s"cannot rename GENERATED column ${path.head} " +
               "(stored generation expressions are keyed by name)")
           if (identity.contains(path.head))
@@ -521,15 +524,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "first")
           // same bricking class for the write-time machinery: a stale
           // identity/generated entry or a CHECK referencing a dropped
-          // column fails EVERY later insert at analysis
-          require(path.length > 1 || !prev.identity.contains(path.head),
+          // column (top-level OR nested, by its dotted path) fails EVERY
+          // later insert at analysis. Accumulated vars, not `prev` —
+          // see the rename guard.
+          require(path.length > 1 || !identity.contains(path.head),
             s"cannot drop IDENTITY column ${path.head}")
-          require(path.length > 1 || !prev.generated.contains(path.head),
+          require(path.length > 1 || !generated.contains(path.head),
             s"cannot drop GENERATED column ${path.head}")
-          require(path.length > 1 || !sqlReferences(path.head,
-              prev.generated.values ++ prev.checks.values),
-            s"cannot drop ${path.head}: referenced by a GENERATED column " +
-              "expression or CHECK constraint — drop those first")
+          require(!sqlReferences(path.mkString("."),
+              generated.values ++ checks.values),
+            s"cannot drop ${path.mkString(".")}: referenced by a GENERATED " +
+              "column expression or CHECK constraint — drop those first")
           schema = editStructAt(schema, path.init) { st =>
             require(st.fieldNames.contains(path.last),
               s"no column ${path.mkString(".")}")

@@ -705,10 +705,14 @@ final class GraftWriteBuilder(store: SnapshotStore)
       // MERGE/UPDATE rewrites use); the commit swaps whole partitions.
       val head = store.head().getOrElse(
         throw new IllegalStateException("no snapshot to overwrite"))
-      // this writer has no identity assignment — rows would land with
-      // NULL ids and the high-water mark would never advance
+      // this writer has no identity assignment and no generation
+      // recompute (both live in GraftWriter.writeFiles) — rows would land
+      // with NULL ids / NULL generated values and the hwm would go stale
       require(head.identity.isEmpty,
         "dynamic partition overwrite on tables with IDENTITY columns is " +
+          "not supported; use a full INSERT OVERWRITE or plain INSERT")
+      require(head.generated.isEmpty,
+        "dynamic partition overwrite on tables with GENERATED columns is " +
           "not supported; use a full INSERT OVERWRITE or plain INSERT")
       new GraftBatchWrite(store.tableDir.toString, head.schema.json,
         head.partitionSpec, "dynamic-overwrite",
@@ -753,8 +757,11 @@ final class GraftWriteBuilder(store: SnapshotStore)
                   GraftWriter.writeFiles(spark, store, head.schema,
                     head.partitionSpec, kept)
                 }
+              // same CHECK enforcement as plain INSERT — this branch
+              // writes through writeFiles directly, bypassing insert()
               val added = GraftWriter.writeFiles(spark, store, head.schema,
-                head.partitionSpec, data)
+                head.partitionSpec,
+                GraftWriter.enforceChecks(data, head.checks))
               val keptDeletes = PositionDeletes.retain(spark, store,
                 head.deleteFiles, untouched)
               store.commit { prev =>

@@ -51,12 +51,18 @@ object Procedures {
       // `ns.t@branch` addresses a branch's chain: maintenance (compact,
       // rewrite_deletes, changelog, ...) then operates on the staged
       // state — e.g. folding a branch's upsert deletes BEFORE publishing
-      val (tbl, branch) = tblRef.split('@') match {
+      // split with -1: a trailing '@' must error, not silently mean main
+      val (tbl, branch) = tblRef.split("@", -1) match {
         case Array(t) => (t, None)
         case Array(t, b) => (t, Some(b))
         case _ => throw new IllegalArgumentException(
           s"bad table reference '$tblRef' (want <ns>.<table>[@branch])")
       }
+      // same charset rule as create_branch: anything else ('..', '/',
+      // empty) is at best a typo and at worst path traversal into another
+      // chain's metadata
+      branch.foreach(b => require(b.matches("[A-Za-z][A-Za-z0-9._-]*"),
+        s"invalid branch name '$b' in '$tblRef'"))
       val parts = tbl.split('.')
       val main = new SnapshotStore(parts.foldLeft(warehouse)((p, e) => p.resolve(e)))
       if (!main.exists)

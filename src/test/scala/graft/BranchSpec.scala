@@ -176,6 +176,14 @@ class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("main chain"))
+    // malformed branch refs are rejected, never resolved as paths
+    for (bad <- Seq("demo.w9@..", "demo.w9@", "demo.w9@.x")) {
+      val eb = intercept[Exception] {
+        sql(s"CALL brspec.system.rewrite_deletes('$bad')")
+      }
+      assert((eb.getMessage + Option(eb.getCause).map(_.getMessage).getOrElse(""))
+        .matches("(?s).*(invalid branch|bad table reference).*"), s"for $bad")
+    }
   }
 
   test("branch time travel works within the branch chain") {
