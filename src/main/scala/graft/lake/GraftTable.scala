@@ -607,9 +607,13 @@ class GraftScan(
     * per-column NDV from the merged HLL sketches feeds CBO when present. */
   override def estimateStatistics(): Statistics = new Statistics {
     // position deletes remove rows the file counts still include; clamp at
-    // 0 because the tuples may reference files outside the pruned set
+    // 0 because the tuples may reference files outside the pruned set.
+    // Equality-delete tuples are NOT subtracted: each key kills 0..N rows,
+    // so tuple count is not a row count — matching totalRows' upper-bound
+    // rationale (planner stats only; an overestimate is the safe direction
+    // for broadcast decisions).
     private val rows = math.max(0L, prunedFiles.map(_.rowCount).sum -
-      snapshot.deleteFiles.map(_.rowCount).sum)
+      snapshot.deleteFiles.filter(_.kind == "position").map(_.rowCount).sum)
     private val bytes = prunedFiles.map(_.sizeBytes).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
@@ -758,10 +762,14 @@ final class GraftWriteBuilder(store: SnapshotStore)
                     head.partitionSpec, kept)
                 }
               // same CHECK enforcement as plain INSERT — this branch
-              // writes through writeFiles directly, bypassing insert()
+              // writes through writeFiles directly, bypassing insert();
+              // generated columns recompute BEFORE the check wrap so a
+              // CHECK referencing one sees the real value (ADVICE r2)
               val added = GraftWriter.writeFiles(spark, store, head.schema,
                 head.partitionSpec,
-                GraftWriter.enforceChecks(data, head.checks))
+                GraftWriter.enforceChecks(
+                  GraftWriter.applyGenerated(data, head.generated),
+                  head.checks))
               val keptDeletes = PositionDeletes.retain(spark, store,
                 head.deleteFiles, untouched)
               store.commit { prev =>

@@ -51,8 +51,8 @@ object GraftWriter {
       // choke point every batch write passes through — overriding whatever
       // the incoming rows carried (that IS the ALWAYS semantics; the
       // analyzer hands us NULL for them on INSERT).
-      val genApplied = headOpt.map(_.generated).getOrElse(Map.empty)
-        .foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
+      val genApplied =
+        applyGenerated(df, headOpt.map(_.generated).getOrElse(Map.empty))
       // Align to table schema by name (Spark has already resolved/ordered
       // for SQL inserts; this also covers direct API writes) + cast, and
       // rename to PHYSICAL column names — data files always carry the
@@ -282,6 +282,17 @@ object GraftWriter {
     sb.toString
   }
 
+  /** (Re)compute GENERATED ALWAYS AS columns over `df`. Deterministic
+    * expressions over unchanged source columns make re-application
+    * idempotent, so `writeFiles` re-running it after a call site already
+    * did is harmless (Catalyst collapses the projections). Every call site
+    * that wraps a write in [[enforceChecks]] MUST run this first: the
+    * analyzer hands the connector NULL for generated columns, and a CHECK
+    * referencing one would otherwise evaluate NULL → pass, letting a
+    * violating generated value commit silently. */
+  def applyGenerated(df: DataFrame, generated: Map[String, String]): DataFrame =
+    generated.foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
+
   /** Fail the write when a row violates an enforced CHECK constraint
     * (predicate FALSE; NULL passes, per SQL CHECK semantics). Evaluated
     * inline as a filter wrapping `raise_error` — no extra pass over the
@@ -331,7 +342,8 @@ object GraftWriter {
     val head = store.head().getOrElse(
       throw new IllegalStateException(s"table not initialized: ${store.tableDir}"))
     val newFiles = writeFiles(spark, store, head.schema, head.partitionSpec,
-      enforceChecks(fillIdentity(df, head), head.checks))
+      enforceChecks(
+        applyGenerated(fillIdentity(df, head), head.generated), head.checks))
     store.commit { prev =>
       val p = prev.getOrElse(head)
       // identity assignment read the high-water mark at plan time: a

@@ -38,11 +38,28 @@ object Upsert {
       throw new IllegalArgumentException(s"upsert key '$k' not in table schema")))
     val physKeys = fields.map(SchemaNames.physicalName)
 
+    // A NULL key value can never match the equality-delete join on read,
+    // so the row would append as a duplicate that no later upsert can ever
+    // replace, alongside a delete tuple that matches nothing. Fail the
+    // batch instead — inline like enforceChecks, no extra pass.
+    import org.apache.spark.sql.functions._
+    val nullGuarded = keys.foldLeft(df) { (d, k) =>
+      d.filter(
+        when(col(k).isNull,
+          raise_error(lit(s"upsert key '$k' is NULL: NULL keys cannot " +
+            "match an equality delete, so the row could never be " +
+            "updated again; filter or fill NULL keys before upserting"))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+    }
+    // generated columns recompute BEFORE the check wrap so a CHECK
+    // referencing one sees the real value (ADVICE r2)
+    val prepared = GraftWriter.applyGenerated(nullGuarded, head.generated)
     val newFiles = GraftWriter.writeFiles(spark, store, schema,
-      head.partitionSpec, GraftWriter.enforceChecks(df, head.checks))
+      head.partitionSpec, GraftWriter.enforceChecks(prepared, head.checks))
     // key tuples under PHYSICAL names (what delete files store)
-    val keyDf = df.select(keys.zip(physKeys).map { case (l, p) =>
-      org.apache.spark.sql.functions.col(l).as(p)
+    val keyDf = nullGuarded.select(keys.zip(physKeys).map { case (l, p) =>
+      col(l).as(p)
     }: _*)
     val eqDeletes = PositionDeletes.writeEqualityDeleteFiles(
       spark, store, keyDf, physKeys)

@@ -136,4 +136,69 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 23:59:58.5 UTC session ts: value checked via round-trip against writer
     assert(n.isDefined && n.get.isLeft)
   }
+
+  // --- round-3 ADVICE pins ---
+
+  test("CHECK constraint referencing a GENERATED column is enforced") {
+    sql("""CREATE TABLE advreg.t.genchk (
+             v INT, dbl INT GENERATED ALWAYS AS (v * 2)) USING iceberg""")
+    sql("ALTER TABLE advreg.t.genchk ADD CONSTRAINT small CHECK (dbl < 10)")
+    sql("INSERT INTO advreg.t.genchk (v) VALUES (4)") // dbl=8: passes
+    // dbl=12 violates; the analyzer hands the connector NULL for dbl, so
+    // without generation-before-check this committed silently (ADVICE r2)
+    val e = intercept[Exception] {
+      sql("INSERT INTO advreg.t.genchk (v) VALUES (6)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("small")),
+      s"expected CHECK 'small' violation, got: ${msgs(e).mkString(" | ")}")
+    val rows = sql("SELECT v, dbl FROM advreg.t.genchk").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((4, 8)), s"violating row committed: $rows")
+  }
+
+  test("upsert with a NULL key value fails instead of duplicating") {
+    import spark.implicits._
+    sql("CREATE TABLE advreg.t.upnull (k INT, v STRING) USING iceberg")
+    sql("INSERT INTO advreg.t.upnull VALUES (1, 'a')")
+    val store = new SnapshotStore(Paths.get(wh, "t", "upnull"))
+    val e = intercept[Exception] {
+      Upsert.into(spark, store,
+        Seq((Option.empty[Int], "ghost"), (Some(1), "b")).toDF("k", "v"),
+        Seq("k"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("upsert key")),
+      s"expected NULL-key failure, got: ${msgs(e).mkString(" | ")}")
+    // the failed batch must not have committed anything
+    val rows = sql("SELECT k, v FROM advreg.t.upnull").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a")), s"partial upsert visible: $rows")
+  }
+
+  test("planner numRows ignores equality-delete tuple counts") {
+    import spark.implicits._
+    sql("CREATE TABLE advreg.t.eqstats (k INT, v STRING) USING iceberg")
+    sql("INSERT INTO advreg.t.eqstats VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    val store = new SnapshotStore(Paths.get(wh, "t", "eqstats"))
+    // two upserts of the same 3 keys accumulate 6 equality-delete tuples
+    // that matched only 3 rows total; naive subtraction would estimate
+    // 4+3+3-6-... rows wildly wrong (or clamp to 0 → bad broadcast calls)
+    Upsert.into(spark, store, Seq((1, "a2"), (2, "b2"), (3, "c2")).toDF("k", "v"), Seq("k"))
+    Upsert.into(spark, store, Seq((1, "a3"), (2, "b3"), (3, "c3")).toDF("k", "v"), Seq("k"))
+    val snap = store.head().get
+    val eqTuples = snap.deleteFiles.filter(_.kind == "equality").map(_.rowCount).sum
+    assert(eqTuples == 6L, s"expected 6 accumulated eq-delete tuples, got $eqTuples")
+    val scan = new GraftScan(snap, store, snap.schema, snap.schema, Array.empty)
+    val est = scan.estimateStatistics().numRows().getAsLong
+    // physical rows written = 4 + 3 + 3 = 10; no position deletes, so the
+    // estimate must be exactly the file row count (an upper bound), never
+    // file rows minus eq tuples (10 - 6 = 4 happens to equal live rows here,
+    // but a third upsert would push it below the true count)
+    assert(est == 10L, s"numRows estimate subtracted eq-delete tuples: $est")
+  }
 }
