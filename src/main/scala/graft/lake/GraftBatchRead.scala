@@ -27,11 +27,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null-fills columns missing from old files (schema evolution) like the
   * main read path.
   */
+/** One equality-delete file a reader must apply: tuples at `path` hold key
+  * VALUES over `cols` (physical names); rows of data files with commit
+  * sequence < `seq` die on key match. Resolved to concrete types by the
+  * reader factory executor-side. */
+final case class EqDeleteRef(path: String, seq: Long, cols: Seq[String])
+
 /** @param deletedPositions sorted 0-based row indexes (merge-on-read
-  *                         position deletes) the reader must skip */
+  *                         position deletes) the reader must skip — the
+  *                         small-backlog fast path (driver-built index)
+  * @param posDeleteFiles   position-delete files whose tuple range covers
+  *                         this data file — the large-backlog path: the
+  *                         reader loads its OWN positions from these with
+  *                         an exact `file_path` parquet filter (row-group +
+  *                         page pruning on the sorted column), so no tuple
+  *                         ever materializes on the driver
+  * @param eqDeletes        equality-delete files applying to this data file
+  *                         (already filtered to fileSeq < delete.seq);
+  *                         applied by per-row key probing against an
+  *                         executor-cached tuple set — never converted to
+  *                         positions on the driver, because one key may
+  *                         match an unbounded number of rows */
 final case class GraftInputPartition(
     filePath: String,
-    deletedPositions: Array[Long] = Array.empty) extends InputPartition
+    deletedPositions: Array[Long] = Array.empty,
+    posDeleteFiles: Seq[String] = Seq.empty,
+    eqDeletes: Seq[EqDeleteRef] = Seq.empty) extends InputPartition
 
 final class GraftBatchScan(
     snapshot: Snapshot,
@@ -108,18 +129,47 @@ final class GraftBatchScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // merge-on-read: hand each reader the sorted deleted positions of its
-    // file so COW rewrites never resurrect deleted rows
-    val posByName: Map[String, Array[Long]] =
-      PositionDeletes.allPositionsByFileName(
-        org.apache.spark.sql.SparkSession.active, store,
-        snapshot, currentFiles)
-    currentFiles.map { f =>
-      GraftInputPartition(
-        store.tableDir.resolve(f.path).toString,
-        posByName.getOrElse(PositionDeletes.fileName(f.path), Array.empty))
-        : InputPartition
-    }.toArray
+    // merge-on-read: each reader must skip its file's deleted rows so COW
+    // rewrites never resurrect them. Position deletes ride in the
+    // partitions as concrete index arrays while the backlog is small
+    // (driver cost capped by graft.cow.driver-tuple-cap); above the cap
+    // the readers load their own positions executor-side, pruned by each
+    // delete file's footer name-range. Equality deletes ALWAYS apply
+    // executor-side (per-row key probe): their tuple files are small, but
+    // the rows they match are unbounded, so a driver-side conversion to
+    // positions cannot be capped.
+    val spark = org.apache.spark.sql.SparkSession.active
+    val files = currentFiles
+    val pos = snapshot.deleteFiles.filter(_.kind == "position")
+    val eq = snapshot.deleteFiles.filter(_.kind == "equality")
+    val eqRefs = eq.map(e => EqDeleteRef(
+      store.tableDir.resolve(e.path).toString, e.seq, e.equalityColumns))
+    def eqFor(f: DataFile): Seq[EqDeleteRef] = eqRefs.filter(f.seq < _.seq)
+
+    val posTuples = pos.map(_.rowCount).sum
+    if (posTuples <= PositionDeletes.driverTupleCap(spark)) {
+      val posByName: Map[String, Array[Long]] =
+        PositionDeletes.positionsByFileName(spark, store, pos, files)
+      files.map { f =>
+        GraftInputPartition(
+          store.tableDir.resolve(f.path).toString,
+          posByName.getOrElse(PositionDeletes.fileName(f.path), Array.empty),
+          Seq.empty, eqFor(f)): InputPartition
+      }.toArray
+    } else {
+      // O(#delete files) footer reads on the driver, zero tuples
+      val ranged = pos.map(d =>
+        (PositionDeletes.nameRange(store, d),
+          store.tableDir.resolve(d.path).toString))
+      files.map { f =>
+        val name = PositionDeletes.fileName(f.path)
+        val covering = ranged.collect {
+          case ((lo, hi), p) if lo <= name && name <= hi => p
+        }
+        GraftInputPartition(store.tableDir.resolve(f.path).toString,
+          Array.empty, covering, eqFor(f)): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -136,20 +186,37 @@ final class GraftBatchScan(
     s"GraftBatchScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
 }
 
+/** One resolved equality-delete probe: tuple file + key columns (physical
+  * names, as stored in both the tuple file and the data files) + the
+  * CURRENT Spark types to convert both sides into (so files written before
+  * a type widening still compare in one domain). */
+final case class EqProbeSpec(path: String, cols: Seq[String], types: Seq[DataType])
+
 final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
   extends PartitionReaderFactory {
   // parsed once per (deserialized) factory instance, not once per file —
   // a rewrite over thousands of files calls createReader per partition
   @transient private lazy val required: StructType =
     DataType.fromJson(requiredJson).asInstanceOf[StructType]
+  @transient private lazy val tableSchema: StructType =
+    DataType.fromJson(tableSchemaJson).asInstanceOf[StructType]
   // files store PHYSICAL column names; the projection uses logical ones
   @transient private lazy val rename: Map[String, String] =
-    SchemaNames.renameMap(
-      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType])
+    SchemaNames.renameMap(tableSchema)
+  @transient private lazy val physTypes: Map[String, DataType] =
+    tableSchema.fields.map(f => SchemaNames.physicalName(f) -> f.dataType).toMap
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.filePath, required, rename, p.deletedPositions)
+    val eqSpecs = p.eqDeletes.map { r =>
+      val types = r.cols.map(c => physTypes.getOrElse(c,
+        throw new IllegalStateException(
+          s"equality-delete column '$c' no longer exists in the table " +
+            "schema; run rewrite_deletes before dropping delete-key columns")))
+      EqProbeSpec(r.path, r.cols, types)
+    }
+    new GraftPartitionReader(p.filePath, required, rename, p.deletedPositions,
+      p.posDeleteFiles, eqSpecs)
   }
 }
 
@@ -162,7 +229,9 @@ final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
   * GraftBatchWrite — produce). */
 final class GraftPartitionReader(filePath: String, required: StructType,
     rename: Map[String, String] = Map.empty,
-    deletedPositions: Array[Long] = Array.empty)
+    deletedPositions: Array[Long] = Array.empty,
+    posDeleteFiles: Seq[String] = Seq.empty,
+    eqSpecs: Seq[EqProbeSpec] = Seq.empty)
   extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
@@ -176,8 +245,41 @@ final class GraftPartitionReader(filePath: String, required: StructType,
     * reader itself — also the join key of runtime group filtering. */
   private val fileName = UTF8String.fromString(filePath)
 
+  /** Large-backlog path: load THIS file's deleted positions from the
+    * covering delete files, executor-side. The exact-path predicate rides
+    * into parquet-mr's row-group/page pruning — tuple files are sorted by
+    * the canonical `data/<name>` path, so only the few pages naming this
+    * file are read, and the driver never holds a tuple. */
+  private def loadOwnPositions(): Array[Long] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val mine = "data/" + PositionDeletes.fileName(filePath)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    posDeleteFiles.foreach { p =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new HPath(p))
+        .withConf(new Configuration(false))
+        .withFilter(FilterCompat.get(FilterApi.eq(
+          FilterApi.binaryColumn(PositionDeletes.FilePathCol),
+          Binary.fromString(mine))))
+        .build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          buf += g.getLong(PositionDeletes.PosCol, 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    val arr = buf.distinct.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   // merge-on-read skip cursor: rows arrive in file order, so one pointer
   // into the SORTED deleted-position array replaces any per-row lookup
+  private val deleted: Array[Long] =
+    if (posDeleteFiles.isEmpty) deletedPositions else loadOwnPositions()
   private var rowIdx: Long = -1L
   private var delIdx: Int = 0
 
@@ -188,16 +290,56 @@ final class GraftPartitionReader(filePath: String, required: StructType,
     org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
       .existenceDefaultValues(required)
 
+  /** Equality-delete probes, resolved against THIS file's schema on the
+    * first row: key field indexes + target types + the executor-cached
+    * tuple set. A file lacking a key column predates the column — its key
+    * value is NULL, which never equals anything in SQL, so the whole group
+    * is dropped for this file. */
+  private var eqProbes: Array[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] = null
+  private def resolveEqProbes(schema: MessageType): Unit = {
+    eqProbes = eqSpecs.iterator.flatMap { s =>
+      if (s.cols.exists(c => !schema.containsField(c))) None
+      else Some((s.cols.map(schema.getFieldIndex).toArray, s.types.toArray,
+        EqDeleteTupleCache.get(s.path, s.cols, s.types)))
+    }.toArray
+  }
+
+  /** True iff the current row's key matches a live equality-delete tuple
+    * (NULL key components never match, per SQL equality). */
+  private def eqMatched(): Boolean = {
+    var gi = 0
+    while (gi < eqProbes.length) {
+      val (idxs, types, set) = eqProbes(gi)
+      val key = new Array[Any](idxs.length)
+      var i = 0
+      var ok = true
+      while (ok && i < idxs.length) {
+        if (current.getFieldRepetitionCount(idxs(i)) == 0) ok = false
+        else key(i) = GroupReadValues.normKey(
+          GroupReadValues.convert(current, idxs(i), 0, types(i)))
+        i += 1
+      }
+      if (ok && set.contains(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(key)))
+        return true
+      gi += 1
+    }
+    false
+  }
+
   override def next(): Boolean = {
     while (true) {
       current = reader.read()
       if (current == null) return false
       rowIdx += 1
-      while (delIdx < deletedPositions.length &&
-          deletedPositions(delIdx) < rowIdx) delIdx += 1
-      if (delIdx >= deletedPositions.length ||
-          deletedPositions(delIdx) != rowIdx) return true
-      // else: position is deleted — skip this row
+      while (delIdx < deleted.length && deleted(delIdx) < rowIdx) delIdx += 1
+      val posDeleted = delIdx < deleted.length && deleted(delIdx) == rowIdx
+      if (!posDeleted) {
+        if (eqProbes == null && eqSpecs.nonEmpty)
+          resolveEqProbes(current.getType.asInstanceOf[MessageType])
+        if (eqSpecs.isEmpty || !eqMatched()) return true
+      }
+      // else: row is deleted — skip it
     }
     false // unreachable
   }
@@ -214,18 +356,35 @@ final class GraftPartitionReader(filePath: String, required: StructType,
       else {
         val idx = schema.getFieldIndex(fileField)
         if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)
-        else row.update(i, convert(current, idx, 0, f.dataType))
+        else row.update(i, GroupReadValues.convert(current, idx, 0, f.dataType))
       }
       i += 1
     }
     row
   }
 
+  override def close(): Unit = reader.close()
+}
+
+/** Parquet-mr `Group` → Spark internal value conversion, shared by the COW
+  * data reader and the equality-delete tuple loader (both must land in the
+  * same value domain for key probing to be exact). */
+private[lake] object GroupReadValues {
+
+  /** Normalize a converted value for use inside a hash key: byte arrays
+    * use reference equality, so wrap them; everything else the internal
+    * representations (UTF8String, boxed primitives, Decimal) already
+    * define value equality for. */
+  def normKey(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case other => other
+  }
+
   /** Value of field `idx`, repetition `rep`, inside group `g`, as the Spark
     * internal representation of `dt`. Recurses through LIST/MAP/group
     * nesting; index-addressed, so the standard `list`/`element` and
     * `key_value` wrapper names are irrelevant. */
-  private def convert(g: Group, idx: Int, rep: Int, dt: DataType): Any = {
+  def convert(g: Group, idx: Int, rep: Int, dt: DataType): Any = {
     val ptype = g.getType.getType(idx)
     dt match {
       case IntegerType | ShortType | ByteType => g.getInteger(idx, rep)
@@ -338,6 +497,57 @@ final class GraftPartitionReader(filePath: String, required: StructType,
     val epochDay = julianDay - 2440588L
     epochDay * 86400L * 1000000L + nanosOfDay / 1000L
   }
+}
 
-  override def close(): Unit = reader.close()
+/** Executor-local cache of equality-delete tuple sets. Delete files are
+  * immutable and UUID-named, so an entry never goes stale; the cap only
+  * bounds memory in long-lived executors. One load per executor instead of
+  * one per task — O(executors × tuple bytes) IO, not O(tasks × …). */
+private[lake] object EqDeleteTupleCache {
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[Seq[Any]]]()
+
+  def get(path: String, cols: Seq[String],
+      types: Seq[DataType]): java.util.HashSet[Seq[Any]] = {
+    // key includes the types: the same tuple file probed after a type
+    // widening must convert into the NEW domain, not hit the old entry
+    val key = path + "|" + types.map(_.catalogString).mkString(",")
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    if (cache.size >= MaxEntries) cache.clear()
+    cache.computeIfAbsent(key, _ => load(path, cols, types))
+  }
+
+  private def load(path: String, cols: Seq[String],
+      types: Seq[DataType]): java.util.HashSet[Seq[Any]] = {
+    val set = new java.util.HashSet[Seq[Any]]()
+    val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+      .withConf(new Configuration(false))
+      .build()
+    try {
+      var idxs: Array[Int] = null
+      var g = reader.read()
+      while (g != null) {
+        if (idxs == null) {
+          val schema = g.getType.asInstanceOf[MessageType]
+          idxs = cols.map(schema.getFieldIndex).toArray
+        }
+        val key = new Array[Any](idxs.length)
+        var i = 0
+        var ok = true
+        while (ok && i < idxs.length) {
+          // a NULL key component can never equal anything (SQL) — the
+          // tuple is dead weight, skip it
+          if (g.getFieldRepetitionCount(idxs(i)) == 0) ok = false
+          else key(i) = GroupReadValues.normKey(
+            GroupReadValues.convert(g, idxs(i), 0, types(i)))
+          i += 1
+        }
+        if (ok) set.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(key))
+        g = reader.read()
+      }
+    } finally reader.close()
+    set
+  }
 }

@@ -160,10 +160,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     nsPath(ident.namespace()).resolve(ident.name())
 
   private def isTableDir(p: Path): Boolean =
-    Files.isDirectory(p.resolve("metadata"))
+    Files.isDirectory(p.resolve("metadata")) ||
+      Files.isRegularFile(p.resolve(SnapshotStore.ExternalPointer))
 
   private def store(ident: Identifier): SnapshotStore =
-    new SnapshotStore(tablePath(ident))
+    new SnapshotStore(SnapshotStore.resolveTableDir(tablePath(ident)))
 
   // ---------- namespaces (D2-D4) ----------
 
@@ -359,9 +360,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(schema.fieldNames.contains(f.source),
         s"partition source column ${f.source} not in schema")
     }
-    val st = store(ident)
+    // Path-addressed EXTERNAL table (`LOCATION '...'` / a `path` option —
+    // the reference writes with .option("path", "s3a://...") in
+    // warehouse_helpers.py:110; SURVEY §2.11.4): data+metadata live at the
+    // given directory, and the warehouse home holds only a pointer file so
+    // listing/rename keep working. DROP unregisters and leaves the
+    // external tree in place (EXTERNAL-table semantics).
+    val external: Option[Path] = Seq("location", "path", "option.path")
+      .flatMap(k => Option(properties.get(k))).headOption
+      .map { loc =>
+        val raw =
+          if (loc.startsWith("file:"))
+            scala.util.Try(new java.net.URI(loc).getPath).toOption
+              .filter(_ != null)
+              .getOrElse(loc.stripPrefix("file://").stripPrefix("file:"))
+          else loc
+        Paths.get(raw).toAbsolutePath
+      }
+    val st = external match {
+      case Some(dir) =>
+        require(!new SnapshotStore(dir).exists,
+          s"external location $dir already holds a graft table " +
+            "(drop it or point at an empty directory)")
+        val home = tablePath(ident)
+        Files.createDirectories(home)
+        Files.writeString(home.resolve(SnapshotStore.ExternalPointer),
+          dir.toString)
+        new SnapshotStore(dir)
+      case None => store(ident)
+    }
     st.init()
-    val props = properties.asScala.toMap -- Seq("provider", "owner", "location")
+    val props = properties.asScala.toMap --
+      Seq("provider", "owner", "location", "path", "option.path") ++
+      external.map(d => "location" -> d.toString)
     st.commit { _ =>
       Snapshot(
         version = 1L, parentVersion = None,
@@ -670,7 +701,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) false
-    else { store(ident).drop(); true }
+    else {
+      val home = tablePath(ident)
+      if (Files.isRegularFile(home.resolve(SnapshotStore.ExternalPointer))) {
+        // external table: unregister only — the external tree is
+        // user-managed (standard EXTERNAL semantics)
+        Files.walk(home).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      } else store(ident).drop()
+      true
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -151,9 +151,8 @@ object GraftWriter {
       // just written, doubling the IO of every write. In a distributed
       // deployment this loop is per-task on the executors that wrote the
       // files; locally the driver walks the staging dir.
-      val staged = Files.walk(staging).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toSeq
+      val staged = store.io.listTree(staging)
+        .filter(_.toString.endsWith(".parquet"))
 
       // Per-file bloom filters for `graft.bloom-columns` (STRING columns
       // only — the hash inserted must be byte-identical to the hash probed,
@@ -246,20 +245,15 @@ object GraftWriter {
           }.toMap
         val newName = s"${UUID.randomUUID()}.parquet"
         val target = store.dataDir.resolve(newName)
-        val size = Files.size(p)
+        val size = store.io.size(p)
         val (cnt, stats) = FooterStats.read(p, sf)
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        store.io.publish(p, target)
         DataFile(s"data/$newName", cnt, size, pvs, stats,
           blooms = bloomsByFile.getOrElse(p.getFileName.toString, Map.empty),
           ndv = ndvByFile.getOrElse(p.getFileName.toString, Map.empty),
           seq = Snapshot.UnassignedSeq)
       }
-    } finally {
-      if (Files.exists(staging)) {
-        Files.walk(staging).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
-    }
+    } finally store.io.deleteTree(staging)
   }
 
   /** Inverse of Hive/Spark `escapePathName`: decode ONLY %XX escapes.

@@ -71,8 +71,8 @@ object Maintenance {
     // files to rewrite: referenced by a position tuple, or old enough for
     // a pending equality delete to apply (conservative — the rewrite of an
     // unaffected old file is a no-op content-wise)
-    val posNames = PositionDeletes.positionsByFileName(
-      spark, store, head.deleteFiles, head.files).keySet
+    val posNames = PositionDeletes.referencedFileNames(
+      spark, store, head.deleteFiles)
     val eqDeletes = head.deleteFiles.filter(_.kind == "equality")
     val (touched, untouched) = head.files.partition(f =>
       posNames.contains(PositionDeletes.fileName(f.path)) ||
@@ -185,8 +185,11 @@ object Maintenance {
     val (expirable, keepTail) = versions.splitAt(versions.size - keepLast)
     val (tagged, expire) = expirable.partition(pinned.contains)
     val keep = tagged ++ keepTail
+    // manifest chunk paths count as references too: a chunk lives exactly
+    // as long as some surviving snapshot (any chain) points at it
     def allPaths(s: Snapshot): Seq[String] =
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.manifests.map(_.path)
     // live branches pin their files: a branch snapshot referencing a file
     // keeps it alive however old the main versions that shared it
     val branchRefs: Set[String] = store.listBranches().flatMap { b =>
@@ -293,7 +296,8 @@ object Maintenance {
       "remove_orphan_files runs on the main chain only")
     val chains = store +: store.listBranches().map(store.branchStore)
     val referenced = chains.flatMap(st => st.listVersions().map(st.read))
-      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.manifests.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - staleStagingMillis
     val staleStaging =
       if (!Files.isDirectory(store.tableDir)) Seq.empty
@@ -306,13 +310,25 @@ object Maintenance {
       Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
     }
+    // orphan manifest chunks (crashed/raced commits wrote them before the
+    // version link): same age guard — an in-flight commit's fresh chunks
+    // are not yet referenced but must survive
+    val mDir = store.tableDir.resolve("metadata").resolve("manifests")
+    val orphanManifests =
+      if (!Files.isDirectory(mDir)) Seq.empty
+      else Files.list(mDir).iterator().asScala
+        .filter(p =>
+          !referenced.contains(s"metadata/manifests/${p.getFileName}") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+    orphanManifests.foreach(Files.deleteIfExists(_))
     if (!Files.isDirectory(store.dataDir))
-      return staleStaging.map(_.getFileName.toString)
+      return (staleStaging ++ orphanManifests).map(_.getFileName.toString)
     val orphans = Files.list(store.dataDir).iterator().asScala
       .filter(p => !referenced.contains(s"data/${p.getFileName}"))
       .toSeq
     orphans.foreach(Files.deleteIfExists(_))
     orphans.map(_.getFileName.toString) ++
-      staleStaging.map(_.getFileName.toString)
+      (staleStaging ++ orphanManifests).map(_.getFileName.toString)
   }
 }

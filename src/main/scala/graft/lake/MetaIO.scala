@@ -1,0 +1,105 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** Storage seam for the lake's non-Spark file operations: snapshot JSON,
+  * manifest chunks, version hints, refs, external-location pointers, and
+  * the stage→publish moves of data/delete files. The heavy DATA plane
+  * (parquet scan/write) already flows through Spark's Hadoop FileSystem
+  * layer, which is object-store-ready by URI (s3a://, abfs://, ...); this
+  * trait covers the side where ATOMICITY semantics carry the commit
+  * protocol, so an object-store backend maps cleanly:
+  *
+  *  - `createExclusive` → conditional PUT (if-none-match: *) — the commit
+  *    race arbiter
+  *  - `replaceAtomic`   → plain PUT of a single key (readers see old or
+  *    new, never a torn write)
+  *  - `publish`         → server-side copy/rename of a staged object
+  *  - the rest          → GET / LIST / DELETE
+  *
+  * [[LocalMetaIO]] implements the same contracts on a local filesystem
+  * (tmp + hard-link for exclusivity, tmp + atomic move for replacement).
+  * Everything in SnapshotStore / GraftWriter / PositionDeletes routes
+  * through the store's `io`, so a backend swap is one constructor arg.
+  */
+trait MetaIO {
+  def readString(p: Path): String
+
+  /** Write `content` so the file appears ATOMICALLY and creation fails
+    * with [[java.nio.file.FileAlreadyExistsException]] if `p` exists —
+    * readers never observe partial content. */
+  def createExclusive(p: Path, content: String): Unit
+
+  /** Replace (or create) `p` with `content` atomically — readers see the
+    * old or the new content, never a mix. */
+  def replaceAtomic(p: Path, content: String): Unit
+
+  /** Plain create of a fresh (collision-free, e.g. UUID-named) file. */
+  def write(p: Path, content: String): Unit
+
+  /** Move a staged file to its published name (same store). */
+  def publish(src: Path, dst: Path): Unit
+
+  def list(dir: Path): Seq[Path]
+  /** All regular files under `root`, recursively. */
+  def listTree(root: Path): Seq[Path]
+  def isDirectory(p: Path): Boolean
+  def isFile(p: Path): Boolean
+  def exists(p: Path): Boolean
+  def mkdirs(p: Path): Unit
+  def size(p: Path): Long
+  def delete(p: Path): Boolean
+  def deleteTree(root: Path): Unit
+}
+
+object LocalMetaIO extends MetaIO {
+
+  override def readString(p: Path): String = Files.readString(p, UTF_8)
+
+  override def createExclusive(p: Path, content: String): Unit = {
+    // tmp + hard-link: the link is atomic and fails if the target exists
+    // (no TOCTOU — Files.move without REPLACE_EXISTING stats the target
+    // first, which races), and the content is complete before it appears
+    val tmp = Files.createTempFile(p.getParent, ".x", ".tmp")
+    try {
+      Files.writeString(tmp, content, UTF_8)
+      Files.createLink(p, tmp)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def replaceAtomic(p: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(p.getParent, ".r", ".tmp")
+    Files.writeString(tmp, content, UTF_8)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def write(p: Path, content: String): Unit =
+    Files.writeString(p, content, UTF_8, StandardOpenOption.CREATE_NEW)
+
+  override def publish(src: Path, dst: Path): Unit =
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+
+  override def list(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.toSeq
+
+  override def listTree(root: Path): Seq[Path] =
+    if (!Files.exists(root)) Seq.empty
+    else Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+
+  override def isDirectory(p: Path): Boolean = Files.isDirectory(p)
+  override def isFile(p: Path): Boolean = Files.isRegularFile(p)
+  override def exists(p: Path): Boolean = Files.exists(p)
+  override def mkdirs(p: Path): Unit = Files.createDirectories(p)
+  override def size(p: Path): Long = Files.size(p)
+  override def delete(p: Path): Boolean = Files.deleteIfExists(p)
+
+  override def deleteTree(root: Path): Unit =
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+}

@@ -47,8 +47,18 @@ object PositionDeletes {
   /** Broadcast the anti-join's delete side while the tuple files stay small
     * (parquet bytes ≈ a few × in-memory) — one hash build instead of
     * shuffling the 100 TB data side. Past the threshold, fall back to the
-    * planner's choice (sort-merge on the shuffled tuple set). */
-  private val BroadcastMaxBytes = 32L * 1024 * 1024
+    * planner's choice (sort-merge on the shuffled tuple set): a DELETE
+    * backlog bigger than executor memory must never be pinned to a
+    * broadcast build. Session-overridable for tests and tuning. */
+  val BroadcastMaxBytesKey = "graft.mor.broadcast-max-bytes"
+  private val BroadcastMaxBytesDefault = 32L * 1024 * 1024
+
+  private def broadcastMaxBytes: Long =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active)
+      .toOption
+      .flatMap(_.conf.getOption(BroadcastMaxBytesKey))
+      .map(_.toLong)
+      .getOrElse(BroadcastMaxBytesDefault)
 
   /** All tuples of `deleteFiles` as `(NameCol, RowPosCol)` — file paths
     * reduced to names for provenance joins. None when there are none. */
@@ -63,7 +73,7 @@ object PositionDeletes {
           element_at(split(col(FilePathCol), "/"), -1).as(NameCol),
           col(PosCol).as(RowPosCol))
       Some(
-        if (deleteFiles.map(_.sizeBytes).sum <= BroadcastMaxBytes) broadcast(t)
+        if (deleteFiles.map(_.sizeBytes).sum <= broadcastMaxBytes) broadcast(t)
         else t)
     }
   }
@@ -91,26 +101,20 @@ object PositionDeletes {
     val staging = store.tableDir.resolve(s".staging-del-${UUID.randomUUID()}")
     try {
       df.write.parquet(staging.toString)
-      val staged = Files.walk(staging).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toSeq
+      val staged = store.io.listTree(staging)
+        .filter(_.toString.endsWith(".parquet"))
       staged.flatMap { p =>
         val (cnt, _) = FooterStats.read(p, Seq.empty)
         if (cnt == 0) None
         else {
           val newName = s"${UUID.randomUUID()}-$suffix.parquet"
           val target = store.dataDir.resolve(newName)
-          val size = Files.size(p)
-          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          val size = store.io.size(p)
+          store.io.publish(p, target)
           Some(mk(s"data/$newName", cnt, size))
         }
       }
-    } finally {
-      if (Files.exists(staging)) {
-        Files.walk(staging).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
-    }
+    } finally store.io.deleteTree(staging)
   }
 
   /** Stage a `(file_path, pos)` tuple DataFrame as new delete files and
@@ -163,7 +167,7 @@ object PositionDeletes {
         .withColumn(DelSeqCol, lit(g.seq))
     }
     val tup0 = parts.reduce(_ unionByName _)
-    if (group.map(_.sizeBytes).sum <= BroadcastMaxBytes) broadcast(tup0)
+    if (group.map(_.sizeBytes).sum <= broadcastMaxBytes) broadcast(tup0)
     else tup0
   }
 
@@ -271,13 +275,25 @@ object PositionDeletes {
       .drop(FileSeqCol))
   }
 
+  /** Cap on position-delete tuples the DRIVER may materialize to plan a
+    * COW rewrite scan (session conf `graft.cow.driver-tuple-cap`). At or
+    * below the cap the per-file position arrays ride inside the
+    * InputPartitions — cheapest for the common small-backlog case. Above
+    * it the driver never touches a tuple: each reader loads its own
+    * file's positions executor-side ([[GraftPartitionReader]]), so a
+    * 100 TB table with a huge DELETE backlog plans in O(metadata). */
+  val DriverTupleCapKey = "graft.cow.driver-tuple-cap"
+  val DriverTupleCapDefault = 100000L
+
+  def driverTupleCap(spark: SparkSession): Long =
+    spark.conf.getOption(DriverTupleCapKey).map(_.toLong)
+      .getOrElse(DriverTupleCapDefault)
+
   /** Per-data-file deleted positions (sorted ascending), keyed by file
-    * NAME, restricted to `files` — feeds the COW rewrite reader
-    * (GraftPartitionReader skips these row indexes). Driver-side collect:
-    * bounded by the tuple count of the PRUNED file set; a deployment where
-    * this is large should run `rewrite_deletes` first (the rewrite itself
-    * stays distributed either way — only the positions index is driver
-    * resident, same as Iceberg's delete-file index in the planner). */
+    * NAME, restricted to `files` — the small-backlog fast path of the COW
+    * rewrite scan (GraftPartitionReader skips these row indexes). Callers
+    * must gate on [[driverTupleCap]]; above the cap the executor-side
+    * path applies instead and no tuple reaches the driver. */
   def positionsByFileName(spark: SparkSession, store: SnapshotStore,
       deleteFiles: Seq[DeleteFile],
       files: Seq[DataFile]): Map[String, Array[Long]] = {
@@ -295,24 +311,37 @@ object PositionDeletes {
       .view.mapValues(_.map(_.getLong(1)).distinct.sorted).toMap
   }
 
-  /** [[positionsByFileName]] over BOTH delete kinds: equality deletes are
-    * converted to concrete positions with one scan of the affected files
-    * (a COW rewrite is about to read them anyway). */
-  def allPositionsByFileName(spark: SparkSession, store: SnapshotStore,
-      snap: Snapshot, files: Seq[DataFile]): Map[String, Array[Long]] = {
-    val posMap = positionsByFileName(spark, store, snap.deleteFiles, files)
-    val eq = snap.deleteFiles.filter(_.kind == "equality")
-    equalityMatchedRows(spark, store, snap, eq, files) match {
-      case None => posMap
-      case Some(rows) =>
-        val eqMap = rows.select(col(NameCol), col(RowPosCol))
-          .collect()
-          .groupBy(_.getString(0))
-          .view.mapValues(_.map(_.getLong(1))).toMap
-        (posMap.keySet ++ eqMap.keySet).map { k =>
-          k -> (posMap.getOrElse(k, Array.empty[Long]) ++
-            eqMap.getOrElse(k, Array.empty[Long])).distinct.sorted
-        }.toMap
+  /** Distinct data-file NAMES referenced by any position tuple — the
+    * metadata-scale planning question ("which files need a rewrite").
+    * Distributed distinct + collect of names only: driver memory is
+    * O(referenced FILES), never O(deleted rows), however large the
+    * backlog. */
+  def referencedFileNames(spark: SparkSession, store: SnapshotStore,
+      deleteFiles: Seq[DeleteFile]): Set[String] = {
+    val pos = deleteFiles.filter(_.kind == "position")
+    if (pos.isEmpty) return Set.empty
+    val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
+    spark.read.schema(tupleSchema).parquet(paths: _*)
+      .select(element_at(split(col(FilePathCol), "/"), -1).as(NameCol))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+  }
+
+  /** Plan-time (minName, maxName) range one position-delete file covers,
+    * from its parquet FOOTER (constant work, no data read). Valid because
+    * every tuple's `file_path` is the canonical relative `data/<name>`
+    * (writers join back to `DataFile.path`) and [[writeDeleteFiles]]
+    * sorts by it, so path order == name order. A footer without usable
+    * string bounds conservatively covers everything. */
+  def nameRange(store: SnapshotStore, f: DeleteFile): (String, String) = {
+    val (_, stats) = FooterStats.read(store.tableDir.resolve(f.path),
+      Seq(StructField(FilePathCol, StringType, nullable = false)))
+    stats.get(FilePathCol) match {
+      case Some(cs) if cs.min.isDefined && cs.max.isDefined =>
+        (fileName(cs.min.get), fileName(cs.max.get))
+      case _ => ("", "\uFFFF")
     }
   }
 }

@@ -64,7 +64,10 @@ object Procedures {
       branch.foreach(b => require(b.matches("[A-Za-z][A-Za-z0-9._-]*"),
         s"invalid branch name '$b' in '$tblRef'"))
       val parts = tbl.split('.')
-      val main = new SnapshotStore(parts.foldLeft(warehouse)((p, e) => p.resolve(e)))
+      // follow the external-location pointer so maintenance procedures
+      // work on path-addressed tables too
+      val main = new SnapshotStore(SnapshotStore.resolveTableDir(
+        parts.foldLeft(warehouse)((p, e) => p.resolve(e))))
       if (!main.exists)
         throw new IllegalArgumentException(
           s"table '$tbl' not found in catalog '$catalogName' " +

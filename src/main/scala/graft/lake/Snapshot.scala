@@ -8,13 +8,15 @@ import org.json4s.jackson.Serialization
   *
   * Mirrors the metadata tree the reference documents for its Iceberg tables
   * (`README.md:166-176`: `metadata/v1.metadata.json`, `v2.metadata.json`,
-  * manifest lists, parquet files under `data/`) — but with the manifest inlined in
-  * the version JSON instead of Avro manifest files: at our file counts the
-  * manifest is small, and the commit stays a single atomic file swap.
-  * A 100 TB deployment would page `files` out to separate manifest chunks
-  * keyed by partition (the same two-level tree Iceberg uses); the schema
-  * below already carries everything those chunks need (per-file partition
-  * values + column stats), so that change is storage-layout-only.
+  * manifest lists, parquet files under `data/`): `v<N>.json` is the
+  * manifest LIST — above [[SnapshotStore.InlineMaxFiles]] the `files` seq
+  * pages out to immutable manifest chunks under `metadata/manifests/`,
+  * grouped by the commit sequence that added the files. An append commit
+  * therefore writes ONE new chunk and re-points the parent's others
+  * (commit cost O(added files + chunk count), not O(table files)), and
+  * loading streams the chunks in parallel through a process-wide cache.
+  * Below the threshold the list stays inline — single read, single atomic
+  * swap, simplest for small tables.
   */
 final case class ColumnStats(
     min: Option[String],
@@ -80,6 +82,23 @@ final case class IdentityCol(
     allowExplicit: Boolean,        // BY DEFAULT (true) vs ALWAYS (false)
     lastValue: Option[Long] = None)
 
+/** One immutable manifest chunk reference (the `v<N>.json` side of the
+  * two-level tree): `path` is tableDir-relative
+  * (`metadata/manifests/m-<seq>-<uuid>.json`), `seq` the commit sequence
+  * of every file inside, and the rollups let metadata queries answer
+  * counts without opening the chunk. Chunks are content-immutable and
+  * UUID-named, so refs are shared freely across snapshots, branches, and
+  * process-wide caches. */
+final case class ManifestRef(
+    path: String,
+    seq: Long,
+    fileCount: Long,
+    rowCount: Long,
+    sizeBytes: Long)
+
+/** On-disk payload of one manifest chunk. */
+final case class ManifestChunk(files: Seq[DataFile])
+
 final case class PartitionField(
     name: String,      // partition field name, e.g. "created_date" or "days(created_at)"
     transform: String, // identity | days | months | years | bucket[N]
@@ -98,7 +117,13 @@ final case class Snapshot(
     deleteFiles: Seq[DeleteFile] = Seq.empty,
     checks: Map[String, String] = Map.empty, // CHECK constraints: name -> predicate SQL
     generated: Map[String, String] = Map.empty, // GENERATED ALWAYS: col -> expr SQL
-    identity: Map[String, IdentityCol] = Map.empty) { // IDENTITY columns
+    identity: Map[String, IdentityCol] = Map.empty, // IDENTITY columns
+    // Manifest chunks backing `files` when the list is paged out. In
+    // MEMORY `files` is always fully materialized (SnapshotStore.read
+    // assembles it); on DISK a sharded snapshot stores `manifests` with an
+    // empty `files`. Kept on the case class so expiry/GC can see which
+    // chunks a snapshot pins without re-reading them.
+    manifests: Seq[ManifestRef] = Seq.empty) {
 
   lazy val schema: StructType =
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -126,4 +151,8 @@ object Snapshot {
 
   def toJson(s: Snapshot): String = Serialization.writePretty(s)
   def fromJson(json: String): Snapshot = Serialization.read[Snapshot](json)
+
+  def chunkToJson(c: ManifestChunk): String = Serialization.write(c)
+  def chunkFromJson(json: String): ManifestChunk =
+    Serialization.read[ManifestChunk](json)
 }

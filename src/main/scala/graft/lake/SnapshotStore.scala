@@ -1,8 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, FileAlreadyExistsException}
-import java.nio.charset.StandardCharsets.UTF_8
-import scala.jdk.CollectionConverters._
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 /** Filesystem snapshot store with the reference's commit semantics
   * (`README.md:124`: "atomic pointer swaps" + optimistic concurrency;
@@ -11,17 +9,19 @@ import scala.jdk.CollectionConverters._
   * Layout per table:
   * {{{
   *   <tableDir>/data/<uuid>.parquet
-  *   <tableDir>/metadata/v<N>.json          // immutable snapshot
+  *   <tableDir>/metadata/v<N>.json          // immutable snapshot (manifest list)
+  *   <tableDir>/metadata/manifests/m-*.json // manifest chunks (sharded tables)
   *   <tableDir>/metadata/version-hint.text  // current version pointer
   * }}}
   *
-  * Commit protocol (§3.3 of SURVEY.md): write `v<N+1>.json` with
-  * CREATE_NEW (fails if a concurrent committer won the race), then swap the
-  * hint with an atomic move. A reader that catches the store between the
-  * two steps still resolves the head by scanning for max N — the hint is a
-  * hint, not the source of truth. Losing a race retries the commit function
-  * on the new head (optimistic concurrency). On object stores this maps to
-  * conditional PUT (if-none-match) — same protocol, different primitive.
+  * Commit protocol (§3.3 of SURVEY.md): write `v<N+1>.json` exclusively
+  * (fails if a concurrent committer won the race), then swap the hint
+  * atomically. A reader that catches the store between the two steps still
+  * resolves the head by scanning for max N — the hint is a hint, not the
+  * source of truth. Losing a race retries the commit function on the new
+  * head (optimistic concurrency). All file operations route through
+  * [[MetaIO]]; on an object store `createExclusive` maps to conditional
+  * PUT (if-none-match) — same protocol, different primitive.
   */
 /** @param branch None = the main snapshot chain; Some(name) = the chain
   *               under `metadata/branches/<name>` (same layout, same
@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   *               Created by `create_branch`, published by `fast_forward`,
   *               removed by `drop_branch` (Procedures). */
 final class SnapshotStore(val tableDir: Path,
-    val branch: Option[String] = None) {
+    val branch: Option[String] = None,
+    val io: MetaIO = LocalMetaIO) {
 
   private def metaDir: Path = branch match {
     case None => tableDir.resolve("metadata")
@@ -37,46 +38,52 @@ final class SnapshotStore(val tableDir: Path,
   }
   def dataDir: Path = tableDir.resolve("data")
 
+  /** Manifest chunks always live under the MAIN metadata dir (UUID-named,
+    * immutable) so branch snapshots share the parent's chunks by
+    * reference — a branch fork copies zero bytes of file metadata. */
+  private def manifestsDir: Path =
+    tableDir.resolve("metadata").resolve("manifests")
+
   /** Names of existing branches (main store only). */
   def listBranches(): Seq[String] = {
     val dir = tableDir.resolve("metadata").resolve("branches")
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    io.list(dir).filter(io.isDirectory).map(_.getFileName.toString).sorted
   }
 
   def branchStore(name: String): SnapshotStore = {
     require(branch.isEmpty, "branches fork from the main chain only")
-    new SnapshotStore(tableDir, Some(name))
+    new SnapshotStore(tableDir, Some(name), io)
   }
 
   /** Seed a NEW branch chain with an existing snapshot (kept at its
     * original version so the fork point is recorded as the chain's first
     * version). Fails if the branch already has that version. */
   def seed(snapshot: Snapshot): Unit = {
-    Files.createDirectories(metaDir)
-    val target = versionFile(snapshot.version)
-    val tmp = Files.createTempFile(metaDir, ".seed", ".tmp")
-    Files.writeString(tmp, Snapshot.toJson(snapshot), UTF_8)
-    Files.createLink(target, tmp)
-    Files.deleteIfExists(tmp)
+    io.mkdirs(metaDir)
+    // a sharded snapshot seeds by REFERENCE: the branch head points at the
+    // main chain's immutable chunks, copying zero bytes of file metadata
+    val onDisk =
+      if (snapshot.manifests.nonEmpty) snapshot.copy(files = Seq.empty)
+      else snapshot
+    io.createExclusive(versionFile(snapshot.version), Snapshot.toJson(onDisk))
     swapHint(snapshot.version)
   }
+
   private def hintFile: Path = metaDir.resolve("version-hint.text")
   private def versionFile(v: Long): Path = metaDir.resolve(s"v$v.json")
 
-  def exists: Boolean = Files.isDirectory(metaDir)
+  def exists: Boolean = io.isDirectory(metaDir)
 
   def init(): Unit = {
-    Files.createDirectories(metaDir)
-    Files.createDirectories(dataDir)
+    io.mkdirs(metaDir)
+    io.mkdirs(dataDir)
   }
 
   /** Head version by hint, verified/corrected by directory listing. */
   def currentVersion(): Option[Long] = {
     val hinted =
-      if (Files.exists(hintFile))
-        scala.util.Try(Files.readString(hintFile).trim.toLong).toOption
+      if (io.exists(hintFile))
+        scala.util.Try(io.readString(hintFile).trim.toLong).toOption
       else None
     // Trust the hint only if that snapshot exists; otherwise (or if newer
     // snapshots exist past the hint — a crash between steps) scan.
@@ -88,17 +95,33 @@ final class SnapshotStore(val tableDir: Path,
   }
 
   def listVersions(): Seq[Long] =
-    if (!Files.isDirectory(metaDir)) Seq.empty
-    else Files.list(metaDir).iterator().asScala
+    io.list(metaDir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json")
       }
       .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .toSeq.sorted
+      .sorted
 
   def read(version: Long): Snapshot =
-    Snapshot.fromJson(Files.readString(versionFile(version)))
+    materialize(Snapshot.fromJson(io.readString(versionFile(version))))
+
+  /** Assemble the in-memory `files` list of a sharded snapshot: load its
+    * manifest chunks in parallel through the process-wide cache (chunks
+    * are immutable, so a hit never goes stale). Legacy/inline snapshots
+    * pass through untouched. */
+  private def materialize(s: Snapshot): Snapshot =
+    if (s.manifests.isEmpty) s
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val loaded = Await.result(
+        Future.sequence(s.manifests.map(r => Future {
+          SnapshotStore.loadChunk(tableDir.resolve(r.path), io)
+        })), Duration.Inf)
+      s.copy(files = loaded.flatten)
+    }
 
   def head(): Option[Snapshot] = currentVersion().map(read)
 
@@ -125,20 +148,22 @@ final class SnapshotStore(val tableDir: Path,
           if (f.seq == Snapshot.UnassignedSeq) f.copy(seq = v) else f),
         deleteFiles = next0.deleteFiles.map(d =>
           if (d.seq == Snapshot.UnassignedSeq) d.copy(seq = v) else d))
-      val target = versionFile(next.version)
-      val tmp = Files.createTempFile(metaDir, ".commit", ".tmp")
+      // Page the file list out to manifest chunks above the inline
+      // threshold, reusing every parent chunk whose seq-group is
+      // unchanged — an append rewrites only its own chunk, so commit
+      // cost is O(added files + chunk count), not O(table files). New
+      // chunks are written BEFORE the version link (a crash in between
+      // leaves only orphan chunks, never a dangling reference).
+      val refs = writeManifests(head0, next)
+      val onDisk =
+        if (refs.nonEmpty) next.copy(files = Seq.empty, manifests = refs)
+        else next.copy(manifests = Seq.empty)
       try {
-        Files.writeString(tmp, Snapshot.toJson(next), UTF_8)
-        // Hard-link creation is atomic and fails if the target exists —
-        // no TOCTOU window (Files.move without REPLACE_EXISTING stats the
-        // target first, which races). A lost race → retry on the new head.
-        Files.createLink(target, tmp)
-        Files.deleteIfExists(tmp)
+        io.createExclusive(versionFile(next.version), Snapshot.toJson(onDisk))
         swapHint(next.version)
-        return next
+        return next.copy(manifests = refs)
       } catch {
         case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
           attempt += 1
           if (attempt > maxRetries)
             throw new IllegalStateException(
@@ -160,37 +185,57 @@ final class SnapshotStore(val tableDir: Path,
 
   /** Named snapshot refs — `VERSION AS OF 'name'` resolves through this.
     * One small file PER ref (`metadata/refs/<name>`), each updated with
-    * its own tmp+atomic-move: concurrent create/drop of DIFFERENT tags
+    * its own atomic replace: concurrent create/drop of DIFFERENT tags
     * can't lose each other's update (a shared map file would). */
   def refs(): Map[String, Long] =
-    if (!Files.isDirectory(refsDir)) Map.empty
-    else Files.list(refsDir).iterator().asScala.flatMap { p =>
+    io.list(refsDir).flatMap { p =>
       scala.util.Try(
-        p.getFileName.toString -> Files.readString(p, UTF_8).trim.toLong).toOption
+        p.getFileName.toString -> io.readString(p).trim.toLong).toOption
     }.toMap
 
   def setRef(name: String, version: Long): Unit = {
     validateRefName(name)
     require(listVersions().contains(version),
       s"no snapshot v$version to tag as '$name'")
-    Files.createDirectories(refsDir)
-    val tmp = Files.createTempFile(refsDir, ".ref", ".tmp")
-    Files.writeString(tmp, version.toString, UTF_8)
-    Files.move(tmp, refsDir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    io.mkdirs(refsDir)
+    io.replaceAtomic(refsDir.resolve(name), version.toString)
   }
 
   def dropRef(name: String): Unit = {
     validateRefName(name)
-    Files.deleteIfExists(refsDir.resolve(name))
+    io.delete(refsDir.resolve(name))
   }
 
-  private def swapHint(v: Long): Unit = {
-    val tmp = Files.createTempFile(metaDir, ".hint", ".tmp")
-    Files.writeString(tmp, v.toString, UTF_8)
-    Files.move(tmp, hintFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Page `next.files` out to manifest chunks (no-op below the inline
+    * threshold). Files are grouped by the commit sequence that added them;
+    * a group whose content matches the parent's is served by re-pointing
+    * the parent's chunks (the common case: every pre-existing commit's
+    * files), so only changed groups pay a write. Returns the refs in
+    * seq order (reassembly order == grouped file order). */
+  private def writeManifests(
+      parent: Option[Snapshot], next: Snapshot): Seq[ManifestRef] = {
+    if (next.files.size <= SnapshotStore.InlineMaxFiles) return Seq.empty
+    io.mkdirs(manifestsDir)
+    val parentRefs: Map[Long, Seq[ManifestRef]] =
+      parent.map(_.manifests.groupBy(_.seq)).getOrElse(Map.empty)
+    val parentFiles: Map[Long, Seq[DataFile]] =
+      parent.map(_.files.groupBy(_.seq)).getOrElse(Map.empty)
+    next.files.groupBy(_.seq).toSeq.sortBy(_._1).flatMap { case (seq, fs) =>
+      if (parentRefs.contains(seq) && parentFiles.get(seq).contains(fs))
+        parentRefs(seq)
+      else
+        fs.grouped(SnapshotStore.ManifestChunkFiles).map { chunk =>
+          val name = s"m-$seq-${java.util.UUID.randomUUID()}.json"
+          io.write(manifestsDir.resolve(name),
+            Snapshot.chunkToJson(ManifestChunk(chunk)))
+          ManifestRef(s"metadata/manifests/$name", seq, chunk.size,
+            chunk.map(_.rowCount).sum, chunk.map(_.sizeBytes).sum)
+        }.toSeq
+    }
   }
+
+  private def swapHint(v: Long): Unit =
+    io.replaceAtomic(hintFile, v.toString)
 
   /** Delete the whole table directory tree — or, on a branch store, just
     * the branch's metadata chain (shared data files stay; orphan cleanup
@@ -200,9 +245,49 @@ final class SnapshotStore(val tableDir: Path,
       case Some(_) => metaDir
       case None => tableDir
     }
-    if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
+    io.deleteTree(root)
+  }
+}
+
+object SnapshotStore {
+
+  /** Marker file at a table's warehouse HOME directory naming the external
+    * directory its data+metadata actually live in (`CREATE TABLE ...
+    * LOCATION` / a `path` option — `warehouse_helpers.py:110`, SURVEY
+    * §2.11.4). Catalog listing/rename operate on the home dir; everything
+    * else follows the pointer. */
+  val ExternalPointer = "external-location"
+
+  /** Resolve a table home dir to its actual table dir, following the
+    * external-location pointer when present. */
+  def resolveTableDir(home: Path): Path = {
+    val ptr = home.resolve(ExternalPointer)
+    if (Files.isRegularFile(ptr)) Paths.get(Files.readString(ptr).trim)
+    else home
+  }
+
+  /** At or below this many files the list stays inline in `v<N>.json` —
+    * one read, one atomic swap, simplest for small tables. Above it the
+    * list pages out to manifest chunks (see [[Snapshot]] scaladoc). */
+  val InlineMaxFiles = 64
+
+  /** Max files per manifest chunk: bounds both chunk-write size and the
+    * unit of parallel load. */
+  val ManifestChunkFiles = 10000
+
+  private val ChunkCacheMax = 256
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+
+  /** Chunk files are immutable and UUID-named, so a cache hit never goes
+    * stale; the cap just bounds memory for long-lived processes touching
+    * many tables. */
+  private[lake] def loadChunk(p: Path, io: MetaIO = LocalMetaIO): Seq[DataFile] = {
+    val key = p.toAbsolutePath.toString
+    val hit = chunkCache.get(key)
+    if (hit != null) return hit
+    if (chunkCache.size >= ChunkCacheMax) chunkCache.clear()
+    chunkCache.computeIfAbsent(key,
+      _ => Snapshot.chunkFromJson(io.readString(p)).files)
   }
 }

@@ -225,14 +225,30 @@ object StatsPruner {
   * files decodes each file's sketch once, not once per predicate. */
 private[lake] object BloomProbe {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+  private[lake] val MaxEntries = 4096
+
+  // access-ordered LRU: a prune loop over MORE files than the cap evicts
+  // only the coldest sketches instead of clearing the world and
+  // re-decoding every sketch each pass (the old clear() thrashed there)
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, org.apache.spark.util.sketch.BloomFilter](
+      256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter])
+          : Boolean = size() > MaxEntries
+    })
 
   def mightContain(b64: String, value: String): Boolean = {
-    if (cache.size() > 4096) cache.clear() // bound memory; refill is cheap
-    val bf = cache.computeIfAbsent(b64, s =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        java.util.Base64.getDecoder.decode(s)))
+    val cached = cache.get(b64)
+    val bf =
+      if (cached != null) cached
+      else {
+        // racing decoders are idempotent — last put wins, both correct
+        val decoded = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          java.util.Base64.getDecoder.decode(b64))
+        cache.put(b64, decoded)
+        decoded
+      }
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.types.StringType
     val h = new XxHash64(Seq(Literal.create(value, StringType)))

@@ -129,4 +129,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.matches("(?s).*SortMergeJoin.*LeftAnti.*"),
       s"MOR delete anti-join shuffles the data side:\n$p")
   }
+
+  test("MOR anti-join falls back to shuffle past the broadcast cap") {
+    // a delete backlog bigger than executor memory must NOT be pinned to
+    // a broadcast build: past graft.mor.broadcast-max-bytes the hint is
+    // withheld and the planner's shuffled join applies
+    SparkEntry.queries("q_lake_roundtrip")(spark, sf) // registers the catalog
+    spark.sql("DROP TABLE IF EXISTS graft.verify.planq_morcap")
+    spark.sql("""CREATE TABLE graft.verify.planq_morcap (id INT, v INT)
+                 USING graft
+                 TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.verify.planq_morcap VALUES (1,1),(2,2),(3,3)")
+    spark.sql("DELETE FROM graft.verify.planq_morcap WHERE id = 1 OR id = 3")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val store = new graft.lake.SnapshotStore(
+      java.nio.file.Paths.get(wh, "verify", "planq_morcap"))
+    val head = store.head().get
+    assert(head.deleteFiles.nonEmpty)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(graft.lake.PositionDeletes.BroadcastMaxBytesKey, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inner = graft.lake.PositionDeletes.applySnapshotDeletes(spark, store,
+        graft.lake.SchemaNames.readLogicalWithProvenance(spark, head.schema,
+          head.files.map(f => store.tableDir.resolve(f.path).toString)),
+        head)
+      val p = inner.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("LeftAnti"), s"no anti-join:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"anti-join still broadcast past the cap:\n$p")
+      // correctness is unchanged on the shuffle path
+      assert(inner.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+    } finally {
+      spark.conf.unset(graft.lake.PositionDeletes.BroadcastMaxBytesKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }
