@@ -236,6 +236,21 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable percentiles — the 100 TB shape of [[qPercentiles]]:
+    * `approx_percentile` (t-digest-style quantile sketch) builds partial
+    * sketches map-side and MERGES them, so cost is one pass + tiny
+    * combiner state instead of a full per-group sort. Approximate → no
+    * SQL oracle; CoverageSpec pins it within tolerance of the exact
+    * form. */
+  val qPercentilesTdigest: Q = Q.noOracle("q_percentiles_tdigest") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("p50"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("p90"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pivot: order counts per priority × status matrix (groupBy.pivot —
     * conditional aggregation under the hood, one shuffle). */
   val qPivot: Q = Q(
@@ -402,5 +417,6 @@ object Analytics {
   val all: Seq[Q] = Seq(
     qOrderByLimit, qTopkCustomers, qWindowRank, qWindowRunning, qWindowLag,
     qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents, qPercentiles,
-    qPivot, qRevenueShare, qWindowDistribution, qFunnel, qUnpivot, qSetOpsAll)
+    qPercentilesTdigest, qPivot, qRevenueShare, qWindowDistribution, qFunnel,
+    qUnpivot, qSetOpsAll)
 }

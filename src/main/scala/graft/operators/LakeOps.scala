@@ -349,8 +349,31 @@ object LakeOps {
               GROUP BY o_year ORDER BY o_year""")
   }
 
+  /** Path-addressed EXTERNAL table (SURVEY §2.11.4; the reference writes
+    * with `.option("path", "s3a://...")` — warehouse_helpers.py:110):
+    * CREATE ... LOCATION, write through the full lake path, read back.
+    * The location points OUTSIDE the warehouse dir, so this breaks if the
+    * catalog ever stops honoring it. */
+  val qLakeExternal: Q = Q(
+    "q_lake_external",
+    """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.region_ext")
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-external-verify").toString
+    s.sql(s"""CREATE TABLE $Cat.verify.region_ext
+              (r_regionkey INT, r_name STRING)
+              USING graft LOCATION '$loc'""")
+    Tables.region(s, d).createOrReplaceTempView("graft_src_region_ext")
+    s.sql(s"INSERT INTO $Cat.verify.region_ext SELECT * FROM graft_src_region_ext")
+    s.sql(s"""SELECT r_regionkey, r_name
+              FROM $Cat.verify.region_ext ORDER BY r_regionkey""")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
-    qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated)
+    qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
+    qLakeExternal)
 }

@@ -43,15 +43,19 @@ object Multimodal {
 
   /** STUB — deterministic fake decode. A real deployment would replace this
     * with an image/audio codec call; signature and batch shape are the
-    * contract. Returns a fixed-length "feature" derived from the bytes. */
+    * contract. Returns a fixed-length "feature" derived from the bytes.
+    * Accumulates in DOUBLE (standard practice for mean/sum features) and
+    * narrows to float at the end — which also makes the value exactly
+    * reproducible by any engine that sums the same bytes in the same
+    * order, so the pipeline query is oracle-checkable. */
   private def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val feat = new Array[Float](8)
+    val acc = new Array[Double](8)
     var i = 0
     while (i < payload.length) {
-      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      acc(i % 8) += (payload(i) & 0xff) / 255.0
       i += 1
     }
-    feat
+    acc.map(_.toFloat)
   }
 
   private val decodedSchema = StructType(Seq(
@@ -91,9 +95,25 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_bytes")))
 
   /** End-to-end multimodal pipeline: metadata filter → decode stub →
-    * feature stats. Oracle-less (binary plumbing); ScalaTest checks the
-    * round-trip and batch shape. */
-  val qMultimodalPipeline: Q = Q.noOracle("q_multimodal_pipeline") { (s, d) =>
+    * feature stats. Oracle-checked (round-3): the decode stub sums
+    * byte/255 in DOUBLE in byte order, so DuckDB reproduces f0 exactly
+    * with a stride-8 character walk (the corpus is ASCII: 1 char = 1
+    * byte), the same double→float→double narrowing, and the same 4dp
+    * round. ScalaTest still checks the round-trip and batch shape. */
+  val qMultimodalPipeline: Q = Q(
+    "q_multimodal_pipeline",
+    """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                   WHEN doc_id % 3 = 1 THEN 'png'
+                   ELSE 'wav' END AS codec,
+              CAST(strlen(text) AS INTEGER) AS n_bytes,
+              round(CAST(CAST(coalesce(list_sum(
+                [ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0
+                 FOR i IN range(1, strlen(text) + 1, 8)]), 0) AS REAL)
+                AS DOUBLE), 4) AS f0
+       FROM documents
+       WHERE (doc_id * 2654435761) % 1280 + 64 >= 64
+       ORDER BY media_id""") { (s, d) =>
     val media = mediaTable(s, d).filter(col("meta.width") >= 64)
     decodeFeatures(media)
       .select(col("media_id"), col("codec"), col("n_bytes"),

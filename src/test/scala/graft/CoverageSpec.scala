@@ -124,6 +124,19 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("t-digest percentiles stay within 1% of the exact sort-based form") {
+    val approx = graft.operators.Analytics.qPercentilesTdigest.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.operators.Analytics.qPercentiles.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (p50, p90)) =>
+      val (a50, a90) = approx(flag)
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$flag p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.01, s"$flag p90: $a90 vs $p90")
+    }
+  }
+
   test("bucket partition transform assigns stable bucket ids (D-bucket)") {
     wh
     spark.sql("""CREATE TABLE covspec.db.b (id BIGINT, v STRING)
