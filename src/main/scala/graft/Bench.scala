@@ -32,11 +32,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // progress line per query (stderr, not the JSON result line): lets a
+      // stalled run name its slow query instead of going dark for minutes
+      System.err.println(f"[bench] $name%-28s $t%8.2fs")
+      t
     }
 
     run("q1_pricing_summary") // warmup: JVM + codegen + parquet footer cache
+    // optional regex filter (SPARK_GRAFT_BENCH_FILTER) for targeted probes
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
     // Two full passes, report the per-query MIN: this host is shared and
     // ambient contention swings single measurements 5-10× (documented in
     // BASELINE.md); the minimum is the least-contended estimate of the

@@ -30,7 +30,8 @@ object Procedures {
   val names: Seq[String] = Seq("compact", "rewrite_deletes",
     "expire_snapshots", "remove_orphan_files", "create_tag", "drop_tag",
     "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze",
-    "create_branch", "drop_branch", "fast_forward", "changelog")
+    "create_branch", "drop_branch", "fast_forward", "changelog",
+    "register_table")
 
   /** Parse a comma list of partition-field specs: `col` (identity),
     * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
@@ -140,6 +141,34 @@ object Procedures {
           val b = args.getUTF8String(1).toString
           val snap = Maintenance.fastForward(SparkSession.active, storeFor(tbl), b)
           Seq(Row(s"$tbl@$b", snap.version, snap.files.size.toLong))
+        }
+      case "register_table" =>
+        // the adoption inverse of DROP on an external table (which
+        // unregisters and leaves the tree): point a catalog name at an
+        // existing table directory — e.g. re-attach after a drop, or
+        // share one external tree with a second warehouse (Iceberg's
+        // register_table)
+        simple(ident.name(),
+          "adopt an existing graft table tree at an external location",
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("location", StringType).build())) { args =>
+          val tbl = args.getUTF8String(0).toString
+          val loc = args.getUTF8String(1).toString
+          val parts = tbl.split('.')
+          require(parts.length >= 2, s"want <namespace>.<table>, got '$tbl'")
+          val home = parts.foldLeft(warehouse)((p, e) => p.resolve(e))
+          require(java.nio.file.Files.isDirectory(home.getParent),
+            s"namespace '${parts.dropRight(1).mkString(".")}' does not exist")
+          require(!new SnapshotStore(SnapshotStore.resolveTableDir(home)).exists,
+            s"table '$tbl' already exists")
+          val dir = java.nio.file.Paths.get(loc).toAbsolutePath
+          val st = new SnapshotStore(dir)
+          val head = st.head().getOrElse(throw new IllegalArgumentException(
+            s"no graft table metadata at $dir"))
+          java.nio.file.Files.createDirectories(home)
+          java.nio.file.Files.writeString(
+            home.resolve(SnapshotStore.ExternalPointer), dir.toString)
+          Seq(Row(tbl, head.version, head.files.size.toLong))
         }
       case "expire_snapshots" =>
         simple(ident.name(), "drop old snapshot versions and unreferenced files",

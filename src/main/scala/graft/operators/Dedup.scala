@@ -241,13 +241,31 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard over all pairs sharing ≥1 shingle, filtered
     * to `threshold`. Shared by q_ngram_jaccard and the dedup-group
-    * (connected-components) operator in Pipeline. */
+    * (connected-components) operator in Pipeline.
+    *
+    * EXACT-duplicate pre-collapse (scale guard): a duplicate-heavy corpus —
+    * the normal web case — makes the shingle self-join quadratic in the
+    * copy count (10 copies of everything = 100× the join intermediate; the
+    * round-3 sf1 probe caught exactly this). Identical texts have identical
+    * shingle sets, so ONE representative per distinct text carries the
+    * expensive pairing; member pairs then reconstruct by join — cross-class
+    * pairs inherit the representatives' Jaccard, intra-class pairs are
+    * J = 1.0 by definition. Cost becomes O(distinct-text pair work +
+    * output size), and the output is row-identical to the naive form. */
   private[operators] def ngramJaccardPairs(
       docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingles(docs)
+    val classed = docs
+      .select(col("doc_id"), md5(col("text")).as("__fp"))
+    val repIds = classed.groupBy("__fp").agg(min("doc_id").as("__rep"))
+    val members = classed.join(repIds, "__fp")
+    val repDocs = docs.join(
+      members.filter(col("doc_id") === col("__rep")).select("doc_id"),
+      "doc_id")
+
+    val sh = docShingles(repDocs)
     // per-row array size — not explode+groupBy: shingle counts need no
     // shuffle, and the small (doc_id, n) frame broadcast-joins below
-    val sizes = docs.select(col("doc_id"), size(shingles(col("text"))).as("n"))
+    val sizes = repDocs.select(col("doc_id"), size(shingles(col("text"))).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -255,11 +273,31 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
     val j = col("i").cast("double") /
       (col("sa.n") + col("sb.n") - col("i"))
-    inter
+    val repPairs = inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+
+    // cross-class member pairs inherit their representatives' Jaccard
+    // (identical shingle sets); re-order ids per pair since member ids
+    // need not sort the same way as their reps'
+    val ma = members.select(col("__rep").as("id_a"), col("doc_id").as("__ma"))
+    val mb = members.select(col("__rep").as("id_b"), col("doc_id").as("__mb"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    // intra-class pairs: identical texts are J = 1.0 — but only when the
+    // text yields ≥1 shingle (the naive join can't pair shingle-less docs)
+    val shingled = sizes.filter(col("n") > 0)
+      .select(col("doc_id").as("__rep"))
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
+      .join(shingled, col("a.__rep") === shingled("__rep"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(intra)
   }
 
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold

@@ -79,5 +79,16 @@ class ExternalTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the external tree survives the drop — user-managed data
     assert(Files.isDirectory(Paths.get(loc, "metadata")))
     assert(Files.list(Paths.get(loc, "data")).count() > 0)
+
+    // ...and register_table re-attaches it under a new name with its
+    // full history intact
+    sql(s"CALL ext.system.register_table(`table` => 't.adopted', location => '$loc')")
+    val rows = sql("SELECT id FROM ext.t.adopted").collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(7), s"adopted table lost its data: $rows")
+    // double-registration of the same name is refused
+    val e2 = intercept[Exception] {
+      sql(s"CALL ext.system.register_table(`table` => 't.adopted', location => '$loc')")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
   }
 }
