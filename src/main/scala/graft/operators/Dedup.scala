@@ -314,20 +314,49 @@ object Dedup {
        WHERE list_cosine_similarity(a.v, b.v) >= 0.35
        ORDER BY id_a, id_b""") { (s, d) =>
     import graft.functions.Vectors._
-    val e = Tables.embeddings(s, d)
+    // Exact-duplicate pre-collapse, like ngramJaccardPairs: duplicate
+    // documents mean duplicate embeddings, and the all-pairs join is
+    // quadratic in the copy count. One representative per distinct vector
+    // carries the cartesian; member pairs reconstruct by join — the sim
+    // value depends only on the vectors, so cross pairs inherit the reps'
+    // sim and intra pairs use the rep's self-sim (same doubles the naive
+    // join would produce). Labels stay per-member (copies may disagree).
+    val e0 = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val repIds = e0.groupBy("v").agg(min("vec_id").as("__rep"))
+    val members = e0.join(repIds, "v")
+    val repE = members.filter(col("vec_id") === col("__rep"))
+      .select(col("vec_id"), col("v"))
       .withColumn("nv", norm(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("label").as("la"),
-      col("v").as("va"), col("nv").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("label").as("lb"),
-      col("v").as("vb"), col("nv").as("nb"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("rawsim", sim)
+    val ra = repE.select(col("vec_id").as("ra"), col("v").as("va"),
+      col("nv").as("na"))
+    val rb = repE.select(col("vec_id").as("rb"), col("v").as("vb"),
+      col("nv").as("nb"))
+    val repPairs = ra.join(rb, col("ra") < col("rb"))
+      .withColumn("rawsim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("rawsim") >= 0.35)
-      .select(col("id_a"), col("id_b"), round(col("rawsim"), 6).as("sim"),
+      .select(col("ra"), col("rb"), round(col("rawsim"), 6).as("sim"))
+    val ma = members.select(col("__rep").as("ra"), col("vec_id").as("__ia"),
+      col("label").as("la"))
+    val mb = members.select(col("__rep").as("rb"), col("vec_id").as("__ib"),
+      col("label").as("lb"))
+    val cross = repPairs.join(ma, "ra").join(mb, "rb")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("sim"),
         (col("la") === col("lb")).as("same_label"))
-      .orderBy("id_a", "id_b")
+    // intra-class pairs: sim is the rep's self-similarity (≈1.0; NaN for a
+    // zero vector, which the threshold drops exactly like the naive join)
+    val selfSim = repE
+      .withColumn("rawsim", dot(col("v"), col("v")) / (col("nv") * col("nv")))
+      .filter(col("rawsim") >= 0.35)
+      .select(col("vec_id").as("__selfrep"), round(col("rawsim"), 6).as("sim"))
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.__rep") === col("b.__rep") && col("a.vec_id") < col("b.vec_id"))
+      .join(selfSim, col("a.__rep") === col("__selfrep"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("sim"), (col("a.label") === col("b.label")).as("same_label"))
+    cross.unionAll(intra).orderBy("id_a", "id_b")
   }
 
   val all: Seq[Q] = Seq(
