@@ -372,11 +372,17 @@ final class GraftPartitionReader(filePath: String, required: StructType,
 private[lake] object GroupReadValues {
 
   /** Normalize a converted value for use inside a hash key: byte arrays
-    * use reference equality, so wrap them; everything else the internal
-    * representations (UTF8String, boxed primitives, Decimal) already
+    * use reference equality, so wrap them; -0.0 folds to 0.0 so the probe
+    * matches Spark's join semantics (NormalizeFloatingNumbers treats them
+    * equal, boxed equality does not — a -0.0-keyed row must still die to
+    * a 0.0 delete tuple exactly like on the anti-join read path); NaN is
+    * already self-equal for boxed Double/Float. Everything else the
+    * internal representations (UTF8String, boxed primitives, Decimal)
     * define value equality for. */
   def normKey(v: Any): Any = v match {
     case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
     case other => other
   }
 
@@ -502,11 +508,19 @@ private[lake] object GroupReadValues {
 /** Executor-local cache of equality-delete tuple sets. Delete files are
   * immutable and UUID-named, so an entry never goes stale; the cap only
   * bounds memory in long-lived executors. One load per executor instead of
-  * one per task — O(executors × tuple bytes) IO, not O(tasks × …). */
+  * one per task — O(executors × tuple bytes) IO, not O(tasks × …).
+  * Access-ordered LRU (like BloomProbe): more live tuple files than the
+  * cap must evict the coldest entries, not clear the world while
+  * concurrent tasks are mid-probe. */
 private[lake] object EqDeleteTupleCache {
   private val MaxEntries = 64
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[Seq[Any]]]()
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.util.HashSet[Seq[Any]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.HashSet[Seq[Any]]])
+          : Boolean = size() > MaxEntries
+    })
 
   def get(path: String, cols: Seq[String],
       types: Seq[DataType]): java.util.HashSet[Seq[Any]] = {
@@ -515,8 +529,10 @@ private[lake] object EqDeleteTupleCache {
     val key = path + "|" + types.map(_.catalogString).mkString(",")
     val hit = cache.get(key)
     if (hit != null) return hit
-    if (cache.size >= MaxEntries) cache.clear()
-    cache.computeIfAbsent(key, _ => load(path, cols, types))
+    // racing loaders are idempotent — last put wins, both correct
+    val loaded = load(path, cols, types)
+    cache.put(key, loaded)
+    loaded
   }
 
   private def load(path: String, cols: Seq[String],

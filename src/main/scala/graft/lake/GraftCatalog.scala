@@ -44,7 +44,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    Procedures.load(catalogName, warehouse, ident)
+    Procedures.load(catalogName, warehouse, ident, io)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Procedures.Namespace))
@@ -159,12 +159,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tablePath(ident: Identifier): Path =
     nsPath(ident.namespace()).resolve(ident.name())
 
+  /** Storage backend for all catalog + store file operations (the MetaIO
+    * seam) — local now; an object-store catalog overrides this one member. */
+  protected val io: MetaIO = LocalMetaIO
+
   private def isTableDir(p: Path): Boolean =
-    Files.isDirectory(p.resolve("metadata")) ||
-      Files.isRegularFile(p.resolve(SnapshotStore.ExternalPointer))
+    io.isDirectory(p.resolve("metadata")) ||
+      io.isFile(p.resolve(SnapshotStore.ExternalPointer))
 
   private def store(ident: Identifier): SnapshotStore =
-    new SnapshotStore(SnapshotStore.resolveTableDir(tablePath(ident)))
+    new SnapshotStore(SnapshotStore.resolveTableDir(tablePath(ident), io),
+      io = io)
 
   // ---------- namespaces (D2-D4) ----------
 
@@ -366,27 +371,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // given directory, and the warehouse home holds only a pointer file so
     // listing/rename keep working. DROP unregisters and leaves the
     // external tree in place (EXTERNAL-table semantics).
+    val SchemePat = "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*".r
     val external: Option[Path] = Seq("location", "path", "option.path")
       .flatMap(k => Option(properties.get(k))).headOption
       .map { loc =>
-        val raw =
-          if (loc.startsWith("file:"))
-            scala.util.Try(new java.net.URI(loc).getPath).toOption
+        val raw = loc match {
+          case l if l.startsWith("file:") =>
+            scala.util.Try(new java.net.URI(l).getPath).toOption
               .filter(_ != null)
-              .getOrElse(loc.stripPrefix("file://").stripPrefix("file:"))
-          else loc
+              .getOrElse(l.stripPrefix("file://").stripPrefix("file:"))
+          case SchemePat(scheme) =>
+            // Paths.get("s3a://b/t") would silently become a LOCAL dir
+            // named "s3a:" — refuse anything this backend can't serve
+            throw new UnsupportedOperationException(
+              s"LOCATION scheme '$scheme://' is not supported by this " +
+                "catalog's storage backend (local filesystem); use a " +
+                "plain or file:// path, or configure an object-store MetaIO")
+          case l => l
+        }
         Paths.get(raw).toAbsolutePath
       }
     val st = external match {
       case Some(dir) =>
-        require(!new SnapshotStore(dir).exists,
+        require(!new SnapshotStore(dir, io = io).exists,
           s"external location $dir already holds a graft table " +
             "(drop it or point at an empty directory)")
         val home = tablePath(ident)
-        Files.createDirectories(home)
-        Files.writeString(home.resolve(SnapshotStore.ExternalPointer),
+        io.mkdirs(home)
+        io.replaceAtomic(home.resolve(SnapshotStore.ExternalPointer),
           dir.toString)
-        new SnapshotStore(dir)
+        new SnapshotStore(dir, io = io)
       case None => store(ident)
     }
     st.init()
@@ -703,11 +717,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) false
     else {
       val home = tablePath(ident)
-      if (Files.isRegularFile(home.resolve(SnapshotStore.ExternalPointer))) {
+      if (io.isFile(home.resolve(SnapshotStore.ExternalPointer))) {
         // external table: unregister only — the external tree is
         // user-managed (standard EXTERNAL semantics)
-        Files.walk(home).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        io.deleteTree(home)
       } else store(ident).drop()
       true
     }

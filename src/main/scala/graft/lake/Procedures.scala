@@ -45,7 +45,8 @@ object Procedures {
     }
   }
 
-  def load(catalogName: String, warehouse: Path, ident: Identifier): UnboundProcedure = {
+  def load(catalogName: String, warehouse: Path, ident: Identifier,
+      io: MetaIO = LocalMetaIO): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
       s"unknown procedure namespace ${ident.namespace().mkString(".")}")
     def storeFor(tblRef: String): SnapshotStore = {
@@ -68,7 +69,7 @@ object Procedures {
       // follow the external-location pointer so maintenance procedures
       // work on path-addressed tables too
       val main = new SnapshotStore(SnapshotStore.resolveTableDir(
-        parts.foldLeft(warehouse)((p, e) => p.resolve(e))))
+        parts.foldLeft(warehouse)((p, e) => p.resolve(e)), io), io = io)
       if (!main.exists)
         throw new IllegalArgumentException(
           s"table '$tbl' not found in catalog '$catalogName' " +
@@ -157,16 +158,18 @@ object Procedures {
           val parts = tbl.split('.')
           require(parts.length >= 2, s"want <namespace>.<table>, got '$tbl'")
           val home = parts.foldLeft(warehouse)((p, e) => p.resolve(e))
-          require(java.nio.file.Files.isDirectory(home.getParent),
+          require(io.isDirectory(home.getParent),
             s"namespace '${parts.dropRight(1).mkString(".")}' does not exist")
-          require(!new SnapshotStore(SnapshotStore.resolveTableDir(home)).exists,
+          require(
+            !new SnapshotStore(SnapshotStore.resolveTableDir(home, io),
+              io = io).exists,
             s"table '$tbl' already exists")
           val dir = java.nio.file.Paths.get(loc).toAbsolutePath
-          val st = new SnapshotStore(dir)
+          val st = new SnapshotStore(dir, io = io)
           val head = st.head().getOrElse(throw new IllegalArgumentException(
             s"no graft table metadata at $dir"))
-          java.nio.file.Files.createDirectories(home)
-          java.nio.file.Files.writeString(
+          io.mkdirs(home)
+          io.replaceAtomic(
             home.resolve(SnapshotStore.ExternalPointer), dir.toString)
           Seq(Row(tbl, head.version, head.files.size.toLong))
         }

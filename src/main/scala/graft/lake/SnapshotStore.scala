@@ -259,10 +259,12 @@ object SnapshotStore {
   val ExternalPointer = "external-location"
 
   /** Resolve a table home dir to its actual table dir, following the
-    * external-location pointer when present. */
-  def resolveTableDir(home: Path): Path = {
+    * external-location pointer when present. Pointer reads go through the
+    * same MetaIO seam as everything else — an object-store catalog backend
+    * resolves external tables too. */
+  def resolveTableDir(home: Path, io: MetaIO = LocalMetaIO): Path = {
     val ptr = home.resolve(ExternalPointer)
-    if (Files.isRegularFile(ptr)) Paths.get(Files.readString(ptr).trim)
+    if (io.isFile(ptr)) Paths.get(io.readString(ptr).trim)
     else home
   }
 
@@ -276,8 +278,15 @@ object SnapshotStore {
   val ManifestChunkFiles = 10000
 
   private val ChunkCacheMax = 256
-  private val chunkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+  // access-ordered LRU (like BloomProbe / EqDeleteTupleCache): a table
+  // with more chunks than the cap evicts cold entries instead of clearing
+  // hot ones mid-load
+  private val chunkCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[DataFile]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean =
+        size() > ChunkCacheMax
+    })
 
   /** Chunk files are immutable and UUID-named, so a cache hit never goes
     * stale; the cap just bounds memory for long-lived processes touching
@@ -286,8 +295,9 @@ object SnapshotStore {
     val key = p.toAbsolutePath.toString
     val hit = chunkCache.get(key)
     if (hit != null) return hit
-    if (chunkCache.size >= ChunkCacheMax) chunkCache.clear()
-    chunkCache.computeIfAbsent(key,
-      _ => Snapshot.chunkFromJson(io.readString(p)).files)
+    // racing loaders are idempotent — last put wins, both correct
+    val loaded = Snapshot.chunkFromJson(io.readString(p)).files
+    chunkCache.put(key, loaded)
+    loaded
   }
 }

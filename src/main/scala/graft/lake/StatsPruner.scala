@@ -203,10 +203,32 @@ object StatsPruner {
     partOk && statsOk
   }
 
+  /** Above this many files the prune loop fans out across driver cores —
+    * plan time on a million-file table is a pure CPU scan of the stats. */
+  private val ParallelPruneMin = 4096
+
   /** Files that might contain rows matching ALL filters. */
   def prune(files: Seq[DataFile], filters: Seq[Filter],
       spec: Seq[PartitionField]): Seq[DataFile] =
-    files.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))
+    if (filters.isEmpty) files
+    else if (files.size < ParallelPruneMin)
+      files.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))
+    else {
+      // mightMatch is pure; chunked parallel evaluation keeps plan time
+      // O(files / cores) instead of one driver core walking every file.
+      // Chunk size derives from the core count (2 chunks per core for
+      // stragglers), floored so tiny chunks don't drown in task overhead.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cores = Runtime.getRuntime.availableProcessors()
+      val chunkSize = math.max(512, files.size / (cores * 2) + 1)
+      val chunks = files.grouped(chunkSize).toSeq
+      Await.result(
+        Future.sequence(chunks.map(c => Future {
+          c.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))
+        })), Duration.Inf).flatten
+    }
 
   /** Rename-aware variant: file stats and partition sources are keyed by
     * PHYSICAL column names, filters arrive with LOGICAL names — translate

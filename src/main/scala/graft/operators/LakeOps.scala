@@ -360,8 +360,17 @@ object LakeOps {
     ensureCatalog(s)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
     s.sql(s"DROP TABLE IF EXISTS $Cat.verify.region_ext")
-    val loc = java.nio.file.Files
-      .createTempDirectory("graft-external-verify").toString
+    // FIXED location, cleared up front: DROP leaves external trees in
+    // place (by design), so a fresh temp dir per run would accumulate
+    // orphaned table trees across bench/verify invocations
+    val locPath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-external-verify")
+    if (java.nio.file.Files.exists(locPath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(locPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val loc = locPath.toString
     s.sql(s"""CREATE TABLE $Cat.verify.region_ext
               (r_regionkey INT, r_name STRING)
               USING graft LOCATION '$loc'""")

@@ -100,6 +100,25 @@ class DistributedDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("equality probe matches -0.0 keys like the SQL join does") {
+    import spark.implicits._
+    sql("CREATE TABLE ddel.t.negzero (k DOUBLE, v STRING) USING iceberg")
+    sql("""INSERT INTO ddel.t.negzero
+           VALUES (CAST(-0.0 AS DOUBLE),'a'), (1.0,'b')""")
+    val store = new SnapshotStore(Paths.get(wh, "t", "negzero"))
+    Upsert.into(spark, store, Seq((0.0, "z")).toDF("k", "v"), Seq("k"))
+    // read path (anti-join, normalized floats): -0.0 row is replaced
+    val read = sql("SELECT v FROM ddel.t.negzero ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(read == Seq("b", "z"), s"read path: $read")
+    // COW path (executor-side key probe) must agree — an unnormalized
+    // boxed compare would resurrect the -0.0 row through the rewrite
+    sql("UPDATE ddel.t.negzero SET v = concat(v, '!') WHERE k >= -10")
+    val rows = sql("SELECT v FROM ddel.t.negzero ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("b!", "z!"), s"COW resurrected a -0.0-keyed row: $rows")
+  }
+
   test("rewrite_deletes folds a large backlog without a driver tuple index") {
     sql("""CREATE TABLE ddel.t.fold (id INT, v STRING) USING iceberg
            TBLPROPERTIES ('graft.delete-mode'='merge-on-read')""")

@@ -52,6 +52,19 @@ class ExternalTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapProps.get("location").exists(_.contains(loc)), snapProps)
   }
 
+  test("non-local LOCATION schemes are rejected loudly") {
+    // Paths.get("s3a://b/t") would silently become a LOCAL "s3a:" dir —
+    // the catalog must refuse what its storage backend can't serve
+    val e = intercept[Exception] {
+      sql("CREATE TABLE ext.t.s3 (id INT) USING iceberg LOCATION 's3a://bucket/t'")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not supported")), msgs(e).mkString(" | "))
+    assert(!Files.exists(Paths.get(wh, "t", "s3a:")))
+  }
+
   test("maintenance procedures follow the pointer") {
     val loc = Files.createTempDirectory("graft-ext-proc").toString
     sql(s"""CREATE TABLE ext.t.mproc (id INT, v STRING)

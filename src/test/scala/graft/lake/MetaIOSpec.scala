@@ -124,4 +124,29 @@ class MetaIOSpec extends AnyFunSuite {
     store.drop()
     assert(io.objects.isEmpty, s"drop left objects: ${io.objects.keySet()}")
   }
+
+  test("one commit splits past the chunk size; appends re-point all its chunks") {
+    val io = new InMemoryMetaIO
+    val store = new SnapshotStore(Paths.get("/mem/big"), io = io)
+    store.init()
+    def mkFiles(n: Int, tag: String): Seq[DataFile] =
+      (0 until n).map(i => DataFile(s"data/$tag-$i.parquet", 1L, 10L,
+        Map.empty, Map.empty, seq = Snapshot.UnassignedSeq))
+    // one commit adds 2.5 chunk-sizes of files → 3 chunks for seq 1
+    val n1 = SnapshotStore.ManifestChunkFiles * 5 / 2
+    val v1 = store.commit(_ => snap(mkFiles(n1, "a")))
+    assert(v1.manifests.size == 3, v1.manifests.map(_.fileCount))
+    assert(v1.manifests.map(_.fileCount).sum == n1)
+    // reassembly preserves count AND order (chunk refs are ordered)
+    val readBack = store.read(1L)
+    assert(readBack.files.size == n1)
+    assert(readBack.files.map(_.path) == v1.files.map(_.path),
+      "chunked reassembly reordered the file list")
+    // an append re-points ALL of seq 1's chunks and writes only seq 2's
+    val v2 = store.commit(prev => snap(prev.get.files ++ mkFiles(100, "b")))
+    assert(v2.manifests.size == 4)
+    assert(v2.manifests.take(3).map(_.path) == v1.manifests.map(_.path),
+      "append rewrote the parent's chunks")
+    assert(store.read(2L).files.size == n1 + 100)
+  }
 }
