@@ -155,8 +155,19 @@ object Dedup {
     * at the call site, not a code change. */
   val qMinhashDedup: Q = Q.noOracle("q_minhash_dedup") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val verified = exactJaccard(docs, lshCandidates(minhashSignatures(docs)))
+    // exact-duplicate pre-collapse (like ngramJaccardPairs): identical
+    // texts have identical signatures, share every band, and always
+    // verify at J = 1.0 — reconstructing those pairs by join is exact and
+    // avoids quadratic candidate blowup on a duplicate-heavy corpus
+    val members = dupClasses(docs)
+    val repDocs = repDocsOf(docs, members)
+    val sigs = minhashSignatures(repDocs)
+    val repVerified = exactJaccard(repDocs, lshCandidates(sigs))
       .filter(col("jaccard") >= 0.5)
+    val verified = expandDupPairs(members, repVerified,
+      // identical SHINGLE-LESS texts never sign → never candidates
+      intraReps = sigs.select("doc_id"),
+      valueCol = "jaccard", intraValue = lit(1.0))
     // Summary row keeps the result non-empty on corpora with no near-dups.
     verified.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionAll(verified.agg(count(lit(1)).as("cnt")).select(
@@ -188,7 +199,12 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sim = ColumnBridge.column(
       graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
-    val sigs = Tables.documents(s, d).select(col("doc_id"), sim.as("sh"))
+    // exact-duplicate pre-collapse: identical texts share the signature,
+    // so they always band together at Hamming 0 — reconstruct those
+    // pairs by join instead of flooding every band bucket with copies
+    val docs = Tables.documents(s, d)
+    val members = dupClasses(docs)
+    val sigs = repDocsOf(docs, members).select(col("doc_id"), sim.as("sh"))
     val banded = sigs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -204,9 +220,13 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    // every doc has a signature → every duplicate class intra-pairs at 0
+    val expanded = expandDupPairs(members, pairs,
+      intraReps = sigs.select("doc_id"),
+      valueCol = "hamming", intraValue = lit(0))
     // summary row keeps the result non-empty on dup-free corpora
-    pairs
-      .unionAll(pairs.agg(count(lit(1)).as("cnt")).select(
+    expanded
+      .unionAll(expanded.agg(count(lit(1)).as("cnt")).select(
         lit(-1L).as("id_a"), lit(-1L).as("id_b"), col("cnt").cast("int").as("hamming")))
       .orderBy("id_a", "id_b")
   }
@@ -252,15 +272,51 @@ object Dedup {
     * pairs inherit the representatives' Jaccard, intra-class pairs are
     * J = 1.0 by definition. Cost becomes O(distinct-text pair work +
     * output size), and the output is row-identical to the naive form. */
-  private[operators] def ngramJaccardPairs(
-      docs: DataFrame, threshold: Double): DataFrame = {
-    val classed = docs
-      .select(col("doc_id"), md5(col("text")).as("__fp"))
-    val repIds = classed.groupBy("__fp").agg(min("doc_id").as("__rep"))
-    val members = classed.join(repIds, "__fp")
-    val repDocs = docs.join(
+  /** Exact-duplicate classes of the corpus: one row per doc with the
+    * class fingerprint (`__fp`, md5 of the raw text) and representative
+    * (`__rep`, the class's min doc_id). The shared first stage of every
+    * pair-graph operator here — see [[ngramJaccardPairs]]'s scaladoc for
+    * why (quadratic in the copy count otherwise). */
+  private def dupClasses(docs: DataFrame): DataFrame = {
+    val classed = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
+    classed.join(classed.groupBy("__fp").agg(min("doc_id").as("__rep")), "__fp")
+  }
+
+  /** Representative rows of `docs` under `members` (= [[dupClasses]]). */
+  private def repDocsOf(docs: DataFrame, members: DataFrame): DataFrame =
+    docs.join(
       members.filter(col("doc_id") === col("__rep")).select("doc_id"),
       "doc_id")
+
+  /** Expand representative-level pairs `(id_a, id_b, <valueCol>)` to
+    * member-level pairs: cross-class member pairs inherit their reps'
+    * value (it depends only on the text/signature, which is identical
+    * within a class); intra-class pairs get `intraValue`, emitted only
+    * for classes whose rep appears in `intraReps` (a `doc_id` column) —
+    * the hook for "identical docs that the naive pipeline would NOT have
+    * paired" exclusions (e.g. shingle-less texts). */
+  private def expandDupPairs(members: DataFrame, repPairs: DataFrame,
+      intraReps: DataFrame, valueCol: String,
+      intraValue: org.apache.spark.sql.Column): DataFrame = {
+    val ma = members.select(col("__rep").as("id_a"), col("doc_id").as("__ma"))
+    val mb = members.select(col("__rep").as("id_b"), col("doc_id").as("__mb"))
+    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(valueCol))
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
+      .join(intraReps.withColumnRenamed("doc_id", "__irep"),
+        col("a.__rep") === col("__irep"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        intraValue.as(valueCol))
+    cross.unionAll(intra)
+  }
+
+  private[operators] def ngramJaccardPairs(
+      docs: DataFrame, threshold: Double): DataFrame = {
+    val members = dupClasses(docs)
+    val repDocs = repDocsOf(docs, members)
 
     val sh = docShingles(repDocs)
     // per-row array size — not explode+groupBy: shingle counts need no
@@ -279,25 +335,11 @@ object Dedup {
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
 
-    // cross-class member pairs inherit their representatives' Jaccard
-    // (identical shingle sets); re-order ids per pair since member ids
-    // need not sort the same way as their reps'
-    val ma = members.select(col("__rep").as("id_a"), col("doc_id").as("__ma"))
-    val mb = members.select(col("__rep").as("id_b"), col("doc_id").as("__mb"))
-    val cross = repPairs.join(ma, "id_a").join(mb, "id_b")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    // intra-class pairs: identical texts are J = 1.0 — but only when the
-    // text yields ≥1 shingle (the naive join can't pair shingle-less docs)
-    val shingled = sizes.filter(col("n") > 0)
-      .select(col("doc_id").as("__rep"))
-    val intra = members.as("a")
-      .join(members.as("b"),
-        col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
-      .join(shingled, col("a.__rep") === shingled("__rep"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionAll(intra)
+    // intra-class pairs are J = 1.0 — but only when the text yields ≥1
+    // shingle (the naive join can't pair shingle-less docs)
+    expandDupPairs(members, repPairs,
+      intraReps = sizes.filter(col("n") > 0).select("doc_id"),
+      valueCol = "jaccard", intraValue = lit(1.0))
   }
 
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold
