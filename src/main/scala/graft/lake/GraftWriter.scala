@@ -1,8 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -277,13 +277,13 @@ object Dedup {
     * (`__rep`, the class's min doc_id). The shared first stage of every
     * pair-graph operator here — see [[ngramJaccardPairs]]'s scaladoc for
     * why (quadratic in the copy count otherwise). */
-  private def dupClasses(docs: DataFrame): DataFrame = {
+  private[operators] def dupClasses(docs: DataFrame): DataFrame = {
     val classed = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
     classed.join(classed.groupBy("__fp").agg(min("doc_id").as("__rep")), "__fp")
   }
 
   /** Representative rows of `docs` under `members` (= [[dupClasses]]). */
-  private def repDocsOf(docs: DataFrame, members: DataFrame): DataFrame =
+  private[operators] def repDocsOf(docs: DataFrame, members: DataFrame): DataFrame =
     docs.join(
       members.filter(col("doc_id") === col("__rep")).select("doc_id"),
       "doc_id")
@@ -313,11 +313,14 @@ object Dedup {
     cross.unionAll(intra)
   }
 
-  private[operators] def ngramJaccardPairs(
-      docs: DataFrame, threshold: Double): DataFrame = {
-    val members = dupClasses(docs)
+  /** Representative-level exact Jaccard pairs over `members`'s reps, plus
+    * the shingled-rep set (`doc_id` column — the classes whose identical
+    * members the naive join WOULD pair). The un-expanded core shared by
+    * [[ngramJaccardPairs]] and the dedup-group (connected-components)
+    * operator, which runs its propagation on this smaller graph. */
+  private[operators] def repJaccardPairs(docs: DataFrame, members: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     val repDocs = repDocsOf(docs, members)
-
     val sh = docShingles(repDocs)
     // per-row array size — not explode+groupBy: shingle counts need no
     // shuffle, and the small (doc_id, n) frame broadcast-joins below
@@ -334,12 +337,17 @@ object Dedup {
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+    (repPairs, sizes.filter(col("n") > 0).select("doc_id"))
+  }
 
+  private[operators] def ngramJaccardPairs(
+      docs: DataFrame, threshold: Double): DataFrame = {
+    val members = dupClasses(docs)
+    val (repPairs, shingledReps) = repJaccardPairs(docs, members, threshold)
     // intra-class pairs are J = 1.0 — but only when the text yields ≥1
     // shingle (the naive join can't pair shingle-less docs)
     expandDupPairs(members, repPairs,
-      intraReps = sizes.filter(col("n") > 0).select("doc_id"),
-      valueCol = "jaccard", intraValue = lit(1.0))
+      intraReps = shingledReps, valueCol = "jaccard", intraValue = lit(1.0))
   }
 
   /** Embedding-cosine near-dup: vector pairs above a similarity threshold

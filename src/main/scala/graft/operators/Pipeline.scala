@@ -55,13 +55,32 @@ object Pipeline {
          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
        SELECT id AS doc_id, min(root) AS group_id
        FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
+    // Components run on the REPRESENTATIVE graph (one node per distinct
+    // text): identical texts are J=1.0 near-dups of their rep and of
+    // everything it links to, so a member's component IS its rep's — and
+    // a duplicate-heavy corpus shrinks the propagation graph by the copy
+    // count instead of flooding it with intra-class cliques. Reps are the
+    // class-min doc_ids, so component labels (min rep id) equal the naive
+    // member-graph labels (min doc_id). Shingle-less duplicate classes
+    // never pair in the naive join — their members stay singletons.
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).select("id_a", "id_b")
+    val members = Dedup.dupClasses(docs)
+    val (repPairs, shingledReps) = Dedup.repJaccardPairs(docs, members, 0.5)
+    val pairs = repPairs.select("id_a", "id_b")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // edges are reused every round; cut the 3-join lineage
-    connectedComponents(s, docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("comp").as("group_id"))
+    val repComps = connectedComponents(s,
+      members.filter(col("doc_id") === col("__rep"))
+        .select(col("doc_id").as("id")), edges)
+    members
+      .join(repComps.withColumnRenamed("id", "__cid"),
+        col("__rep") === col("__cid"), "left")
+      .join(shingledReps.withColumnRenamed("doc_id", "__srep"),
+        col("__rep") === col("__srep"), "left")
+      .select(col("doc_id"),
+        when(col("__srep").isNotNull, coalesce(col("comp"), col("__rep")))
+          .otherwise(col("doc_id")).as("group_id"))
       .orderBy("doc_id")
   }
 
