@@ -63,9 +63,13 @@ final class GraftBatchScan(
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  private[lake] lazy val prunedFiles: Seq[DataFile] =
-    StatsPruner.prune(snapshot.files, filters.toIndexedSeq,
-      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
+  // chunk-level (manifest-list) pruning first, then per-file
+  private[lake] lazy val prunedFiles: Seq[DataFile] = {
+    val phys = filters.toIndexedSeq.map(
+      SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+    StatsPruner.prune(store.filesForScan(snapshot, phys), phys,
+      snapshot.partitionSpec)
+  }
 
   /** File set after runtime (dynamic) filtering — starts at the statically
     * pruned set; `filter()` narrows it before planInputPartitions. */
@@ -183,7 +187,7 @@ final class GraftBatchScan(
   }
 
   override def description(): String =
-    s"GraftBatchScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
+    s"GraftBatchScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.fileCount}]"
 }
 
 /** One resolved equality-delete probe: tuple file + key columns (physical

@@ -48,20 +48,31 @@ final class GraftMicroBatchStream(
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) return Array.empty
     val versions = store.listVersions().filter(v => v > from && v <= to)
+    val present = versions.toSet
     versions.flatMap { v =>
       val snap = store.read(v)
+      // continuity: a version expired INSIDE the window would silently
+      // drop its appended rows — every surviving snapshot's parent link
+      // either leaves the window or is itself present, so the earliest
+      // survivor after any gap fails loudly here
+      snap.parentVersion.foreach { p =>
+        if (p > from && !present.contains(p))
+          throw new IllegalStateException(
+            s"snapshot v$p has been expired; the stream cannot compute " +
+              "an incremental batch. Keep snapshots longer than the " +
+              "streaming lag (expire_snapshots keep_last).")
+      }
       if (snap.operation == "append") {
-        val parentPaths: Set[String] = snap.parentVersion match {
-          case Some(p) =>
-            if (store.listVersions().contains(p))
-              store.read(p).files.map(_.path).toSet
-            else throw new IllegalStateException(
-              s"parent snapshot v$p has been expired; the stream cannot " +
-                "compute an incremental batch. Keep snapshots longer than " +
-                "the streaming lag (expire_snapshots keep_last).")
-          case None => Set.empty
-        }
-        snap.files.filterNot(f => parentPaths.contains(f.path))
+        // files added by an append commit are exactly those stamped with
+        // its commit sequence (SnapshotStore.commit is the single stamp
+        // site) — no parent snapshot read, no full file-list diff, and a
+        // sharded snapshot loads ONLY its own seq group's manifest
+        // chunks: micro-batch planning is O(new files), whatever the
+        // table size
+        if (snap.manifests.nonEmpty)
+          SnapshotStore.loadChunks(store.tableDir,
+            snap.manifests.filter(_.seq == v), store.io)
+        else snap.files.filter(_.seq == v)
       } else Seq.empty // rewrite commits re-materialize rows: skip
     }.map(f =>
       GraftInputPartition(store.tableDir.resolve(f.path).toString): InputPartition)

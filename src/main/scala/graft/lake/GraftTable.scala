@@ -78,7 +78,7 @@ class GraftTable(
       "provider" -> "graft",
       "format" -> "parquet",
       "current-version" -> s.version.toString,
-      "total-files" -> s.files.size.toString,
+      "total-files" -> s.fileCount.toString,
       "total-records" -> s.totalRows.toString) ++ s.properties
     base.asJava
   }
@@ -463,7 +463,13 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     // prefix under a filter would DROP matching rows in later files.
     val snapshot0 = limit match {
       case Some(l) if filters.isEmpty && snapshot.deleteFiles.isEmpty =>
-        snapshot.copy(files = limitPrefix(snapshot.files, l))
+        // chunk-prefix first (sharded tables load only the chunks the
+        // rollups say can be needed), then the exact file prefix.
+        // manifests cleared: the refs describe the FULL list, and every
+        // refs-aware consumer (fileCount, filesForScan) must see only
+        // the truncated files (Snapshot invariant)
+        snapshot.copy(files = limitPrefix(store.filesForLimit(snapshot, l), l),
+          manifests = Seq.empty)
       case _ => snapshot
     }
     // Vectorized DSv2 path by default; the V1 bridge remains for the
@@ -539,9 +545,14 @@ class GraftVectorScan(
     filters: Array[Filter])
   extends Scan with SupportsReportStatistics {
 
-  private[lake] lazy val prunedFiles: Seq[DataFile] =
-    StatsPruner.prune(snapshot.files, filters.toIndexedSeq,
-      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
+  // chunk-level (manifest-list) pruning first — only the chunks whose
+  // merged bounds overlap the filters are ever loaded — then per-file
+  private[lake] lazy val prunedFiles: Seq[DataFile] = {
+    val phys = filters.toIndexedSeq.map(
+      SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+    StatsPruner.prune(store.filesForScan(snapshot, phys), phys,
+      snapshot.partitionSpec)
+  }
 
   override def readSchema(): StructType = required
 
@@ -573,7 +584,7 @@ class GraftVectorScan(
   }
 
   override def description(): String =
-    s"GraftVectorScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
+    s"GraftVectorScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.fileCount}]"
 }
 
 /** Scan over the pruned file set, bridged to Spark's parquet source. */
@@ -585,9 +596,13 @@ class GraftScan(
     filters: Array[Filter])
   extends V1Scan with SupportsReportStatistics {
 
-  private[lake] lazy val prunedFiles: Seq[DataFile] =
-    StatsPruner.prune(snapshot.files, filters.toIndexedSeq,
-      snapshot.partitionSpec, SchemaNames.renameMap(snapshot.schema))
+  // chunk-level (manifest-list) pruning first, then per-file
+  private[lake] lazy val prunedFiles: Seq[DataFile] = {
+    val phys = filters.toIndexedSeq.map(
+      SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+    StatsPruner.prune(store.filesForScan(snapshot, phys), phys,
+      snapshot.partitionSpec)
+  }
 
   override def readSchema(): StructType = required
 
@@ -621,7 +636,7 @@ class GraftScan(
   }
 
   override def description(): String =
-    s"GraftScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.files.size}]"
+    s"GraftScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.fileCount}]"
 }
 
 /** V1 bridge relation: builds the final RDD by planning a parquet read of

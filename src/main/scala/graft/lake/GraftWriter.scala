@@ -336,16 +336,15 @@ object GraftWriter {
     val newFiles = writeFiles(spark, store, head.schema, head.partitionSpec,
       enforceChecks(
         applyGenerated(fillIdentity(df, head), head.generated), head.checks))
-    store.commit { prev =>
-      val p = prev.getOrElse(head)
+    // advance each identity column's high-water mark from the WRITTEN
+    // files' column stats (exact, independent of assignment gaps)
+    def advanceIdentity(p: Snapshot): Map[String, IdentityCol] = {
       // identity assignment read the high-water mark at plan time: a
       // concurrent insert that advanced it would make our values collide
       if (head.identity.nonEmpty)
         require(p.version == head.version,
           s"concurrent insert into identity table ${store.tableDir}; retry")
-      // advance each identity column's high-water mark from the WRITTEN
-      // files' column stats (exact, independent of assignment gaps)
-      val newIdentity = p.identity.map { case (c, ic) =>
+      p.identity.map { case (c, ic) =>
         val phys = p.schema.fields.find(_.name == c)
           .map(SchemaNames.physicalName).getOrElse(c)
         val extremes = newFiles.flatMap(f => f.stats.get(phys)
@@ -360,22 +359,40 @@ object GraftWriter {
         }
         c -> ic.copy(lastValue = merged)
       }
-      val base = if (overwrite) Seq.empty else p.files
-      // full overwrite discards every previous row — pending MOR delete
-      // tuples reference only discarded files, so they go too
-      val dels = if (overwrite) Seq.empty else p.deleteFiles
-      p.copy(
-        identity = newIdentity,
-        timestampMs = System.currentTimeMillis(),
-        operation = if (overwrite) "overwrite" else "append",
-        files = base ++ newFiles,
-        deleteFiles = dels,
-        summary = Map(
-          "added-files" -> newFiles.size.toString,
-          "added-records" -> newFiles.map(_.rowCount).sum.toString,
-          "total-files" -> (base.size + newFiles.size).toString,
-          "total-records" -> ((base ++ newFiles).map(_.rowCount).sum -
-            dels.map(_.rowCount).sum).toString))
     }
+    if (overwrite)
+      store.commit { prev =>
+        val p = prev.getOrElse(head)
+        // full overwrite discards every previous row — pending MOR delete
+        // tuples reference only discarded files, so they go too
+        p.copy(
+          identity = advanceIdentity(p),
+          timestampMs = System.currentTimeMillis(),
+          operation = "overwrite",
+          files = newFiles,
+          deleteFiles = Seq.empty,
+          summary = Map(
+            "added-files" -> newFiles.size.toString,
+            "added-records" -> newFiles.map(_.rowCount).sum.toString,
+            "total-files" -> newFiles.size.toString,
+            "total-records" -> newFiles.map(_.rowCount).sum.toString))
+      }
+    else
+      // O(added) metadata: parent chunks reused by reference, totals from
+      // the ref rollups — a streaming sink appends to a million-file
+      // table at per-batch cost, not per-table
+      store.commitAppend(newFiles) { (p, stamped) =>
+        val addedRows = stamped.map(_.rowCount).sum
+        p.copy(
+          identity = advanceIdentity(p),
+          timestampMs = System.currentTimeMillis(),
+          operation = "append",
+          summary = Map(
+            "added-files" -> stamped.size.toString,
+            "added-records" -> addedRows.toString,
+            "total-files" -> (p.fileCount + stamped.size).toString,
+            "total-records" -> (p.dataFileRows + addedRows -
+              p.deleteFiles.map(_.rowCount).sum).toString))
+      }
   }
 }

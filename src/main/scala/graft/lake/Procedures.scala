@@ -89,7 +89,7 @@ object Procedures {
           Seq(ProcedureParameter.in("table", StringType).build())) { args =>
           val tbl = args.getUTF8String(0).toString
           val snap = Maintenance.compact(SparkSession.active, storeFor(tbl))
-          Seq(Row(tbl, snap.version, snap.files.size.toLong))
+          Seq(Row(tbl, snap.version, snap.fileCount))
         }
       case "rewrite_deletes" =>
         simple(ident.name(),
@@ -141,7 +141,7 @@ object Procedures {
           val tbl = args.getUTF8String(0).toString
           val b = args.getUTF8String(1).toString
           val snap = Maintenance.fastForward(SparkSession.active, storeFor(tbl), b)
-          Seq(Row(s"$tbl@$b", snap.version, snap.files.size.toLong))
+          Seq(Row(s"$tbl@$b", snap.version, snap.fileCount))
         }
       case "register_table" =>
         // the adoption inverse of DROP on an external table (which
@@ -171,7 +171,7 @@ object Procedures {
           io.mkdirs(home)
           io.replaceAtomic(
             home.resolve(SnapshotStore.ExternalPointer), dir.toString)
-          Seq(Row(tbl, head.version, head.files.size.toLong))
+          Seq(Row(tbl, head.version, head.fileCount))
         }
       case "expire_snapshots" =>
         simple(ident.name(), "drop old snapshot versions and unreferenced files",

@@ -88,13 +88,23 @@ final case class IdentityCol(
   * of every file inside, and the rollups let metadata queries answer
   * counts without opening the chunk. Chunks are content-immutable and
   * UUID-named, so refs are shared freely across snapshots, branches, and
-  * process-wide caches. */
+  * process-wide caches.
+  *
+  * `bounds` — per-column stats merged over the chunk's files (the
+  * manifest-list partition/column summaries of Iceberg's design): a
+  * filtered scan consults them FIRST and loads only the chunks whose
+  * bounds overlap the predicate, so plan-time metadata IO scales with
+  * the data the query touches, not the table. Merging is conservative
+  * (see [[StatsPruner.mergeBounds]]); an empty map — including every
+  * ref written before this field existed — means "no information, load
+  * the chunk". */
 final case class ManifestRef(
     path: String,
     seq: Long,
     fileCount: Long,
     rowCount: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    bounds: Map[String, ColumnStats] = Map.empty)
 
 /** On-disk payload of one manifest chunk. */
 final case class ManifestChunk(files: Seq[DataFile])
@@ -119,10 +129,14 @@ final case class Snapshot(
     generated: Map[String, String] = Map.empty, // GENERATED ALWAYS: col -> expr SQL
     identity: Map[String, IdentityCol] = Map.empty, // IDENTITY columns
     // Manifest chunks backing `files` when the list is paged out. In
-    // MEMORY `files` is always fully materialized (SnapshotStore.read
-    // assembles it); on DISK a sharded snapshot stores `manifests` with an
-    // empty `files`. Kept on the case class so expiry/GC can see which
-    // chunks a snapshot pins without re-reading them.
+    // memory a READ sharded snapshot carries a lazily-materializing
+    // `files` seq (first touch loads the chunks; `fileCount`/`totalRows`
+    // answer from the ref rollups without forcing); on DISK it stores
+    // `manifests` with an empty `files`. Kept on the case class so
+    // expiry/GC can see which chunks a snapshot pins without re-reading
+    // them. INVARIANT: refs and files describe the same list — a copy
+    // that edits `files` outside SnapshotStore.commit must clear
+    // `manifests` (commit re-derives them centrally).
     manifests: Seq[ManifestRef] = Seq.empty) {
 
   lazy val schema: StructType =
@@ -136,9 +150,23 @@ final case class Snapshot(
     * subtracted, making this an upper bound until `rewrite_deletes` folds
     * them in (same caveat as Iceberg's record_count with eq-deletes). */
   def totalRows: Long =
-    files.map(_.rowCount).sum -
-      deleteFiles.filter(_.kind == "position").map(_.rowCount).sum
-  def totalBytes: Long = files.map(_.sizeBytes).sum
+    dataFileRows - deleteFiles.filter(_.kind == "position").map(_.rowCount).sum
+  def totalBytes: Long =
+    if (manifests.nonEmpty) manifests.map(_.sizeBytes).sum
+    else files.map(_.sizeBytes).sum
+
+  /** Data-file row count (no delete subtraction), answered from the
+    * manifest-ref rollups when the snapshot is sharded — a COUNT(*) on a
+    * million-file table never materializes the file list. */
+  def dataFileRows: Long =
+    if (manifests.nonEmpty) manifests.map(_.rowCount).sum
+    else files.map(_.rowCount).sum
+
+  /** Number of data files, from the ref rollups when sharded (does not
+    * force a lazy `files`). */
+  def fileCount: Long =
+    if (manifests.nonEmpty) manifests.map(_.fileCount).sum
+    else files.size.toLong
 }
 
 object Snapshot {

@@ -106,21 +106,46 @@ final class SnapshotStore(val tableDir: Path,
   def read(version: Long): Snapshot =
     materialize(Snapshot.fromJson(io.readString(versionFile(version))))
 
-  /** Assemble the in-memory `files` list of a sharded snapshot: load its
-    * manifest chunks in parallel through the process-wide cache (chunks
-    * are immutable, so a hit never goes stale). Legacy/inline snapshots
-    * pass through untouched. */
+  /** Back a sharded snapshot's `files` with a LAZY seq: no chunk is read
+    * until something actually walks the file list. Metadata answers
+    * (fileCount / totalRows / totalBytes) come from the ref rollups, and
+    * a filtered scan goes through [[filesForScan]] — so a query that
+    * touches a slice of a million-file table never materializes the full
+    * list on the driver. Legacy/inline snapshots pass through untouched. */
   private def materialize(s: Snapshot): Snapshot =
     if (s.manifests.isEmpty) s
+    else s.copy(files = new LazyFileSeq(tableDir.toString, s.manifests, io))
+
+  /** The files a scan with `physFilters` (physical column names) must
+    * consider: for a sharded snapshot, chunks whose merged bounds rule
+    * out every filter are skipped WITHOUT being read — the manifest-list
+    * pruning step. Falls back to the full (lazily loaded, chunk-cached)
+    * list when nothing can be skipped, so the result is always a superset
+    * of the matching files and per-file pruning still applies after. */
+  def filesForScan(s: Snapshot, physFilters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[DataFile] =
+    if (s.manifests.isEmpty || physFilters.isEmpty) s.files
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val loaded = Await.result(
-        Future.sequence(s.manifests.map(r => Future {
-          SnapshotStore.loadChunk(tableDir.resolve(r.path), io)
-        })), Duration.Inf)
-      s.copy(files = loaded.flatten)
+      val kept = s.manifests.filter(r => StatsPruner.chunkMightMatch(r, physFilters))
+      if (kept.size == s.manifests.size) s.files
+      else SnapshotStore.loadChunks(tableDir, kept, io)
+    }
+
+  /** A file prefix whose cumulative row count covers `n` rows, loading
+    * only the manifest chunks the ref rollups say are needed — `SELECT *
+    * LIMIT 10` on a million-file table reads one chunk, then one file. */
+  def filesForLimit(s: Snapshot, n: Long): Seq[DataFile] =
+    if (s.manifests.isEmpty) s.files
+    else {
+      var acc = 0L
+      val keep = scala.collection.mutable.ArrayBuffer.empty[ManifestRef]
+      val it = s.manifests.iterator
+      while (acc < n && it.hasNext) {
+        val r = it.next()
+        keep += r
+        acc += r.rowCount
+      }
+      SnapshotStore.loadChunks(tableDir, keep.toSeq, io)
     }
 
   def head(): Option[Snapshot] = currentVersion().map(read)
@@ -140,12 +165,18 @@ final class SnapshotStore(val tableDir: Path,
       val v = head0.map(_.version + 1).getOrElse(1L)
       // stamp commit sequences: files added by THIS commit carry the
       // UnassignedSeq placeholder (one central site — no builder can
-      // forget, and retries restamp against the new head's version)
+      // forget, and retries restamp against the new head's version).
+      // A metadata-only commit passes the parent's files through by
+      // reference — those are already stamped, so the map (which would
+      // force a lazy sharded list) is skipped.
+      val sameFiles = head0.exists(_.files eq next0.files)
       val next = next0.copy(
         version = v,
         parentVersion = head0.map(_.version),
-        files = next0.files.map(f =>
-          if (f.seq == Snapshot.UnassignedSeq) f.copy(seq = v) else f),
+        files =
+          if (sameFiles) next0.files
+          else next0.files.map(f =>
+            if (f.seq == Snapshot.UnassignedSeq) f.copy(seq = v) else f),
         deleteFiles = next0.deleteFiles.map(d =>
           if (d.seq == Snapshot.UnassignedSeq) d.copy(seq = v) else d))
       // Page the file list out to manifest chunks above the inline
@@ -214,6 +245,10 @@ final class SnapshotStore(val tableDir: Path,
     * seq order (reassembly order == grouped file order). */
   private def writeManifests(
       parent: Option[Snapshot], next: Snapshot): Seq[ManifestRef] = {
+    // metadata-only commit (builder passed the files through by
+    // reference): the parent's refs ARE the layout — nothing to write,
+    // nothing to materialize
+    parent.foreach { p => if (next.files eq p.files) return p.manifests }
     if (next.files.size <= SnapshotStore.InlineMaxFiles) return Seq.empty
     io.mkdirs(manifestsDir)
     val parentRefs: Map[Long, Seq[ManifestRef]] =
@@ -224,14 +259,83 @@ final class SnapshotStore(val tableDir: Path,
       if (parentRefs.contains(seq) && parentFiles.get(seq).contains(fs))
         parentRefs(seq)
       else
-        fs.grouped(SnapshotStore.ManifestChunkFiles).map { chunk =>
-          val name = s"m-$seq-${java.util.UUID.randomUUID()}.json"
-          io.write(manifestsDir.resolve(name),
-            Snapshot.chunkToJson(ManifestChunk(chunk)))
-          ManifestRef(s"metadata/manifests/$name", seq, chunk.size,
-            chunk.map(_.rowCount).sum, chunk.map(_.sizeBytes).sum)
-        }.toSeq
+        fs.grouped(SnapshotStore.ManifestChunkFiles).map(writeChunk(seq, _)).toSeq
     }
+  }
+
+  private def writeChunk(seq: Long, chunk: Seq[DataFile]): ManifestRef = {
+    val name = s"m-$seq-${java.util.UUID.randomUUID()}.json"
+    io.write(manifestsDir.resolve(name),
+      Snapshot.chunkToJson(ManifestChunk(chunk)))
+    ManifestRef(s"metadata/manifests/$name", seq, chunk.size,
+      chunk.map(_.rowCount).sum, chunk.map(_.sizeBytes).sum,
+      bounds = StatsPruner.mergeBounds(chunk))
+  }
+
+  /** Chunk `files` (already seq-stamped) out by seq group. */
+  private def chunkOut(files: Seq[DataFile]): Seq[ManifestRef] = {
+    io.mkdirs(manifestsDir)
+    files.groupBy(_.seq).toSeq.sortBy(_._1).flatMap { case (seq, fs) =>
+      fs.grouped(SnapshotStore.ManifestChunkFiles).map(writeChunk(seq, _))
+    }
+  }
+
+  /** Append-only commit in O(added-files) metadata: every parent manifest
+    * chunk is reused BY REFERENCE and only the added files are chunked —
+    * the parent file list is never materialized, so a stream appending to
+    * a million-file table commits each batch in constant metadata work
+    * (the generic [[commit]] pays O(table files) re-grouping its list).
+    *
+    * `decorate(parent, stampedAdded)` sets the commit's metadata fields
+    * (operation / summary / identity / properties) on a copy of the
+    * parent; version, parentVersion, files, deleteFiles and manifests are
+    * owned by this method and overwritten after. Like [[commit]], lost
+    * races re-run against the new head. Small tables stay inline; the
+    * first append to cross the threshold pays a one-time O(parent ≤
+    * threshold) page-out. */
+  def commitAppend(
+      newFiles: Seq[DataFile],
+      newDeleteFiles: Seq[DeleteFile] = Seq.empty,
+      maxRetries: Int = 10)(
+      decorate: (Snapshot, Seq[DataFile]) => Snapshot): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val p = head().getOrElse(throw new IllegalStateException(
+        s"append to uninitialized table $tableDir"))
+      val v = p.version + 1
+      val stamped = newFiles.map(f =>
+        if (f.seq == Snapshot.UnassignedSeq) f.copy(seq = v) else f)
+      val stampedDels = newDeleteFiles.map(d =>
+        if (d.seq == Snapshot.UnassignedSeq) d.copy(seq = v) else d)
+      val (refs, combined): (Seq[ManifestRef], Seq[DataFile]) =
+        if (p.fileCount + stamped.size <= SnapshotStore.InlineMaxFiles)
+          (Seq.empty, p.files ++ stamped) // small table: inline layout
+        else {
+          val parentRefs =
+            if (p.manifests.nonEmpty) p.manifests else chunkOut(p.files)
+          val all = parentRefs ++ chunkOut(stamped)
+          (all, new LazyFileSeq(tableDir.toString, all, io))
+        }
+      val next = decorate(p, stamped).copy(
+        version = v,
+        parentVersion = Some(p.version),
+        files = combined,
+        deleteFiles = p.deleteFiles ++ stampedDels,
+        manifests = refs)
+      val onDisk = if (refs.nonEmpty) next.copy(files = Seq.empty) else next
+      try {
+        io.createExclusive(versionFile(v), Snapshot.toJson(onDisk))
+        swapHint(v)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"commit lost $maxRetries races on $tableDir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def swapHint(v: Long): Unit =
@@ -300,4 +404,42 @@ object SnapshotStore {
     chunkCache.put(key, loaded)
     loaded
   }
+
+  /** Load `refs`' chunks in parallel (cache-backed), preserving ref order
+    * — the unit of metadata parallelism for both full materialization and
+    * the bounds-pruned scan path. */
+  private[lake] def loadChunks(tableDir: Path, refs: Seq[ManifestRef],
+      io: MetaIO = LocalMetaIO): Seq[DataFile] =
+    if (refs.isEmpty) Seq.empty
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(refs.map(r => Future {
+          loadChunk(tableDir.resolve(r.path), io)
+        })), Duration.Inf).flatten
+    }
+}
+
+/** `Snapshot.files` of a READ sharded snapshot: materializes the chunk
+  * list on first element access and memoizes it. Pure metadata reads
+  * (counts, sizes) and bounds-pruned scans never touch it, so holding a
+  * table handle costs O(refs), not O(files). Java-serializes as the
+  * materialized Vector (forced on demand) so a captured snapshot behaves
+  * like the eager seq it replaces. */
+private[lake] final class LazyFileSeq(
+    tableDirStr: String, refs: Seq[ManifestRef], io: MetaIO)
+  extends scala.collection.immutable.Seq[DataFile] with Serializable {
+
+  @transient private lazy val underlying: Seq[DataFile] =
+    SnapshotStore.loadChunks(Paths.get(tableDirStr), refs, io)
+
+  override def apply(i: Int): DataFile = underlying(i)
+  override def length: Int = underlying.length
+  override def iterator: Iterator[DataFile] = underlying.iterator
+  // knownSize must not force; -1 = unknown (Seq's default contract)
+  override def knownSize: Int = -1
+
+  protected def writeReplace(): Object = underlying.toVector
 }

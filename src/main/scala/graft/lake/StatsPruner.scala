@@ -237,6 +237,134 @@ object StatsPruner {
   def prune(files: Seq[DataFile], filters: Seq[Filter],
       spec: Seq[PartitionField], rename: Map[String, String]): Seq[DataFile] =
     prune(files, filters.map(SchemaNames.renameFilter(_, rename)), spec)
+
+  // ---------- manifest-chunk (manifest-list level) pruning ----------
+
+  /** Per-column stats merged over a chunk's files, for the manifest-ref
+    * summary a filtered scan prunes on BEFORE loading any chunk.
+    *
+    * A bound's comparison domain is carried by its own parseability (the
+    * stats strings are their own type tag): when every value parses
+    * numerically the merged extreme is numeric (covers numerics, dates,
+    * timestamps — their stats domain is epoch numbers), when none parse
+    * it is lexicographic (true string domain), and a mixed column gets
+    * no bound at all. [[cmpDomain]] enforces the same rule at query time
+    * — a numeric bound never answers a string-literal comparison (a
+    * STRING column whose values happen to look numeric orders
+    * lexicographically in Spark, and the numeric extreme is not the
+    * lexicographic one), it degrades to "keep the chunk".
+    * A column missing from ANY file (or missing the stat) contributes no
+    * chunk bound: the bound asserts a property of every row in the chunk. */
+  def mergeBounds(files: Seq[DataFile]): Map[String, ColumnStats] = {
+    if (files.isEmpty) return Map.empty
+    val shared = files.map(_.stats.keySet).reduce(_ intersect _)
+    shared.iterator.flatMap { c =>
+      val sts = files.map(_.stats(c))
+      val mn =
+        if (sts.forall(_.min.isDefined)) domainExtreme(sts.map(_.min.get), isMin = true)
+        else None
+      val mx =
+        if (sts.forall(_.max.isDefined)) domainExtreme(sts.map(_.max.get), isMin = false)
+        else None
+      val nc =
+        if (sts.forall(_.nullCount.isDefined)) Some(sts.map(_.nullCount.get).sum)
+        else None
+      if (mn.isEmpty && mx.isEmpty && nc.isEmpty) None
+      else Some(c -> ColumnStats(mn, mx, nc))
+    }.toMap
+  }
+
+  private def numOpt(s: String): Option[BigDecimal] =
+    scala.util.Try(BigDecimal(s)).toOption
+
+  /** The extreme value in the column's single comparison domain: numeric
+    * when all values parse, lexicographic when none do, None on a mix
+    * (numeric comparisons would skip the unparseable values, so no one
+    * ordering covers the whole set). */
+  private def domainExtreme(vals: Seq[String], isMin: Boolean): Option[String] = {
+    val nums = vals.map(numOpt)
+    if (nums.forall(_.isDefined)) {
+      val pairs = vals.zip(nums.map(_.get))
+      Some((if (isMin) pairs.minBy(_._2) else pairs.maxBy(_._2))._1)
+    } else if (nums.forall(_.isEmpty))
+      Some(if (isMin) vals.min else vals.max)
+    else None
+  }
+
+  /** Domain-checked bound comparison: numeric bounds compare only against
+    * numeric literals, lexicographic bounds only against strings; a
+    * mismatch is "no information" (None ⇒ keep the chunk). */
+  private def cmpDomain(stat: String, lit: Either[BigDecimal, String]): Option[Int] =
+    lit match {
+      case Left(num) => numOpt(stat).map(_.compare(num))
+      case Right(s) =>
+        if (numOpt(stat).isDefined) None else Some(stat.compareTo(s))
+    }
+
+  /** Can any file in `ref`'s chunk match ALL `filters` (physical names)?
+    * Evaluated purely on the merged bounds — partition values and blooms
+    * are per-file, so only range/null rules apply, each conservative:
+    * `false` ⇒ the chunk need not be loaded at all; an unbounded ref (or
+    * any un-translatable predicate) always loads. */
+  def chunkMightMatch(ref: ManifestRef, filters: Seq[Filter]): Boolean =
+    ref.bounds.isEmpty || filters.forall(f => chunkFilterMatch(ref, f))
+
+  private def chunkFilterMatch(ref: ManifestRef, filter: Filter): Boolean =
+    filter match {
+      case And(l, r) => chunkFilterMatch(ref, l) && chunkFilterMatch(ref, r)
+      case Or(l, r)  => chunkFilterMatch(ref, l) || chunkFilterMatch(ref, r)
+      case EqualTo(a, v)       => chunkContains(ref, a, v)
+      case EqualNullSafe(a, v) =>
+        if (v == null) chunkMightHaveNulls(ref, a) else chunkContains(ref, a, v)
+      case GreaterThan(a, v)        => chunkBound(ref, a, v, lower = false, strict = true)
+      case GreaterThanOrEqual(a, v) => chunkBound(ref, a, v, lower = false, strict = false)
+      case LessThan(a, v)           => chunkBound(ref, a, v, lower = true, strict = true)
+      case LessThanOrEqual(a, v)    => chunkBound(ref, a, v, lower = true, strict = false)
+      case In(a, vs) => vs.isEmpty || vs.exists(v => chunkContains(ref, a, v))
+      case IsNull(a) => chunkMightHaveNulls(ref, a)
+      case IsNotNull(a) =>
+        ref.bounds.get(a).flatMap(_.nullCount) match {
+          case Some(nc) => nc < ref.rowCount
+          case None     => true
+        }
+      case Not(EqualTo(a, v)) =>
+        // provably excludable only when every row in the chunk equals v
+        !ref.bounds.get(a).exists(st =>
+          (for { mn <- st.min; mx <- st.max; l <- normalize(v) }
+            yield cmpDomain(mn, l).contains(0) && cmpDomain(mx, l).contains(0) &&
+              st.nullCount.forall(_ == 0L)).getOrElse(false))
+      case StringStartsWith(a, p) =>
+        ref.bounds.get(a) match {
+          case Some(st) =>
+            // lexicographic-domain bounds only (numeric-parse = numeric)
+            st.min.forall(m => numOpt(m).isDefined || m.take(p.length) <= p) &&
+              st.max.forall(m => numOpt(m).isDefined || m.take(p.length) >= p)
+          case None => true
+        }
+      case _ => true // unsupported → load the chunk
+    }
+
+  private def chunkMightHaveNulls(ref: ManifestRef, col: String): Boolean =
+    ref.bounds.get(col).flatMap(_.nullCount).forall(_ > 0)
+
+  private def chunkContains(ref: ManifestRef, col: String, v: Any): Boolean =
+    ref.bounds.get(col).forall { st =>
+      normalize(v).forall { l =>
+        st.min.flatMap(cmpDomain(_, l)).forall(_ <= 0) &&
+          st.max.flatMap(cmpDomain(_, l)).forall(_ >= 0)
+      }
+    }
+
+  private def chunkBound(ref: ManifestRef, col: String, v: Any,
+      lower: Boolean, strict: Boolean): Boolean =
+    ref.bounds.get(col).forall { st =>
+      normalize(v).forall { l =>
+        if (lower)
+          st.min.flatMap(cmpDomain(_, l)).forall(c => if (strict) c < 0 else c <= 0)
+        else
+          st.max.flatMap(cmpDomain(_, l)).forall(c => if (strict) c > 0 else c >= 0)
+      }
+    }
 }
 
 /** Driver-side probe of the per-file bloom filters written under

@@ -64,16 +64,15 @@ object Upsert {
     val eqDeletes = PositionDeletes.writeEqualityDeleteFiles(
       spark, store, keyDf, physKeys)
 
-    store.commit { prev =>
-      val p = prev.getOrElse(head)
+    // O(batch) end to end: the commit, too, reuses every parent manifest
+    // chunk by reference instead of re-grouping the full file list
+    store.commitAppend(newFiles, eqDeletes) { (p, stamped) =>
       p.copy(
         timestampMs = System.currentTimeMillis(),
         operation = "upsert",
-        files = p.files ++ newFiles,
-        deleteFiles = p.deleteFiles ++ eqDeletes,
         summary = Map(
-          "added-files" -> newFiles.size.toString,
-          "added-records" -> newFiles.map(_.rowCount).sum.toString,
+          "added-files" -> stamped.size.toString,
+          "added-records" -> stamped.map(_.rowCount).sum.toString,
           "upsert-keys" -> eqDeletes.map(_.rowCount).sum.toString,
           "upsert-key-columns" -> physKeys.mkString(",")))
     }

@@ -83,6 +83,50 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM mani.t.reuse").collect()(0).getLong(0) == 1050L)
   }
 
+  test("chunk bounds from real writes prune the manifest list under a filter") {
+    sql("CREATE TABLE mani.t.bnd (id BIGINT, v STRING) USING iceberg")
+    bigInsert("bnd", 1000, 100)               // ids [0, 999], chunk of seq 2
+    import spark.implicits._
+    spark.range(5000, 6000).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(100)
+      .writeTo("mani.t.bnd").append()         // ids [5000, 5999], chunk of seq 3
+    val head = store("bnd").head().get
+    assert(head.manifests.size >= 2)
+    assert(head.manifests.forall(_.bounds.get("id").exists(st =>
+      st.min.isDefined && st.max.isDefined)))
+    // manifest-list pruning: the filter's id range rules out seq-2 chunks
+    // entirely — fewer files are even CONSIDERED, none of them match
+    val phys = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 5500L))
+    val considered = store("bnd").filesForScan(head, phys)
+    assert(considered.size < head.fileCount)
+    assert(considered.forall(_.stats("id").max.exists(_.toLong >= 5500L)))
+    // and results stay correct through the full read path
+    assert(sql("SELECT count(*) FROM mani.t.bnd WHERE id >= 5500")
+      .collect()(0).getLong(0) == 500L)
+    assert(sql("SELECT count(*) FROM mani.t.bnd").collect()(0).getLong(0) == 2000L)
+  }
+
+  test("streaming tail over a sharded table plans batches from seq-group chunks") {
+    sql("CREATE TABLE mani.t.st (id BIGINT, v STRING) USING iceberg")
+    bigInsert("st", 1000, 100) // sharded: the first batch replays via chunks
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val ck = Files.createTempDirectory("mani-ck").toString
+    val q = spark.readStream.table("mani.t.st")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    assert(seen.get == 1000L)
+    // the incremental batch plans from the NEW append's seq group only —
+    // no parent snapshot read, no full file-list diff
+    bigInsert("st", 50, 10)
+    q.processAllAvailable()
+    assert(seen.get == 1050L)
+    q.stop()
+  }
+
   test("branches seed by reference; expiry frees unreferenced chunks") {
     sql("CREATE TABLE mani.t.gc (id BIGINT, v STRING) USING iceberg")
     bigInsert("gc", 1000, 100)
