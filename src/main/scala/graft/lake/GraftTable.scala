@@ -384,6 +384,37 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     def extremum(f: StructField, isMin: Boolean): Option[Any] = {
       if (hasAny) return None // a delete may have removed the extreme row
       val phys = rename.getOrElse(f.name, f.name)
+      // floating types get IEEE-total orderings (NaN largest, matching
+      // Spark's sort order): BigDecimal("Infinity") would throw at plan
+      // time instead of falling back to a scan
+      val ord = f.dataType match {
+        case _: DecimalType => Ordering.by((a: Any) =>
+          a.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
+        case FloatType =>
+          Ordering.by[Any, Float](_.asInstanceOf[Float])(
+            Ordering.Float.TotalOrdering)
+        case DoubleType =>
+          Ordering.by[Any, Double](_.asInstanceOf[Double])(
+            Ordering.Double.TotalOrdering)
+        case _ => Ordering.by((a: Any) => BigDecimal(a.toString))
+      }
+      def extremeOf(stats: Seq[String]): Option[Any] = {
+        val vals = stats.flatMap(v => statVal(v, f.dataType))
+        if (vals.length != stats.length) None
+        else Some(if (isMin) vals.min(ord) else vals.max(ord))
+      }
+      // sharded fast path: COMPLETE chunk bounds (every ref bounds the
+      // column both ways — which also proves no file is all-null in it)
+      // answer from the manifest list with zero chunks loaded
+      if (s.manifests.nonEmpty &&
+          s.manifests.forall(_.bounds.get(phys).exists(st =>
+            st.min.isDefined && st.max.isDefined))) {
+        extremeOf(s.manifests.map(r =>
+            (if (isMin) r.bounds(phys).min else r.bounds(phys).max).get)) match {
+          case some @ Some(_) => return some
+          case None => // type refused the stat form: per-file path decides
+        }
+      }
       // files that are all-null in the column contribute nothing; any other
       // file missing the stat makes the answer unprovable
       val contributing = s.files.filter(df =>
@@ -391,26 +422,8 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
       val stats = contributing.map(df =>
         df.stats.get(phys).flatMap(st => if (isMin) st.min else st.max))
       if (stats.exists(_.isEmpty)) return None
-      val vals = stats.flatten.flatMap(v => statVal(v, f.dataType))
-      if (vals.length != stats.length) return None
-      if (vals.isEmpty) Some(null) // empty table / all nulls -> NULL
-      else {
-        // floating types get IEEE-total orderings (NaN largest, matching
-        // Spark's sort order): BigDecimal("Infinity") would throw at plan
-        // time instead of falling back to a scan
-        val ord = f.dataType match {
-          case _: DecimalType => Ordering.by((a: Any) =>
-            a.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
-          case FloatType =>
-            Ordering.by[Any, Float](_.asInstanceOf[Float])(
-              Ordering.Float.TotalOrdering)
-          case DoubleType =>
-            Ordering.by[Any, Double](_.asInstanceOf[Double])(
-              Ordering.Double.TotalOrdering)
-          case _ => Ordering.by((a: Any) => BigDecimal(a.toString))
-        }
-        Some(if (isMin) vals.min(ord) else vals.max(ord))
-      }
+      if (stats.isEmpty) Some(null) // empty table / all nulls -> NULL
+      else extremeOf(stats.flatten)
     }
     val out = agg.aggregateExpressions.map {
       case _: CountStar =>
@@ -421,10 +434,20 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
         colOf(c.column) match {
           case Some(f) =>
             val phys = rename.getOrElse(f.name, f.name)
-            val nulls = s.files.map(df => df.stats.get(phys).flatMap(_.nullCount))
-            if (nulls.exists(_.isEmpty)) return None
-            ("count(" + f.name + ")", LongType: DataType, false,
-              (s.files.map(_.rowCount).sum - nulls.flatten.sum): Any)
+            // sharded fast path: null counts from the chunk bounds
+            val nullSum: Option[Long] =
+              if (s.manifests.nonEmpty &&
+                  s.manifests.forall(_.bounds.get(phys).exists(_.nullCount.isDefined)))
+                Some(s.manifests.map(_.bounds(phys).nullCount.get).sum)
+              else {
+                val nulls = s.files.map(df => df.stats.get(phys).flatMap(_.nullCount))
+                if (nulls.exists(_.isEmpty)) None else Some(nulls.flatten.sum)
+              }
+            nullSum match {
+              case Some(n) => ("count(" + f.name + ")", LongType: DataType, false,
+                (s.dataFileRows - n): Any)
+              case None => return None
+            }
           case None => return None
         }
       case m: Min =>

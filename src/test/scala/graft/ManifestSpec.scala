@@ -106,6 +106,19 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM mani.t.bnd").collect()(0).getLong(0) == 2000L)
   }
 
+  test("metadata-only aggregates answer from chunk-bound rollups on a sharded table") {
+    sql("CREATE TABLE mani.t.agg (id BIGINT, v STRING) USING iceberg")
+    bigInsert("agg", 1000, 100)
+    val p = sql("SELECT min(id), max(id), count(id), count(*) FROM mani.t.agg")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GraftMetadataAggScan"), s"not pushed:\n$p")
+    val r = sql("SELECT min(id), max(id), count(id), count(*) FROM mani.t.agg")
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 999L &&
+      r.getLong(2) == 1000L && r.getLong(3) == 1000L)
+  }
+
   test("streaming tail over a sharded table plans batches from seq-group chunks") {
     sql("CREATE TABLE mani.t.st (id BIGINT, v STRING) USING iceberg")
     bigInsert("st", 1000, 100) // sharded: the first batch replays via chunks
