@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object MetadataTables {
 
   val names: Set[String] = Set("history", "snapshots", "files", "partitions",
-    "refs", "stats", "delete_files")
+    "refs", "stats", "delete_files", "manifests")
 
   val historySchema: StructType = StructType(Seq(
     StructField("made_current_at", TimestampType),
@@ -60,6 +60,14 @@ object MetadataTables {
     StructField("name", StringType),
     StructField("type", StringType),
     StructField("snapshot_id", LongType)))
+
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sequence_number", LongType),
+    StructField("file_count", LongType),
+    StructField("record_count", LongType),
+    StructField("total_size_in_bytes", LongType),
+    StructField("bounds", MapType(StringType, StringType))))
 
   val statsSchema: StructType = StructType(Seq(
     StructField("column", StringType),
@@ -110,6 +118,19 @@ object MetadataTables {
         val rows = store.refs().toSeq.sortBy(_._1)
           .map { case (n, v) => Row(n, "TAG", v) }
         new LocalTable(s"$tableName.refs", refsSchema, rows)
+      case "manifests" =>
+        // one row per manifest chunk of the current snapshot — the
+        // planner's view of what a filtered scan can skip without loading
+        // (Iceberg's t.manifests, over our JSON chunk refs); empty for
+        // inline (small) tables, whose file list lives in v<N>.json
+        val rows = store.head().toSeq.flatMap(_.manifests).map { r =>
+          val bounds = r.bounds.toSeq.sortBy(_._1).map { case (c, st) =>
+            c -> (s"[${st.min.getOrElse("")}..${st.max.getOrElse("")}]" +
+              st.nullCount.map(n => s" nulls=$n").getOrElse(""))
+          }.toMap
+          Row(r.path, r.seq, r.fileCount, r.rowCount, r.sizeBytes, bounds)
+        }
+        new LocalTable(s"$tableName.manifests", manifestsSchema, rows)
       case "stats" =>
         // table-level column stats from metadata only: min/max/null_count
         // folded over file stats, NDV from unioned per-file HLL sketches

@@ -106,6 +106,17 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM mani.t.bnd").collect()(0).getLong(0) == 2000L)
   }
 
+  test("t.manifests exposes the chunk refs with rollups and bounds") {
+    sql("CREATE TABLE mani.t.mf (id BIGINT, v STRING) USING iceberg")
+    bigInsert("mf", 1000, 100)
+    val rows = sql("SELECT * FROM mani.t.mf.manifests ORDER BY path").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == 100L) // file_count rollup
+    assert(rows.map(_.getLong(3)).sum == 1000L) // record_count rollup
+    val bounds = rows.head.getMap[String, String](5)
+    assert(bounds.keys.exists(_ == "id"))
+  }
+
   test("metadata-only aggregates answer from chunk-bound rollups on a sharded table") {
     sql("CREATE TABLE mani.t.agg (id BIGINT, v STRING) USING iceberg")
     bigInsert("agg", 1000, 100)
