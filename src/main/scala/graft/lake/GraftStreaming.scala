@@ -49,30 +49,51 @@ final class GraftMicroBatchStream(
     if (to <= from) return Array.empty
     val versions = store.listVersions().filter(v => v > from && v <= to)
     val present = versions.toSet
+    // continuity: versions are DENSE (each commit is parent+1), so every
+    // version in the window must still exist — a hole means expiry ate a
+    // version whose appended rows this batch would silently drop
+    // (including the window END, the classic WAL-replay-after-crash case)
+    ((from + 1) to to).find(v => !present.contains(v)).foreach { v =>
+      throw new IllegalStateException(
+        s"snapshot v$v has been expired; the stream cannot compute an " +
+          "incremental batch. Keep snapshots longer than the streaming " +
+          "lag (expire_snapshots keep_last).")
+    }
     versions.flatMap { v =>
       val snap = store.read(v)
-      // continuity: a version expired INSIDE the window would silently
-      // drop its appended rows — every surviving snapshot's parent link
-      // either leaves the window or is itself present, so the earliest
-      // survivor after any gap fails loudly here
-      snap.parentVersion.foreach { p =>
-        if (p > from && !present.contains(p))
-          throw new IllegalStateException(
-            s"snapshot v$p has been expired; the stream cannot compute " +
-              "an incremental batch. Keep snapshots longer than the " +
-              "streaming lag (expire_snapshots keep_last).")
-      }
       if (snap.operation == "append") {
         // files added by an append commit are exactly those stamped with
         // its commit sequence (SnapshotStore.commit is the single stamp
         // site) — no parent snapshot read, no full file-list diff, and a
         // sharded snapshot loads ONLY its own seq group's manifest
         // chunks: micro-batch planning is O(new files), whatever the
-        // table size
-        if (snap.manifests.nonEmpty)
-          SnapshotStore.loadChunks(store.tableDir,
-            snap.manifests.filter(_.seq == v), store.io)
-        else snap.files.filter(_.seq == v)
+        // table size. Snapshots predating seq stamping (files default to
+        // seq=0, which a stamped chain can never produce — versions
+        // start at 1) fall back to the parent path-diff.
+        val legacy =
+          if (snap.manifests.nonEmpty) snap.manifests.exists(_.seq == 0L)
+          else snap.files.exists(_.seq == 0L)
+        if (!legacy) {
+          if (snap.manifests.nonEmpty)
+            SnapshotStore.loadChunks(store.tableDir,
+              snap.manifests.filter(_.seq == v), store.io)
+          else snap.files.filter(_.seq == v)
+        } else {
+          val parentPaths: Set[String] = snap.parentVersion match {
+            case Some(p) if present.contains(p) || p <= from =>
+              if (store.listVersions().contains(p))
+                store.read(p).files.map(_.path).toSet
+              else throw new IllegalStateException(
+                s"parent snapshot v$p has been expired; the stream " +
+                  "cannot compute an incremental batch for the pre-seq " +
+                  s"snapshot v$v.")
+            case Some(p) => throw new IllegalStateException(
+              s"snapshot v$p has been expired; the stream cannot " +
+                "compute an incremental batch.")
+            case None => Set.empty
+          }
+          snap.files.filterNot(f => parentPaths.contains(f.path))
+        }
       } else Seq.empty // rewrite commits re-materialize rows: skip
     }.map(f =>
       GraftInputPartition(store.tableDir.resolve(f.path).toString): InputPartition)

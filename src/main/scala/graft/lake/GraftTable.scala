@@ -183,7 +183,7 @@ class GraftTable(
             "added-delete-files" -> newDeletes.size.toString,
             "added-position-deletes" -> newDeletes.map(_.rowCount).sum.toString,
             "total-records" ->
-              (p.files.map(_.rowCount).sum -
+              (p.dataFileRows -
                 (p.deleteFiles ++ newDeletes).map(_.rowCount).sum).toString))
       }
       return

@@ -155,12 +155,37 @@ final class SnapshotStore(val tableDir: Path,
     listVersions().map(read).filter(_.timestampMs <= tsMillis)
       .sortBy(_.version).lastOption
 
-  /** Optimistic-concurrency commit: builds the next snapshot from the
-    * current head, retries on lost races. Returns the committed snapshot. */
-  def commit(build: Option[Snapshot] => Snapshot, maxRetries: Int = 10): Snapshot = {
-    var attempt = 0
+  /** The optimistic-concurrency loop every commit flavor shares:
+    * `attempt` builds the (in-memory, on-disk) snapshot pair from the
+    * current head — writing any new manifest chunks as it goes, BEFORE
+    * the version link, so a crash in between leaves only orphan chunks,
+    * never a dangling reference. The exclusive create of `v<N>.json` is
+    * the race arbiter; a lost race re-runs `attempt` on the new head. */
+  private def commitLoop(maxRetries: Int)(
+      attempt: Option[Snapshot] => (Snapshot, Snapshot)): Snapshot = {
+    var tries = 0
     while (true) {
       val head0 = head()
+      val (mem, disk) = attempt(head0)
+      try {
+        io.createExclusive(versionFile(mem.version), Snapshot.toJson(disk))
+        swapHint(mem.version)
+        return mem
+      } catch {
+        case _: FileAlreadyExistsException =>
+          tries += 1
+          if (tries > maxRetries)
+            throw new IllegalStateException(
+              s"commit lost $maxRetries races on $tableDir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Optimistic-concurrency commit: builds the next snapshot from the
+    * current head, retries on lost races. Returns the committed snapshot. */
+  def commit(build: Option[Snapshot] => Snapshot, maxRetries: Int = 10): Snapshot =
+    commitLoop(maxRetries) { head0 =>
       val next0 = build(head0)
       val v = head0.map(_.version + 1).getOrElse(1L)
       // stamp commit sequences: files added by THIS commit carry the
@@ -182,27 +207,13 @@ final class SnapshotStore(val tableDir: Path,
       // Page the file list out to manifest chunks above the inline
       // threshold, reusing every parent chunk whose seq-group is
       // unchanged — an append rewrites only its own chunk, so commit
-      // cost is O(added files + chunk count), not O(table files). New
-      // chunks are written BEFORE the version link (a crash in between
-      // leaves only orphan chunks, never a dangling reference).
+      // cost is O(added files + chunk count), not O(table files).
       val refs = writeManifests(head0, next)
       val onDisk =
         if (refs.nonEmpty) next.copy(files = Seq.empty, manifests = refs)
         else next.copy(manifests = Seq.empty)
-      try {
-        io.createExclusive(versionFile(next.version), Snapshot.toJson(onDisk))
-        swapHint(next.version)
-        return next.copy(manifests = refs)
-      } catch {
-        case _: FileAlreadyExistsException =>
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new IllegalStateException(
-              s"commit lost $maxRetries races on $tableDir")
-      }
+      (next.copy(manifests = refs), onDisk)
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   // ---------- named refs (tags): name → pinned snapshot version ----------
 
@@ -297,10 +308,9 @@ final class SnapshotStore(val tableDir: Path,
       newFiles: Seq[DataFile],
       newDeleteFiles: Seq[DeleteFile] = Seq.empty,
       maxRetries: Int = 10)(
-      decorate: (Snapshot, Seq[DataFile]) => Snapshot): Snapshot = {
-    var attempt = 0
-    while (true) {
-      val p = head().getOrElse(throw new IllegalStateException(
+      decorate: (Snapshot, Seq[DataFile]) => Snapshot): Snapshot =
+    commitLoop(maxRetries) { head0 =>
+      val p = head0.getOrElse(throw new IllegalStateException(
         s"append to uninitialized table $tableDir"))
       val v = p.version + 1
       val stamped = newFiles.map(f =>
@@ -322,21 +332,8 @@ final class SnapshotStore(val tableDir: Path,
         files = combined,
         deleteFiles = p.deleteFiles ++ stampedDels,
         manifests = refs)
-      val onDisk = if (refs.nonEmpty) next.copy(files = Seq.empty) else next
-      try {
-        io.createExclusive(versionFile(v), Snapshot.toJson(onDisk))
-        swapHint(v)
-        return next
-      } catch {
-        case _: FileAlreadyExistsException =>
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new IllegalStateException(
-              s"commit lost $maxRetries races on $tableDir")
-      }
+      (next, if (refs.nonEmpty) next.copy(files = Seq.empty) else next)
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   private def swapHint(v: Long): Unit =
     io.replaceAtomic(hintFile, v.toString)

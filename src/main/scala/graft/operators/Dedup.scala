@@ -278,7 +278,12 @@ object Dedup {
     * pair-graph operator here — see [[ngramJaccardPairs]]'s scaladoc for
     * why (quadratic in the copy count otherwise). */
   private[operators] def dupClasses(docs: DataFrame): DataFrame = {
-    val classed = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
+    // NULL-safe fingerprint: md5(NULL) is NULL and an equi-join drops
+    // NULL keys, which would lose NULL-text docs from every downstream
+    // group/pair output. The sentinel classes them together; they yield
+    // zero shingles, so they stay singletons — same as the naive join.
+    val classed = docs.select(col("doc_id"),
+      coalesce(md5(col("text")), lit("__null__")).as("__fp"))
     classed.join(classed.groupBy("__fp").agg(min("doc_id").as("__rep")), "__fp")
   }
 

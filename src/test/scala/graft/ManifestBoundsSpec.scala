@@ -258,6 +258,21 @@ class ManifestBoundsSpec extends AnyFunSuite {
     assert(io.chunkReads.get == 3)
   }
 
+  test("a stream window containing an expired version fails loudly, incl. at the window end") {
+    val io = new CountingIO
+    val store = buildStore(io) // versions 1..3, all appends
+    val stream = new GraftMicroBatchStream(store, StructType(Seq(
+      StructField("id", LongType))), "unused-ck")
+    def plan(from: Long, to: Long) =
+      stream.planInputPartitions(GraftOffset(from), GraftOffset(to))
+    assert(plan(0, 3).length == 300)
+    // expire v2 out from under a pending window
+    assert(io.delete(store.tableDir.resolve("metadata").resolve("v2.json")))
+    intercept[IllegalStateException](plan(0, 3)) // hole inside the window
+    intercept[IllegalStateException](plan(1, 2)) // hole AT the window end
+    assert(plan(2, 3).length == 100) // consumed-and-expired prefix is fine
+  }
+
   test("a reused parent chunk keeps its bounds across commits") {
     val io = new CountingIO
     val store = buildStore(io)

@@ -59,4 +59,22 @@ class DupCollapseSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 20L || p._2 == 21L),
       "shingle-less duplicates must not pair")
   }
+
+  test("NULL-text docs survive the collapse as singletons") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // md5(NULL) is NULL; an equi-join on the fingerprint would silently
+    // drop these docs from members (and thus from group outputs)
+    val docs = (corpus ++ Seq(30L -> (null: String), 31L -> (null: String)))
+      .toDF("doc_id", "text")
+    val members = Dedup.dupClasses(docs)
+    assert(members.count() == corpus.size + 2)
+    val nulls = members.filter(col("doc_id") >= 30L).collect()
+    assert(nulls.length == 2)
+    assert(nulls.forall(_.getAs[Long]("__rep") == 30L),
+      "NULL texts should class together under the sentinel fingerprint")
+    // the pair graph still never pairs them (zero shingles)
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(!pairs.exists(r => r.getLong(0) >= 30L || r.getLong(1) >= 30L))
+  }
 }
