@@ -566,7 +566,8 @@ class GraftVectorScan(
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter])
-  extends Scan with SupportsReportStatistics {
+  extends Scan with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // chunk-level (manifest-list) pruning first — only the chunks whose
   // merged bounds overlap the filters are ever loaded — then per-file
@@ -577,7 +578,26 @@ class GraftVectorScan(
       snapshot.partitionSpec)
   }
 
+  /** Partition-key groups for storage-partitioned joins, when the layout
+    * is soundly reportable (see [[Spj.keyed]]). */
+  private[lake] lazy val keyed: Option[Spj.Keyed] =
+    Spj.keyed(snapshot, prunedFiles, required)
+
   override def readSchema(): StructType = required
+
+  /** Reported layout → Spark plans co-partitioned joins WITHOUT a
+    * shuffle (gated upstream by spark.sql.sources.v2.bucketing.enabled;
+    * reporting when the gate is off costs nothing). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyed match {
+      case Some(k) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(k.keys, k.groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     // Files carry PHYSICAL column names: hand the bridge the physical
@@ -586,12 +606,23 @@ class GraftVectorScan(
     val rename = SchemaNames.renameMap(snapshot.schema)
     val physRequired = StructType(required.fields.map(f =>
       f.copy(name = rename.getOrElse(f.name, f.name))))
-    org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
-      SparkSession.active,
-      prunedFiles.map(f =>
-        store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes),
-      SchemaNames.toPhysical(fullSchema), physRequired,
-      filters.map(SchemaNames.renameFilter(_, rename)))
+    def uri(f: DataFile): (String, Long) =
+      store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes
+    keyed match {
+      case Some(k) =>
+        org.apache.spark.sql.graftbridge.ParquetScanBridge
+          .vectorizedKeyedBatch(
+            SparkSession.active,
+            k.groups.map { case (row, fs) => row -> fs.map(uri) },
+            SchemaNames.toPhysical(fullSchema), physRequired,
+            filters.map(SchemaNames.renameFilter(_, rename)))
+      case None =>
+        org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
+          SparkSession.active,
+          prunedFiles.map(uri),
+          SchemaNames.toPhysical(fullSchema), physRequired,
+          filters.map(SchemaNames.renameFilter(_, rename)))
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -29,8 +29,18 @@ object SqlFunctions {
     Seq("cosine", "simhash64", "word_shingles", "minhash", "zorder_key")
 
   def load(ident: Identifier): UnboundFunction = {
-    require(ident.namespace().sameElements(Procedures.Namespace),
-      s"unknown function namespace ${ident.namespace().mkString(".")}")
+    // Empty namespace: the partition-transform functions Spark's
+    // V2ExpressionUtils resolves when a scan reports bucket/days/...
+    // partitioning for storage-partitioned joins. Unknown names must
+    // throw NoSuchFunctionException — the resolver treats exactly that
+    // (plus UnsupportedOperationException) as "fall back quietly".
+    if (ident.namespace().isEmpty)
+      return PartitionV2Functions.load(ident.name()).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
+    if (!ident.namespace().sameElements(Procedures.Namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
     ident.name() match {
       case "cosine" => Cosine
       case "simhash64" =>
@@ -45,8 +55,9 @@ object SqlFunctions {
           args => graft.functions.MinHashSignatures(
             BoundReference(0, StringType, true), 3, 32))
       case "zorder_key" => ZOrderFn
-      case other =>
-        throw new IllegalArgumentException(s"unknown function $other")
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
     }
   }
 

@@ -380,9 +380,71 @@ object LakeOps {
               FROM $Cat.verify.region_ext ORDER BY r_regionkey""")
   }
 
+  /** Storage-partitioned join: customer and orders bucketed on the join
+    * key join + aggregate WITHOUT any shuffle (Spj.scala reports the
+    * bucket layout as a KeyGroupedPartitioning). The body EXECUTES under
+    * the SPJ confs, fails loudly if an exchange appears in the final
+    * plan, then restores the confs and returns the materialized rows —
+    * so the oracle hash certifies the shuffle-free plan computed the
+    * same answer as DuckDB's ordinary hash join. */
+  val qSpjJoin: Q = Q(
+    "q_spj_join",
+    """SELECT c_custkey, CAST(count(*) AS BIGINT) AS order_cnt,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.cust_b")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.ord_b")
+    s.sql(s"""CREATE TABLE $Cat.verify.cust_b (c_custkey BIGINT)
+              USING graft PARTITIONED BY (bucket(8, c_custkey))""")
+    s.sql(s"""CREATE TABLE $Cat.verify.ord_b
+              (o_custkey BIGINT, o_totalprice DOUBLE)
+              USING graft PARTITIONED BY (bucket(8, o_custkey))""")
+    Tables.customer(s, d).createOrReplaceTempView("graft_src_cust")
+    Tables.orders(s, d).createOrReplaceTempView("graft_src_ord")
+    s.sql(s"INSERT INTO $Cat.verify.cust_b SELECT c_custkey FROM graft_src_cust")
+    s.sql(s"""INSERT INTO $Cat.verify.ord_b
+              SELECT o_custkey, o_totalprice FROM graft_src_ord""")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = s.sql(
+        s"""SELECT c_custkey, count(*) AS order_cnt,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM $Cat.verify.cust_b JOIN $Cat.verify.ord_b
+              ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey""")
+      val rows = df.collect() // execute while the SPJ confs hold
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      var exchanges = 0
+      plan.foreach {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          exchanges += 1
+        case _ => ()
+      }
+      if (exchanges != 0) throw new IllegalStateException(
+        s"q_spj_join expected a shuffle-free plan, found $exchanges:\n$plan")
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
-    qLakeExternal)
+    qLakeExternal, qSpjJoin)
 }

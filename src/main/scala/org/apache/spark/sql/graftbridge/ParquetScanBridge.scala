@@ -3,7 +3,9 @@ package org.apache.spark.sql.graftbridge
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.Batch
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -45,4 +47,84 @@ object ParquetScanBridge {
       Array.empty)
     scan.toBatch
   }
+
+  /** Same vectorized batch, with the input partitions carrying partition
+    * KEYS ([[HasPartitionKey]]) so Spark can plan a storage-partitioned
+    * join over the scan (see graft.lake.Spj). Split planning reuses the
+    * inner ParquetScan's own PartitionedFiles (identical split/size
+    * logic), then re-bin-packs WITHIN each key group — Spark's
+    * `groupPartitions` requires every partition to map to exactly one
+    * key, and merges same-key partitions back when SPJ applies, so
+    * per-group packing costs at most one partial partition per group.
+    * Falls back to the inner partitions unchanged if any split fails to
+    * map back to a key (never wrong, just not SPJ-able). */
+  def vectorizedKeyedBatch(
+      spark: SparkSession,
+      groups: Seq[(InternalRow, Seq[(String, Long)])], // key -> (path, size)
+      dataSchema: StructType,
+      readSchema: StructType,
+      filters: Array[Filter]): Batch = {
+    val inner = vectorizedBatch(
+      spark, groups.flatMap(_._2), dataSchema, readSchema, filters)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val innerParts = inner.planInputPartitions()
+        val keyByPath: Map[String, InternalRow] = groups.iterator.flatMap {
+          case (k, fs) => fs.iterator.map { case (p, _) =>
+            new Path(p).toString -> k }
+        }.toMap
+        val splits = innerParts.flatMap {
+          case fp: FilePartition => fp.files
+          case _ => return innerParts // unexpected shape: serve unkeyed
+        }
+        val byKey = splits.groupBy(pf =>
+          keyByPath.get(pf.toPath.toString) match {
+            case Some(k) => k
+            case None => return innerParts // unmappable path: serve unkeyed
+          })
+        val openCost = spark.sessionState.conf.filesOpenCostInBytes
+        val maxSplit = FilePartition.maxSplitBytes(spark,
+          splits.map(_.length + openCost).sum)
+        val parts = byKey.toSeq.flatMap { case (key, pfs) =>
+          FilePartition
+            .getFilePartitions(spark, pfs.sortBy(-_.length).toSeq, maxSplit)
+            .map(fp => KeyedFilePartition(fp, key))
+        }
+        // re-index: per-group packing restarts indices at 0 in each group
+        parts.zipWithIndex.map { case (p, i) =>
+          p.copy(delegate = FilePartition(i, p.delegate.files))
+            : InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new KeyedReaderFactory(inner.createReaderFactory())
+    }
+  }
+}
+
+/** A FilePartition plus its partition key. Delegation instead of
+  * subclassing: FilePartition is a case class, and the reader factory
+  * only needs the delegate back (see [[KeyedReaderFactory]]). */
+final case class KeyedFilePartition(
+    delegate: FilePartition,
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+/** Unwraps [[KeyedFilePartition]] before handing partitions to the inner
+  * parquet reader factory (which pattern-matches on FilePartition). */
+final class KeyedReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: KeyedFilePartition => k.delegate
+    case other => other
+  }
+  override def createReader(p: InputPartition) =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition) =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }
