@@ -561,13 +561,14 @@ final class GraftAggReaderFactory
   * — ColumnarBatches flow straight into WholeStageCodegen with no
   * Row↔InternalRow conversion. */
 class GraftVectorScan(
-    snapshot: Snapshot,
-    store: SnapshotStore,
+    private val snapshot: Snapshot,
+    private val store: SnapshotStore,
     fullSchema: StructType,
-    required: StructType,
-    filters: Array[Filter])
+    private val required: StructType,
+    private val filters: Array[Filter])
   extends Scan with SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // chunk-level (manifest-list) pruning first — only the chunks whose
   // merged bounds overlap the filters are ever loaded — then per-file
@@ -582,6 +583,57 @@ class GraftVectorScan(
     * is soundly reportable (see [[Spj.keyed]]). */
   private[lake] lazy val keyed: Option[Spj.Keyed] =
     Spj.keyed(snapshot, prunedFiles, required)
+
+  /** File set after runtime (dynamic) filtering; null until `filter()`. */
+  @volatile private var runtimeFiles: Seq[DataFile] = null
+  private def currentFiles: Seq[DataFile] =
+    if (runtimeFiles ne null) runtimeFiles else prunedFiles
+  /** Test seam: (kept, total) after the last runtime filter. */
+  @volatile private[graft] var runtimePruned: Option[(Int, Int)] = None
+
+  /** Dynamic FILE pruning (the DSv2 dynamic-partition-pruning hookup):
+    * Spark's PartitionPruning rule sees these attributes, and when one is
+    * a join key against a filtered (broadcast) build side it hands the
+    * build side's key values to `filter()` before planning input
+    * partitions — a fact scan joined to `dim WHERE day = X` then opens
+    * only the files whose stats/partition-values/blooms can match those
+    * keys. Reported columns are the ones file pruning can actually act
+    * on: partition sources, declared sort/z-order columns (files cover
+    * narrow ranges there), and bloom-filtered columns — reporting
+    * unclustered columns would add DPP subquery overhead for pruning
+    * that never removes a file. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val props = snapshot.properties
+    val sortCols = props.get("graft.sort-order").map(_.trim).map {
+      case s if s.toLowerCase.startsWith("zorder") =>
+        s.replaceAll("(?i)zorder\\s*\\(", "").stripSuffix(")")
+      case s => s
+    }.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val bloomCols = props.get("graft.bloom-columns").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // only columns the scan OUTPUTS: Spark's PartitionPruning rule
+    // resolves these against the relation output and THROWS (not skips)
+    // on a miss, so a pruned-away partition column must not be reported
+    (snapshot.partitionSpec.map(_.source) ++ sortCols ++ bloomCols)
+      .distinct
+      .filter(c => required.fieldNames.contains(c))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = org.apache.spark.sql.graftbridge.ColumnBridge
+      .predicatesToV1(predicates)
+    if (v1.isEmpty) return // untranslatable: keep the conservative set
+    val phys = v1.toIndexedSeq.map(
+      SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+    val kept = StatsPruner.prune(currentFiles, phys, snapshot.partitionSpec)
+    runtimePruned = Some(kept.size -> prunedFiles.size)
+    runtimeFiles = kept
+  }
 
   override def readSchema(): StructType = required
 
@@ -599,7 +651,18 @@ class GraftVectorScan(
           .UnknownPartitioning(0)
     }
 
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+  /** STABLE batch handle: BatchScanExec.equals compares `scan.toBatch`
+    * by object identity, so a fresh Batch per call makes equal scans
+    * "different" — which breaks exchange reuse and thereby every
+    * dynamic-pruning filter (reuseBroadcastOnly finds no match and
+    * degrades to `true`). The wrapper carries the scan's value equality
+    * and defers partition planning to [[buildBatch]], so runtime
+    * filtering still re-plans from the narrowed file set. */
+  @transient private lazy val stableBatch
+      : org.apache.spark.sql.connector.read.Batch = new GraftVectorBatch(this)
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = stableBatch
+
+  private[lake] def buildBatch(): org.apache.spark.sql.connector.read.Batch = {
     // Files carry PHYSICAL column names: hand the bridge the physical
     // schema/projection/filters; rows bind positionally to the logical
     // attributes (same order and types), so no rename-back is needed.
@@ -610,16 +673,28 @@ class GraftVectorScan(
       store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes
     keyed match {
       case Some(k) =>
+        // after a runtime filter, narrow each original key group — the
+        // surviving groups stay an exact subset of the reported partition
+        // values, which BatchScanExec checks when re-planning under SPJ
+        val groups =
+          if (runtimeFiles eq null) k.groups
+          else {
+            val remaining = currentFiles.map(_.path).toSet
+            k.groups
+              .map { case (row, fs) =>
+                row -> fs.filter(f => remaining.contains(f.path)) }
+              .filter(_._2.nonEmpty)
+          }
         org.apache.spark.sql.graftbridge.ParquetScanBridge
           .vectorizedKeyedBatch(
             SparkSession.active,
-            k.groups.map { case (row, fs) => row -> fs.map(uri) },
+            groups.map { case (row, fs) => row -> fs.map(uri) },
             SchemaNames.toPhysical(fullSchema), physRequired,
             filters.map(SchemaNames.renameFilter(_, rename)))
       case None =>
         org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
           SparkSession.active,
-          prunedFiles.map(uri),
+          currentFiles.map(uri),
           SchemaNames.toPhysical(fullSchema), physRequired,
           filters.map(SchemaNames.renameFilter(_, rename)))
     }
@@ -639,6 +714,52 @@ class GraftVectorScan(
 
   override def description(): String =
     s"GraftVectorScan[v${snapshot.version}, files=${prunedFiles.size}/${snapshot.fileCount}]"
+
+  /** Value equality over (table, snapshot, projection, pushed filters):
+    * Spark's exchange/subquery reuse and dynamic-pruning planning compare
+    * canonicalized plans, and a DSv2 scan WITHOUT equals makes every
+    * re-planned scan of the same table "different" — which silently
+    * disables broadcast reuse and downgrades every dynamic-pruning
+    * filter to `true` (the same reason Iceberg's SparkScan defines
+    * equality). Runtime-filter state is deliberately excluded: two scans
+    * planned alike are interchangeable, and BatchScanExec compares its
+    * own runtimeFilters separately. */
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftVectorScan =>
+      store.tableDir == o.store.tableDir &&
+        snapshot.version == o.snapshot.version &&
+        required == o.required &&
+        filters.toSeq == o.filters.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (store.tableDir, snapshot.version, required, filters.toSeq).hashCode()
+}
+
+/** The stable Batch for [[GraftVectorScan]]: value-equal when the owning
+  * scans are (what BatchScanExec's reference-compare of `batch` actually
+  * needs), with partition planning deferred so post-runtime-filter
+  * re-plans see the narrowed file set. The reader factory is built once —
+  * it depends only on schema/filters/conf, never on which files survived
+  * pruning — and is shared across re-plans. */
+private[lake] final class GraftVectorBatch(
+    private[lake] val owner: GraftVectorScan)
+  extends org.apache.spark.sql.connector.read.Batch {
+
+  @transient private lazy val factory = owner.buildBatch().createReaderFactory()
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    owner.buildBatch().planInputPartitions()
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = factory
+
+  override def equals(other: Any): Boolean = other match {
+    case b: GraftVectorBatch => owner == b.owner
+    case _ => false
+  }
+  override def hashCode(): Int = owner.hashCode()
 }
 
 /** Scan over the pruned file set, bridged to Spark's parquet source. */

@@ -56,14 +56,9 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  private def shuffleCount(p: SparkPlan): Int = {
-    var n = 0
-    p.foreach {
-      case _: ShuffleExchangeLike => n += 1
-      case _ => ()
-    }
-    n
-  }
+  // deep walk: AQE hides executed subtrees inside QueryStageExec leaves
+  private def shuffleCount(p: SparkPlan): Int =
+    PlanWalk.deepCollect(p) { case e: ShuffleExchangeLike => e }.size
 
   override def beforeAll(): Unit = {
     sql("CREATE NAMESPACE IF NOT EXISTS spjspec.db")
