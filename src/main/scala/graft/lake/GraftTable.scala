@@ -282,7 +282,7 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
 
   private var required: StructType = snapshot.schema
   private var filters: Array[Filter] = Array.empty
-  private var aggPushed: Option[(StructType, Array[Any])] = None
+  private var aggPushed: Option[(StructType, Array[Array[Any]])] = None
   private var limit: Option[Int] = None
 
   /** LIMIT pushdown as FILE-LIST truncation: an unfiltered `LIMIT n`
@@ -353,10 +353,10 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
 
   private def tryPushAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (filters.nonEmpty) return None
     val s = snapshot
     val hasEq = s.deleteFiles.exists(_.kind == "equality")
     val hasAny = s.deleteFiles.nonEmpty
@@ -381,7 +381,11 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
       case TimestampType => Some(stat.toLong) // epoch micros
       case _ => None // strings (truncation risk), booleans, nested: refuse
     }
-    def extremum(f: StructField, isMin: Boolean): Option[Any] = {
+    /** MIN/MAX over `files`; `global` additionally unlocks the sharded
+      * manifest-rollup fast path (whole-table only — chunk bounds span
+      * partition values, so per-group subsets must read per-file stats). */
+    def extremum(files: Seq[DataFile], f: StructField, isMin: Boolean,
+        global: Boolean): Option[Any] = {
       if (hasAny) return None // a delete may have removed the extreme row
       val phys = rename.getOrElse(f.name, f.name)
       // floating types get IEEE-total orderings (NaN largest, matching
@@ -406,7 +410,7 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
       // sharded fast path: COMPLETE chunk bounds (every ref bounds the
       // column both ways — which also proves no file is all-null in it)
       // answer from the manifest list with zero chunks loaded
-      if (s.manifests.nonEmpty &&
+      if (global && s.manifests.nonEmpty &&
           s.manifests.forall(_.bounds.get(phys).exists(st =>
             st.min.isDefined && st.max.isDefined))) {
         extremeOf(s.manifests.map(r =>
@@ -417,67 +421,128 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
       }
       // files that are all-null in the column contribute nothing; any other
       // file missing the stat makes the answer unprovable
-      val contributing = s.files.filter(df =>
+      val contributing = files.filter(df =>
         !df.stats.get(phys).flatMap(_.nullCount).contains(df.rowCount))
       val stats = contributing.map(df =>
         df.stats.get(phys).flatMap(st => if (isMin) st.min else st.max))
       if (stats.exists(_.isEmpty)) return None
-      if (stats.isEmpty) Some(null) // empty table / all nulls -> NULL
+      if (stats.isEmpty) Some(null) // empty group / all nulls -> NULL
       else extremeOf(stats.flatten)
     }
-    val out = agg.aggregateExpressions.map {
-      case _: CountStar =>
-        if (hasEq) return None
-        ("count(*)", LongType: DataType, false, s.totalRows: Any)
-      case c: Count if !c.isDistinct =>
-        if (hasAny) return None
-        colOf(c.column) match {
-          case Some(f) =>
-            val phys = rename.getOrElse(f.name, f.name)
-            // sharded fast path: null counts from the chunk bounds
-            val nullSum: Option[Long] =
-              if (s.manifests.nonEmpty &&
-                  s.manifests.forall(_.bounds.get(phys).exists(_.nullCount.isDefined)))
-                Some(s.manifests.map(_.bounds(phys).nullCount.get).sum)
-              else {
-                val nulls = s.files.map(df => df.stats.get(phys).flatMap(_.nullCount))
-                if (nulls.exists(_.isEmpty)) None else Some(nulls.flatten.sum)
+    /** One output row's agg column cells over a file subset, or None when
+      * any aggregate is not provable from metadata. Also returns the
+      * schema cells (computed once; identical across groups). */
+    def aggCells(files: Seq[DataFile], global: Boolean)
+        : Option[Seq[(String, DataType, Boolean, Any)]] = Some(
+      agg.aggregateExpressions.toIndexedSeq.map {
+        case _: CountStar =>
+          if (hasEq) return None
+          // grouped: position-delete tuples name files, but DeleteFile
+          // metadata only carries totals — per-group counts unprovable
+          if (!global && hasAny) return None
+          val rows =
+            if (global) s.totalRows else files.map(_.rowCount).sum
+          ("count(*)", LongType: DataType, false, rows: Any)
+        case c: Count if !c.isDistinct =>
+          if (hasAny) return None
+          colOf(c.column) match {
+            case Some(f) =>
+              val phys = rename.getOrElse(f.name, f.name)
+              // sharded fast path: null counts from the chunk bounds
+              val nullSum: Option[Long] =
+                if (global && s.manifests.nonEmpty &&
+                    s.manifests.forall(_.bounds.get(phys).exists(_.nullCount.isDefined)))
+                  Some(s.manifests.map(_.bounds(phys).nullCount.get).sum)
+                else {
+                  val nulls = files.map(df => df.stats.get(phys).flatMap(_.nullCount))
+                  if (nulls.exists(_.isEmpty)) None else Some(nulls.flatten.sum)
+                }
+              nullSum match {
+                case Some(n) => ("count(" + f.name + ")", LongType: DataType, false,
+                  (files.map(_.rowCount).sum - n): Any)
+                case None => return None
               }
-            nullSum match {
-              case Some(n) => ("count(" + f.name + ")", LongType: DataType, false,
-                (s.dataFileRows - n): Any)
+            case None => return None
+          }
+        case m: Min =>
+          colOf(m.column) match {
+            case Some(f) => extremum(files, f, isMin = true, global) match {
+              case Some(v) => ("min(" + f.name + ")", f.dataType, true, v: Any)
               case None => return None
             }
-          case None => return None
-        }
-      case m: Min =>
-        colOf(m.column) match {
-          case Some(f) => extremum(f, isMin = true) match {
-            case Some(v) => ("min(" + f.name + ")", f.dataType, true, v: Any)
             case None => return None
           }
-          case None => return None
-        }
-      case m: Max =>
-        colOf(m.column) match {
-          case Some(f) => extremum(f, isMin = false) match {
-            case Some(v) => ("max(" + f.name + ")", f.dataType, true, v: Any)
+        case m: Max =>
+          colOf(m.column) match {
+            case Some(f) => extremum(files, f, isMin = false, global) match {
+              case Some(v) => ("max(" + f.name + ")", f.dataType, true, v: Any)
+              case None => return None
+            }
             case None => return None
           }
-          case None => return None
+        case _ => return None
+      })
+
+    if (agg.groupByExpressions.isEmpty) {
+      aggCells(s.files, global = true).map { out =>
+        val schema = StructType(out.map { case (n, dt, nullable, _) =>
+          StructField(n, dt, nullable) }.toIndexedSeq)
+        schema -> Array(out.map(_._4).toArray)
+      }
+    } else {
+      // ---- GROUP BY identity partition columns, from metadata alone ----
+      // `SELECT day, count(*) FROM t GROUP BY day` on a day-partitioned
+      // table: every file belongs to exactly one group (its partition
+      // value), so per-group COUNT/MIN/MAX follow from per-file stats
+      // with zero data files opened. Group keys parse from the stored
+      // partition-value strings with the same inverse the SPJ key
+      // derivation uses; anything unparseable refuses the pushdown.
+      val groupCols: Seq[(StructField, PartitionField, String => Any)] =
+        agg.groupByExpressions.toIndexedSeq.map { e =>
+          (colOf(e), e) match {
+            case (Some(f), _) =>
+              val pf = s.partitionSpec.find(p =>
+                p.transform == "identity" && p.source == f.name)
+                .getOrElse(return None)
+              val parse = Spj.identityParser(f.dataType).getOrElse(return None)
+              (f, pf, parse)
+            case _ => return None
+          }
         }
-      case _ => return None
+      val grouped: Map[Seq[Any], Seq[DataFile]] =
+        s.files.groupBy { df =>
+          groupCols.map { case (f, pf, parse) =>
+            df.partitionValues.get(pf.name) match {
+              case Some(Spj.NullSentinel) => null
+              case Some(v) =>
+                // a real string equal to the sentinel is indistinguishable
+                if (f.dataType == StringType && v == Spj.NullSentinel)
+                  return None
+                try parse(v) catch {
+                  case scala.util.control.NonFatal(_) => return None }
+              case None => return None // pre-evolution file: no value
+            }
+          }
+        }
+      val aggSchema = aggCells(s.files.take(0), global = false)
+        .getOrElse(return None) // shape probe on the empty subset
+      val schema = StructType(
+        groupCols.map { case (f, _, _) =>
+          StructField(f.name, f.dataType, nullable = true) } ++
+        aggSchema.map { case (n, dt, nullable, _) =>
+          StructField(n, dt, nullable) })
+      val rows = grouped.toSeq.map { case (key, fs) =>
+        val cells = aggCells(fs, global = false).getOrElse(return None)
+        (key ++ cells.map(_._4)).toArray
+      }
+      Some(schema -> rows.toArray)
     }
-    val schema = StructType(out.map { case (n, dt, nullable, _) =>
-      org.apache.spark.sql.types.StructField(n, dt, nullable)
-    }.toIndexedSeq)
-    Some(schema -> out.map(_._4).toArray)
   }
 
   override def build(): Scan = {
     aggPushed match {
-      case Some((aggSchema, values)) =>
-        return new GraftMetadataAggScan(aggSchema, values, snapshot)
+      case Some((aggSchema, rows)) =>
+        return new GraftMetadataAggScan(aggSchema, rows, snapshot)
       case None =>
     }
     // pushed LIMIT: truncate the file list before planning. The guard is
@@ -509,13 +574,15 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
   }
 }
 
-/** Metadata-only aggregate result: one row computed on the DRIVER from
-  * snapshot statistics, emitted through a single-partition Batch. No data
-  * file is opened — `description` carries the values so plans show what
-  * was answered from metadata. */
+/** Metadata-only aggregate result: rows computed on the DRIVER from
+  * snapshot statistics, emitted through a single-partition Batch. One row
+  * for a full-table aggregate; one row per partition value for a pushed
+  * GROUP BY over identity partition columns. No data file is opened —
+  * `description` carries the values so plans show what was answered from
+  * metadata. */
 final class GraftMetadataAggScan(
     aggSchema: StructType,
-    values: Array[Any],
+    rows: Array[Array[Any]],
     snapshot: Snapshot)
   extends Scan with org.apache.spark.sql.connector.read.Batch {
 
@@ -524,19 +591,21 @@ final class GraftMetadataAggScan(
 
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    Array(GraftAggPartition(values))
+    Array(GraftAggPartition(rows))
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new GraftAggReaderFactory
 
-  override def description(): String =
-    s"GraftMetadataAggScan[v${snapshot.version}, " +
-      aggSchema.fieldNames.zip(values).map { case (n, v) => s"$n=$v" }
-        .mkString(", ") + "]"
+  override def description(): String = {
+    val shown = rows.take(3).map(r =>
+      aggSchema.fieldNames.zip(r).map { case (n, v) => s"$n=$v" }
+        .mkString("(", ", ", ")")).mkString(" ")
+    s"GraftMetadataAggScan[v${snapshot.version}, rows=${rows.length}, $shown]"
+  }
 }
 
-final case class GraftAggPartition(values: Array[Any])
+final case class GraftAggPartition(rows: Array[Array[Any]])
   extends org.apache.spark.sql.connector.read.InputPartition
 
 final class GraftAggReaderFactory
@@ -547,11 +616,11 @@ final class GraftAggReaderFactory
         org.apache.spark.sql.catalyst.InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
-      private val vals = partition.asInstanceOf[GraftAggPartition].values
-      private var done = false
-      override def next(): Boolean = !done && { done = true; true }
+      private val rows = partition.asInstanceOf[GraftAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
 }

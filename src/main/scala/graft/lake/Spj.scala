@@ -96,29 +96,35 @@ object Spj {
     * divergent parse puts a file in the wrong key group and the join
     * silently drops rows — so each case below names the writer rendering
     * it inverts. None = not invertible for this transform/type. */
+  /** Parser for IDENTITY partition values, string → catalyst-internal —
+    * shared with the metadata-only GROUP BY pushdown (GraftScanBuilder),
+    * which groups files by exactly these keys. */
+  private[lake] def identityParser(src: DataType): Option[String => Any] =
+    src match {
+      case ByteType    => Some(_.toByte)
+      case ShortType   => Some(_.toShort)
+      case IntegerType => Some(_.toInt)
+      case LongType    => Some(_.toLong)
+      case BooleanType => Some(_.toBoolean)
+      // cast(string) is the identity rendering; refuse if any real value
+      // collides with the null sentinel (checked per-file in keyed())
+      case StringType  => Some(v =>
+        if (v == NullSentinel) throw new IllegalArgumentException(
+          "string partition value collides with the null sentinel")
+        else UTF8String.fromString(v))
+      // cast(date as string) = ISO yyyy-MM-dd
+      case DateType => Some(v =>
+        java.time.LocalDate.parse(v).toEpochDay.toInt)
+      // timestamps: cast-to-string rendering is timezone/format
+      // sensitive (see PartitionTransforms.identityLiteral); floats,
+      // decimals, nested: not invertible — skip the field
+      case _ => None
+    }
+
   private def parserFor(
       f: PartitionField, src: DataType): Option[String => Any] =
     f.transform match {
-      case "identity" => src match {
-        case ByteType    => Some(_.toByte)
-        case ShortType   => Some(_.toShort)
-        case IntegerType => Some(_.toInt)
-        case LongType    => Some(_.toLong)
-        case BooleanType => Some(_.toBoolean)
-        // cast(string) is the identity rendering; refuse if any real value
-        // collides with the null sentinel (checked per-file in keyed())
-        case StringType  => Some(v =>
-          if (v == NullSentinel) throw new IllegalArgumentException(
-            "string partition value collides with the null sentinel")
-          else UTF8String.fromString(v))
-        // cast(date as string) = ISO yyyy-MM-dd
-        case DateType => Some(v =>
-          java.time.LocalDate.parse(v).toEpochDay.toInt)
-        // timestamps: cast-to-string rendering is timezone/format
-        // sensitive (see PartitionTransforms.identityLiteral); floats,
-        // decimals, nested: not invertible — skip the field
-        case _ => None
-      }
+      case "identity" => identityParser(src)
       case b if b.startsWith("bucket[") =>
         // pmod(hash(col), n) rendered via cast(int as string)
         Some(_.toInt)

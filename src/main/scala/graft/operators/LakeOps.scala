@@ -442,9 +442,42 @@ object LakeOps {
     }
   }
 
+  /** Metadata-only GROUP BY: per-partition COUNT/MIN/MAX on an
+    * identity-partitioned table answer from snapshot statistics with
+    * zero data files opened. The body fails loudly if the plan did NOT
+    * use the metadata scan, so the oracle hash certifies that the
+    * file-stat arithmetic equals DuckDB aggregating the raw rows. */
+  val qMetaGroupAgg: Q = Q(
+    "q_meta_group_agg",
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+              round(min(s_acctbal), 2) AS lo, round(max(s_acctbal), 2) AS hi
+       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.supplier_meta")
+    s.sql(s"""CREATE TABLE $Cat.verify.supplier_meta
+              (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+              USING graft PARTITIONED BY (s_nationkey)""")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_src_supplier_meta")
+    s.sql(s"""INSERT INTO $Cat.verify.supplier_meta
+              SELECT s_suppkey, s_nationkey, s_acctbal
+              FROM graft_src_supplier_meta""")
+    val df = s.sql(
+      s"""SELECT s_nationkey, count(*) AS cnt,
+                 round(min(s_acctbal), 2) AS lo, round(max(s_acctbal), 2) AS hi
+          FROM $Cat.verify.supplier_meta
+          GROUP BY s_nationkey ORDER BY s_nationkey""")
+    val shape = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    if (!shape.contains("GraftMetadataAggScan"))
+      throw new IllegalStateException(
+        s"q_meta_group_agg expected a metadata-only plan:\n$shape")
+    df
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
-    qLakeExternal, qSpjJoin)
+    qLakeExternal, qSpjJoin, qMetaGroupAgg)
 }

@@ -154,9 +154,75 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().length == 1)
   }
 
-  test("group-by aggregates are NOT pushed") {
+  test("group-by over a NON-partition column is NOT pushed") {
     val q = "SELECT grp, count(*) FROM aggspec.demo.t GROUP BY grp"
     assert(!plan(q).contains("GraftMetadataAggScan"))
     assert(sql(q).collect().length == 4) // a, b, c, NULL
+  }
+
+  test("GROUP BY identity partition column answers from metadata") {
+    sql("""CREATE TABLE aggspec.demo.pt (day INT, v DOUBLE)
+           USING graft PARTITIONED BY (day)""")
+    sql("""INSERT INTO aggspec.demo.pt VALUES
+           (1, 1.0), (1, 2.0), (2, -3.5), (2, NULL), (NULL, 9.0)""")
+    sql("INSERT INTO aggspec.demo.pt VALUES (1, 7.5), (3, 0.25)")
+    val q = """SELECT day, count(*) AS c, count(v) AS cv,
+                      min(v) AS lo, max(v) AS hi
+               FROM aggspec.demo.pt GROUP BY day"""
+    val p = plan(q)
+    assert(p.contains("GraftMetadataAggScan"), s"not pushed:\n$p")
+    val got = sql(q).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getInt(0)) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(got.size == 4)
+    assert(got(1) == ((3L, 3L, 1.0, 7.5)))
+    assert(got(2) == ((2L, 1L, -3.5, -3.5)))
+    assert(got(3) == ((1L, 1L, 0.25, 0.25)))
+    assert(got(null) == ((1L, 1L, 9.0, 9.0))) // NULL partition group
+  }
+
+  test("grouped pushdown matches a real scan on a string partition column") {
+    sql("""CREATE TABLE aggspec.demo.pts (region STRING, x INT)
+           USING graft PARTITIONED BY (region)""")
+    sql("""INSERT INTO aggspec.demo.pts VALUES
+           ('emea', 1), ('emea', 2), ('apac', 3), (NULL, 4)""")
+    val q = """SELECT region, count(*) AS c, max(x) AS hi
+               FROM aggspec.demo.pts GROUP BY region"""
+    assert(plan(q).contains("GraftMetadataAggScan"))
+    val viaMeta = sql(q).collect().map(_.toString).sorted
+    // same query against the raw rows (group col aliased off-partition)
+    val viaScan = sql(
+      """SELECT r AS region, count(*) AS c, max(x) AS hi FROM
+         (SELECT region AS r, x FROM aggspec.demo.pts) GROUP BY r""")
+      .collect().map(_.toString).sorted
+    assert(viaMeta.sameElements(viaScan))
+  }
+
+  test("grouped pushdown refuses under PENDING deletes and stays correct") {
+    // COW deletes leave a clean snapshot (pushdown stays exact); only
+    // merge-on-read leaves pending tuples whose per-group counts are
+    // unprovable — that is the refusal case
+    sql("""CREATE TABLE aggspec.demo.ptd (day INT, v DOUBLE)
+           USING graft PARTITIONED BY (day)
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO aggspec.demo.ptd VALUES (1, 1.0), (1, 2.0), (2, 3.0)")
+    sql("DELETE FROM aggspec.demo.ptd WHERE v = 2.0")
+    val q = "SELECT day, count(*) AS c FROM aggspec.demo.ptd GROUP BY day"
+    assert(!plan(q).contains("GraftMetadataAggScan"),
+      "per-group counts are unprovable under pending deletes")
+    val got = sql(q).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 1L))
+
+    // a COW-deleted twin keeps the pushdown and stays exact
+    sql("""CREATE TABLE aggspec.demo.ptc (day INT, v DOUBLE)
+           USING graft PARTITIONED BY (day)""")
+    sql("INSERT INTO aggspec.demo.ptc VALUES (1, 1.0), (1, 2.0), (2, 3.0)")
+    sql("DELETE FROM aggspec.demo.ptc WHERE v = 2.0")
+    val qc = "SELECT day, count(*) AS c FROM aggspec.demo.ptc GROUP BY day"
+    assert(plan(qc).contains("GraftMetadataAggScan"))
+    val gotC = sql(qc).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotC == Map(1 -> 1L, 2 -> 1L))
   }
 }
