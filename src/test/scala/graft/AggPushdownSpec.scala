@@ -225,4 +225,12 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotC = sql(qc).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(gotC == Map(1 -> 1L, 2 -> 1L))
   }
+
+  test("SELECT DISTINCT partition column is metadata-only (group-by, no aggs)") {
+    val q = "SELECT DISTINCT day FROM aggspec.demo.pt"
+    assert(plan(q).contains("GraftMetadataAggScan"))
+    val got = sql(q).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSet
+    assert(got == Set(1, 2, 3, null))
+  }
 }
