@@ -1,8 +1,23 @@
 package graft.lake
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
+
+/** Per-trigger admission caps, parsed from the readStream options
+  * `maxFilesPerTrigger` / `maxRowsPerTrigger`. */
+final case class StreamReadLimits(
+    maxFiles: Option[Int] = None,
+    maxRows: Option[Long] = None)
+
+object StreamReadLimits {
+  def fromOptions(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StreamReadLimits =
+    StreamReadLimits(
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+}
 
 /** Incremental micro-batch streaming over the snapshot log
   * (SURVEY.md §2.8, §1.1 "Streams"): each committed snapshot is a stream
@@ -30,7 +45,17 @@ final case class GraftOffset(version: Long) extends Offset {
 final class GraftMicroBatchStream(
     store: SnapshotStore,
     readSchema: StructType,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String,
+    limits: StreamReadLimits = StreamReadLimits())
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: the run must stop at the table state observed
+    * at query START (later commits belong to the next run), while still
+    * draining in admission-controlled batches — without this interface
+    * Spark falls back to one Trigger.Once-style mega-batch. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.currentVersion().getOrElse(0L))
 
   /** Streams start at the table's creation: the first batch replays all
     * rows appended since version 0 (i.e. the current content of an
@@ -38,6 +63,81 @@ final class GraftMicroBatchStream(
   override def initialOffset(): Offset = GraftOffset(0L)
 
   override def latestOffset(): Offset =
+    GraftOffset(store.currentVersion().getOrElse(0L))
+
+  // ---- admission control: bound what one trigger admits ----
+  //
+  // A stream catching up on a large backlog (first start against an
+  // existing table, or recovery after downtime) would otherwise plan ONE
+  // batch containing every file ever appended. With maxFilesPerTrigger /
+  // maxRowsPerTrigger the offset range is capped per trigger and the
+  // backlog drains in bounded batches. Granularity is a COMMIT: offsets
+  // are version numbers, so a batch always ends on a commit boundary and
+  // always advances by at least one commit (an oversized single commit
+  // still forms its own batch — progress over strictness, like the file
+  // source). Costing is metadata-only: appended file/row counts come
+  // from the commit's own seq-group manifest rollups (sharded) or file
+  // entries (inline) — no data file is touched.
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = Seq(
+      limits.maxFiles.map(n => ReadLimit.maxFiles(n)),
+      limits.maxRows.map(n => ReadLimit.maxRows(n))).flatten
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** (files, rows) appended by version `v`; rewrites contribute nothing
+    * (planInputPartitions skips them too). Pre-seq-stamp snapshots have
+    * no per-commit attribution — their full file list counts, which
+    * over-costs and closes the batch early (safe direction). */
+  private def appendedCounts(v: Long): (Long, Long) = {
+    val snap = store.read(v)
+    if (snap.operation != "append") return (0L, 0L)
+    if (snap.manifests.nonEmpty) {
+      val own = snap.manifests.filter(_.seq == v)
+      if (own.nonEmpty) (own.map(_.fileCount).sum, own.map(_.rowCount).sum)
+      else (snap.fileCount, snap.dataFileRows) // legacy: no seq groups
+    } else {
+      val own = snap.files.filter(_.seq == v)
+      if (own.nonEmpty) (own.size.toLong, own.map(_.rowCount).sum)
+      else (snap.files.size.toLong, snap.files.map(_.rowCount).sum)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming._
+    val from = start.asInstanceOf[GraftOffset].version
+    val head0 = store.currentVersion().getOrElse(0L)
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
+    if (head <= from) return GraftOffset(from)
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles), None)
+      case r: ReadMaxRows => (None, Some(r.maxRows))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft(
+          (Option.empty[Int], Option.empty[Long])) { case ((f1, r1), (f2, r2)) =>
+          (Seq(f1, f2).flatten.minOption, Seq(r1, r2).flatten.minOption)
+        }
+      case _ => (None, None) // allAvailable / minRows etc.: no cap here
+    }
+    val (maxF, maxR) = caps(limit)
+    if (maxF.isEmpty && maxR.isEmpty) return GraftOffset(head)
+    var files = 0L; var rows = 0L; var end = from
+    store.listVersions().filter(v => v > from && v <= head).sorted.foreach { v =>
+      val (vf, vr) = appendedCounts(v)
+      val over = maxF.exists(m => files + vf > m) ||
+        maxR.exists(m => rows + vr > m)
+      if (end > from && over) return GraftOffset(end)
+      files += vf; rows += vr; end = v
+    }
+    GraftOffset(end)
+  }
+
+  override def reportLatestOffset(): Offset =
     GraftOffset(store.currentVersion().getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =

@@ -98,7 +98,7 @@ class GraftTable(
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapshot, store)
+    new GraftScanBuilder(snapshot, store, StreamReadLimits.fromOptions(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(store)
@@ -274,7 +274,8 @@ class GraftTable(
   * delegated parquet read) and the required column subset. We report no
   * filters as fully pushed, so Spark keeps the Filter node — pruning stays
   * a pure optimization and correctness never depends on stats. */
-class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
+class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
+    streamLimits: StreamReadLimits = StreamReadLimits())
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -568,9 +569,11 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore)
     val vectorized = SparkSession.active.conf
       .getOption("spark.graft.vectorizedReader").forall(_.toBoolean)
     if (vectorized && !wantsFile && snapshot.deleteFiles.isEmpty)
-      new GraftVectorScan(snapshot0, store, snapshot0.schema, required, filters)
+      new GraftVectorScan(snapshot0, store, snapshot0.schema, required,
+        filters, streamLimits)
     else
-      new GraftScan(snapshot0, store, snapshot0.schema, required, filters)
+      new GraftScan(snapshot0, store, snapshot0.schema, required, filters,
+        streamLimits)
   }
 }
 
@@ -634,7 +637,8 @@ class GraftVectorScan(
     private val store: SnapshotStore,
     fullSchema: StructType,
     private val required: StructType,
-    private val filters: Array[Filter])
+    private val filters: Array[Filter],
+    streamLimits: StreamReadLimits = StreamReadLimits())
   extends Scan with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -771,7 +775,8 @@ class GraftVectorScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(store, required, checkpointLocation)
+    new GraftMicroBatchStream(store, required, checkpointLocation,
+      streamLimits)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = prunedFiles.map(_.rowCount).sum
@@ -837,7 +842,8 @@ class GraftScan(
     store: SnapshotStore,
     fullSchema: StructType,
     required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    streamLimits: StreamReadLimits = StreamReadLimits())
   extends V1Scan with SupportsReportStatistics {
 
   // chunk-level (manifest-list) pruning first, then per-file
@@ -859,7 +865,8 @@ class GraftScan(
     * snapshot log (offsets = versions). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(store, required, checkpointLocation)
+    new GraftMicroBatchStream(store, required, checkpointLocation,
+      streamLimits)
 
   /** Snapshot-resident stats → the optimizer's broadcast decisions see real
     * sizes without touching the FS (SURVEY.md §4 "snapshot-based stats");
