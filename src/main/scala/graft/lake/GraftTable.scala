@@ -316,11 +316,22 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
     out.toSeq
   }
 
+  /** Filters over identity partition columns that are EXACTLY decidable
+    * per file (IdentityFilters) are claimed as fully pushed: Spark drops
+    * its re-apply Filter node — the scan enforces them by exact file
+    * selection — and, with no residual filter left in the plan, the
+    * aggregate pushdown below can answer filtered aggregates from
+    * metadata. Everything else stays residual (Spark re-applies). */
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
-    fs // all returned as post-scan filters (Spark re-applies them)
+    val rename = SchemaNames.renameMap(snapshot.schema)
+    val phys = fs.toIndexedSeq.map(SchemaNames.renameFilter(_, rename))
+    exactIdx = IdentityFilters.exactIndices(phys, snapshot)
+    fs.zipWithIndex.filterNot(p => exactIdx.contains(p._2)).map(_._1)
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+  private var exactIdx: Set[Int] = Set.empty
+  override def pushedFilters(): Array[Filter] =
+    filters.zipWithIndex.filter(p => exactIdx.contains(p._2)).map(_._1)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
@@ -357,11 +368,18 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
       : Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    if (filters.nonEmpty) return None
     val s = snapshot
     val hasEq = s.deleteFiles.exists(_.kind == "equality")
     val hasAny = s.deleteFiles.nonEmpty
     val rename = SchemaNames.renameMap(s.schema)
+    // Filters are allowed ONLY when every one is an exactly-decidable
+    // identity-partition predicate (then the matching file subset is
+    // exact and per-file stats aggregate over it); any residual filter
+    // refuses — rows inside files would need scanning.
+    val physAll = filters.toIndexedSeq.map(SchemaNames.renameFilter(_, rename))
+    val exactSet = IdentityFilters.exactIndices(physAll, s)
+    if (exactSet.size != filters.length) return None
+    val unfiltered = filters.isEmpty
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -438,8 +456,9 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
       agg.aggregateExpressions.toIndexedSeq.map {
         case _: CountStar =>
           if (hasEq) return None
-          // grouped: position-delete tuples name files, but DeleteFile
-          // metadata only carries totals — per-group counts unprovable
+          // subset counts (grouped or filtered): position-delete tuples
+          // name files, but DeleteFile metadata only carries totals —
+          // per-subset counts are unprovable under any pending delete
           if (!global && hasAny) return None
           val rows =
             if (global) s.totalRows else files.map(_.rowCount).sum
@@ -484,8 +503,12 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
         case _ => return None
       })
 
+    lazy val baseFiles: Seq[DataFile] =
+      if (unfiltered) s.files
+      else s.files.filter(df => IdentityFilters.matchesAll(df, physAll, s))
+
     if (agg.groupByExpressions.isEmpty) {
-      aggCells(s.files, global = true).map { out =>
+      aggCells(baseFiles, global = unfiltered).map { out =>
         val schema = StructType(out.map { case (n, dt, nullable, _) =>
           StructField(n, dt, nullable) }.toIndexedSeq)
         schema -> Array(out.map(_._4).toArray)
@@ -511,7 +534,7 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
           }
         }
       val grouped: Map[Seq[Any], Seq[DataFile]] =
-        s.files.groupBy { df =>
+        baseFiles.groupBy { df =>
           groupCols.map { case (f, pf, parse) =>
             df.partitionValues.get(pf.name) match {
               case Some(Spj.NullSentinel) => null
@@ -525,7 +548,7 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
             }
           }
         }
-      val aggSchema = aggCells(s.files.take(0), global = false)
+      val aggSchema = aggCells(Seq.empty[DataFile], global = false)
         .getOrElse(return None) // shape probe on the empty subset
       val schema = StructType(
         groupCols.map { case (f, _, _) =>
@@ -644,12 +667,17 @@ class GraftVectorScan(
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // chunk-level (manifest-list) pruning first — only the chunks whose
-  // merged bounds overlap the filters are ever loaded — then per-file
+  // merged bounds overlap the filters are ever loaded — then per-file,
+  // then EXACT selection for the identity-partition filters the builder
+  // claimed as pushed (no residual Filter re-applies those — correctness
+  // depends on this step, not just performance)
   private[lake] lazy val prunedFiles: Seq[DataFile] = {
     val phys = filters.toIndexedSeq.map(
       SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+    val exact = IdentityFilters.exactIndices(phys, snapshot).toSeq.map(phys)
     StatsPruner.prune(store.filesForScan(snapshot, phys), phys,
       snapshot.partitionSpec)
+      .filter(df => IdentityFilters.matchesAll(df, exact, snapshot))
   }
 
   /** Partition-key groups for storage-partitioned joins, when the layout
@@ -742,6 +770,14 @@ class GraftVectorScan(
     val rename = SchemaNames.renameMap(snapshot.schema)
     val physRequired = StructType(required.fields.map(f =>
       f.copy(name = rename.getOrElse(f.name, f.name))))
+    // exact identity-partition filters are enforced by FILE selection
+    // (prunedFiles) and must NOT reach the parquet reader: their column
+    // may be pruned out of the read schema, and parquet record-level
+    // filtering evaluates a missing column as NULL — dropping every row
+    val physAll = filters.toIndexedSeq.map(SchemaNames.renameFilter(_, rename))
+    val exactIdx = IdentityFilters.exactIndices(physAll, snapshot)
+    val residualPhys = physAll.zipWithIndex
+      .filterNot(p => exactIdx.contains(p._2)).map(_._1).toArray
     def uri(f: DataFile): (String, Long) =
       store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes
     keyed match {
@@ -763,13 +799,13 @@ class GraftVectorScan(
             SparkSession.active,
             groups.map { case (row, fs) => row -> fs.map(uri) },
             SchemaNames.toPhysical(fullSchema), physRequired,
-            filters.map(SchemaNames.renameFilter(_, rename)))
+            residualPhys)
       case None =>
         org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
           SparkSession.active,
           currentFiles.map(uri),
           SchemaNames.toPhysical(fullSchema), physRequired,
-          filters.map(SchemaNames.renameFilter(_, rename)))
+          residualPhys)
     }
   }
 
@@ -846,12 +882,15 @@ class GraftScan(
     streamLimits: StreamReadLimits = StreamReadLimits())
   extends V1Scan with SupportsReportStatistics {
 
-  // chunk-level (manifest-list) pruning first, then per-file
+  // chunk-level (manifest-list) pruning first, then per-file, then the
+  // EXACT identity-partition selection backing the builder's pushed claim
   private[lake] lazy val prunedFiles: Seq[DataFile] = {
     val phys = filters.toIndexedSeq.map(
       SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+    val exact = IdentityFilters.exactIndices(phys, snapshot).toSeq.map(phys)
     StatsPruner.prune(store.filesForScan(snapshot, phys), phys,
       snapshot.partitionSpec)
+      .filter(df => IdentityFilters.matchesAll(df, exact, snapshot))
   }
 
   override def readSchema(): StructType = required

@@ -104,7 +104,12 @@ final case class ManifestRef(
     fileCount: Long,
     rowCount: Long,
     sizeBytes: Long,
-    bounds: Map[String, ColumnStats] = Map.empty)
+    bounds: Map[String, ColumnStats] = Map.empty,
+    // partition fields EVERY file in the chunk carries a value for
+    // (intersection of partitionValues key sets) — lets exactness claims
+    // (IdentityFilters) hold without materializing the chunk. Refs
+    // written before this field default to empty = "unknown, refuse".
+    partFields: Seq[String] = Seq.empty)
 
 /** On-disk payload of one manifest chunk. */
 final case class ManifestChunk(files: Seq[DataFile])

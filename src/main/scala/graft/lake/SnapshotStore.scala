@@ -280,7 +280,9 @@ final class SnapshotStore(val tableDir: Path,
       Snapshot.chunkToJson(ManifestChunk(chunk)))
     ManifestRef(s"metadata/manifests/$name", seq, chunk.size,
       chunk.map(_.rowCount).sum, chunk.map(_.sizeBytes).sum,
-      bounds = StatsPruner.mergeBounds(chunk))
+      bounds = StatsPruner.mergeBounds(chunk),
+      partFields = chunk.map(_.partitionValues.keySet)
+        .reduce(_ intersect _).toSeq.sorted)
   }
 
   /** Chunk `files` (already seq-stamped) out by seq group. */

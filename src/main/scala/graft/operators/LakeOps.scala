@@ -475,9 +475,43 @@ object LakeOps {
     df
   }
 
+  /** Filtered metadata aggregates: an exact identity-partition predicate
+    * is claimed as fully pushed, so the filtered+grouped COUNT/MIN/MAX
+    * still answers from file stats with zero data files opened. Fails
+    * loudly unless the plan is metadata-only. */
+  val qMetaFilteredAgg: Q = Q(
+    "q_meta_filtered_agg",
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+              round(min(s_acctbal), 2) AS lo
+       FROM supplier WHERE s_nationkey BETWEEN 5 AND 15
+       GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, d) =>
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.supplier_meta2")
+    s.sql(s"""CREATE TABLE $Cat.verify.supplier_meta2
+              (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+              USING graft PARTITIONED BY (s_nationkey)""")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_src_supplier_m2")
+    s.sql(s"""INSERT INTO $Cat.verify.supplier_meta2
+              SELECT s_suppkey, s_nationkey, s_acctbal
+              FROM graft_src_supplier_m2""")
+    val df = s.sql(
+      s"""SELECT s_nationkey, count(*) AS cnt,
+                 round(min(s_acctbal), 2) AS lo
+          FROM $Cat.verify.supplier_meta2
+          WHERE s_nationkey BETWEEN 5 AND 15
+          GROUP BY s_nationkey ORDER BY s_nationkey""")
+    val shape = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    if (!shape.contains("GraftMetadataAggScan"))
+      throw new IllegalStateException(
+        s"q_meta_filtered_agg expected a metadata-only plan:\n$shape")
+    df
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
-    qLakeExternal, qSpjJoin, qMetaGroupAgg)
+    qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg)
 }

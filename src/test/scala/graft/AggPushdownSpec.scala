@@ -233,4 +233,74 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSet
     assert(got == Set(1, 2, 3, null))
   }
+
+  test("EXACT identity-partition filters push completely: filtered metadata aggs") {
+    // pt (built above): day 1 -> 3 rows, 2 -> 2, 3 -> 1, NULL -> 1
+    val q1 = "SELECT count(*) AS c FROM aggspec.demo.pt WHERE day = 1"
+    assert(plan(q1).contains("GraftMetadataAggScan"), s"not pushed:\n${plan(q1)}")
+    assert(sql(q1).collect().head.getLong(0) == 3)
+    // range + grouped
+    val q2 = """SELECT day, count(*) AS c, min(v) AS lo
+                FROM aggspec.demo.pt WHERE day >= 2 GROUP BY day"""
+    assert(plan(q2).contains("GraftMetadataAggScan"))
+    assert(sql(q2).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      == Map(2 -> 2L, 3 -> 1L))
+    // IS NULL hits the sentinel group
+    val q3 = "SELECT count(*) AS c FROM aggspec.demo.pt WHERE day IS NULL"
+    assert(plan(q3).contains("GraftMetadataAggScan"))
+    assert(sql(q3).collect().head.getLong(0) == 1)
+    // Kleene: NOT(day = 1) excludes the NULL-day row too
+    val q4 = "SELECT count(*) AS c FROM aggspec.demo.pt WHERE NOT (day = 1)"
+    assert(plan(q4).contains("GraftMetadataAggScan"))
+    assert(sql(q4).collect().head.getLong(0) == 3)
+  }
+
+  test("claimed partition filters drop Spark's re-apply Filter node") {
+    sql("""CREATE TABLE aggspec.demo.pfe (day INT, v DOUBLE)
+           USING graft PARTITIONED BY (day)""")
+    sql("""INSERT INTO aggspec.demo.pfe VALUES
+           (1, 1.0), (1, 2.0), (1, 7.5), (2, -3.5), (NULL, 9.0)""")
+    val df = sql("SELECT v FROM aggspec.demo.pfe WHERE day = 1")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Filter"), s"expected no residual filter:\n$opt")
+    assert(df.collect().map(_.getDouble(0)).sorted.sameElements(
+      Array(1.0, 2.0, 7.5)))
+    // mixed: the non-partition conjunct stays residual, result correct
+    val mixed = sql("SELECT v FROM aggspec.demo.pfe WHERE day = 1 AND v > 1.5")
+    assert(mixed.queryExecution.optimizedPlan.toString.contains("Filter"))
+    assert(mixed.collect().map(_.getDouble(0)).sorted.sameElements(
+      Array(2.0, 7.5)))
+  }
+
+  test("filtered aggs refuse: residual filters, string partitions, pending deletes") {
+    // non-partition residual
+    val q1 = "SELECT count(*) AS c FROM aggspec.demo.pt WHERE v > 0"
+    assert(!plan(q1).contains("GraftMetadataAggScan"))
+    assert(sql(q1).collect().head.getLong(0) == 5)
+    // string identity partitions are never claimed (NULL-sentinel ambiguity)
+    val q2 = "SELECT count(*) AS c FROM aggspec.demo.pts WHERE region = 'emea'"
+    assert(!plan(q2).contains("GraftMetadataAggScan"))
+    assert(sql(q2).collect().head.getLong(0) == 2)
+    // pending MOR deletes: subset counts unprovable
+    val q3 = "SELECT count(*) AS c FROM aggspec.demo.ptd WHERE day = 1"
+    assert(!plan(q3).contains("GraftMetadataAggScan"))
+    assert(sql(q3).collect().head.getLong(0) == 1)
+  }
+
+  test("partition evolution refuses exactness for fields old files lack") {
+    sql("""CREATE TABLE aggspec.demo.pev (day INT, k2 INT, v DOUBLE)
+           USING graft PARTITIONED BY (day)""")
+    sql("INSERT INTO aggspec.demo.pev VALUES (1, 10, 1.0), (2, 20, 2.0)")
+    sql("CALL aggspec.system.set_partition_spec('demo.pev', 'k2')")
+    sql("INSERT INTO aggspec.demo.pev VALUES (3, 10, 3.0), (4, 30, 4.0)")
+    // gen-1 files carry no k2 partition value: the filter must stay
+    // residual and the scan must still find the gen-1 k2=10 row
+    val q = "SELECT count(*) AS c FROM aggspec.demo.pev WHERE k2 = 10"
+    assert(!plan(q).contains("GraftMetadataAggScan"))
+    assert(sql(q).collect().head.getLong(0) == 2)
+    val df = sql("SELECT v FROM aggspec.demo.pev WHERE k2 = 10")
+    assert(df.queryExecution.optimizedPlan.toString.contains("Filter"),
+      "k2 must not be claimed as fully pushed across generations")
+    assert(df.collect().map(_.getDouble(0)).sorted.sameElements(Array(1.0, 3.0)))
+  }
 }
