@@ -296,7 +296,12 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
     * but projections sit between LIMIT and the scan, so the
     * filters-empty guard is belt-and-suspenders. */
   override def pushLimit(l: Int): Boolean = {
-    if (filters.isEmpty && snapshot.deleteFiles.isEmpty && l >= 0) {
+    // allowed with no filters, or when EVERY filter is an exact
+    // identity-partition predicate (pushFilters already vetted them):
+    // all rows of every exactly-selected file match, so a row-count
+    // prefix of the MATCHING files covers the limit
+    val exactOnly = exactIdx.size == filters.length
+    if (exactOnly && snapshot.deleteFiles.isEmpty && l >= 0) {
       limit = Some(l)
       true
     } else false
@@ -581,6 +586,18 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
         // refs-aware consumer (fileCount, filesForScan) must see only
         // the truncated files (Snapshot invariant)
         snapshot.copy(files = limitPrefix(store.filesForLimit(snapshot, l), l),
+          manifests = Seq.empty)
+      case Some(l) if exactIdx.size == filters.length &&
+          snapshot.deleteFiles.isEmpty =>
+        // exact-partition-filtered LIMIT: prefix over the MATCHING files
+        // (every row in them satisfies the claimed filters)
+        val rename = SchemaNames.renameMap(snapshot.schema)
+        val exact = filters.toIndexedSeq
+          .map(SchemaNames.renameFilter(_, rename))
+        snapshot.copy(
+          files = limitPrefix(
+            snapshot.files.filter(df =>
+              IdentityFilters.matchesAll(df, exact, snapshot)), l),
           manifests = Seq.empty)
       case _ => snapshot
     }

@@ -154,6 +154,27 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().length == 1)
   }
 
+  test("LIMIT under exact partition filters truncates to matching files") {
+    sql("""CREATE TABLE aggspec.demo.plim (day INT, v INT)
+           USING graft PARTITIONED BY (day)""")
+    // 3 separate inserts -> 3 files for day=1, plus day=2 files
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO aggspec.demo.plim VALUES (1, $i), (2, ${10 + i})"))
+    val FilesPat = """files=(\d+)/(\d+)""".r
+    def scanned(p: String): Int =
+      FilesPat.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    val p = plan("SELECT v FROM aggspec.demo.plim WHERE day = 1 LIMIT 1")
+    assert(scanned(p) == 1,
+      s"LIMIT 1 over day=1 should open one matching file:\n$p")
+    val got = sql("SELECT v FROM aggspec.demo.plim WHERE day = 1 LIMIT 2")
+      .collect().map(_.getInt(0))
+    assert(got.length == 2 && got.forall(v => v >= 0 && v < 3),
+      s"rows must come from day=1: ${got.mkString(",")}")
+    // residual filters still refuse the limit prefix
+    val pr = plan("SELECT v FROM aggspec.demo.plim WHERE v >= 0 LIMIT 1")
+    assert(scanned(pr) == 6, s"residual-filtered LIMIT must not truncate:\n$pr")
+  }
+
   test("group-by over a NON-partition column is NOT pushed") {
     val q = "SELECT grp, count(*) FROM aggspec.demo.t GROUP BY grp"
     assert(!plan(q).contains("GraftMetadataAggScan"))
