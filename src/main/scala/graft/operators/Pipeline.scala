@@ -328,6 +328,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling: per-language keep rates that
+    * UPSAMPLE the rare strata (the data-mixing step of corpus prep —
+    * downweight the dominant language, keep most of everything else).
+    * The keep decision hashes ONLY the document id (md5 → first two hex
+    * chars = 256 buckets, compared lexicographically — hex sorts
+    * correctly), so the sample is reproducible across runs, engines and
+    * partitionings, and adding documents never flips earlier decisions —
+    * unlike rand()-based sampling, this is restartable at 100 TB. Pure
+    * map-side: no shuffle except the output sort. */
+  val qStratifiedSample: Q = Q(
+    "q_stratified_sample",
+    """SELECT doc_id, lang, source,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       FROM documents
+       WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40')
+          OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0')
+       ORDER BY doc_id""") { (s, d) =>
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .filter((col("lang") === "en" && col("bucket") < "40") ||
+        (col("lang") =!= "en" && col("bucket") < "c0"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
-    qDocChunks, qCorpusPrep, qDecontaminate)
+    qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample)
 }
