@@ -214,6 +214,19 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GROUP BY the bucket column aggregates without a shuffle") {
+    // KeyGroupedPartitioning satisfies the aggregation's clustering too:
+    // per-key groups are complete, so partial+final collapse in place
+    val q = """SELECT id, count(*) AS c, sum(v) AS s
+               FROM spjspec.db.facts GROUP BY id"""
+    val expected = sql(q).collect().map(_.toString).sorted
+    withConf(spjOn: _*) {
+      val df = sql(q)
+      assert(shuffleCount(finalPlan(df)) == 0, finalPlan(df).toString)
+      assert(df.collect().map(_.toString).sorted.sameElements(expected))
+    }
+  }
+
   test("days-partitioned tables join shuffle-free on the timestamp column") {
     sql("""CREATE TABLE spjspec.db.ev_l (ts TIMESTAMP, n BIGINT)
            USING iceberg PARTITIONED BY (days(ts))""")
