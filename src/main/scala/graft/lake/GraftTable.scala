@@ -681,6 +681,7 @@ class GraftVectorScan(
     streamLimits: StreamReadLimits = StreamReadLimits())
   extends Scan with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // chunk-level (manifest-list) pruning first — only the chunks whose
@@ -755,6 +756,40 @@ class GraftVectorScan(
 
   override def readSchema(): StructType = required
 
+  /** Columns (LOGICAL names) every pruned file is stamped sorted by —
+    * the write path's clustered append sets DataFile.sortedBy; any file
+    * from a non-sorting rewrite has it empty and kills the claim. Only
+    * reported when the columns survive projection (resolution against
+    * the scan output THROWS otherwise, same as SPJ keys). */
+  private lazy val orderedBy: Seq[String] = {
+    val fs = prunedFiles
+    if (fs.isEmpty) Seq.empty
+    else {
+      val stamps = fs.map(_.sortedBy).distinct
+      if (stamps.size != 1 || stamps.head.isEmpty) Seq.empty
+      else {
+        val physToLogical =
+          SchemaNames.renameMap(snapshot.schema).map(_.swap)
+        val logical = stamps.head.map(p => physToLogical.getOrElse(p, p))
+        if (logical.forall(required.fieldNames.contains)) logical
+        else Seq.empty
+      }
+    }
+  }
+
+  /** Per-partition sort order: with SPJ (one file per key group after
+    * compaction) Spark skips the sort-merge join's per-partition sorts
+    * entirely — zero shuffles AND zero sorts. Honoring this requires
+    * each input partition's rows to BE sorted, which [[buildBatch]]
+    * guarantees by planning one partition per FILE when a claim exists
+    * (splits of one file stay together, in offset order). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    orderedBy.map(c => Expressions.sort(
+      Expressions.column(c), SortDirection.ASCENDING)).toArray
+  }
+
   /** Reported layout → Spark plans co-partitioned joins WITHOUT a
     * shuffle (gated upstream by spark.sql.sources.v2.bucketing.enabled;
     * reporting when the gate is off costs nothing). */
@@ -816,13 +851,22 @@ class GraftVectorScan(
             SparkSession.active,
             groups.map { case (row, fs) => row -> fs.map(uri) },
             SchemaNames.toPhysical(fullSchema), physRequired,
-            residualPhys)
+            residualPhys,
+            perFilePartitions = orderedBy.nonEmpty)
       case None =>
-        org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
-          SparkSession.active,
-          currentFiles.map(uri),
-          SchemaNames.toPhysical(fullSchema), physRequired,
-          residualPhys)
+        if (orderedBy.nonEmpty)
+          org.apache.spark.sql.graftbridge.ParquetScanBridge
+            .vectorizedPerFileBatch(
+              SparkSession.active,
+              currentFiles.map(uri),
+              SchemaNames.toPhysical(fullSchema), physRequired,
+              residualPhys)
+        else
+          org.apache.spark.sql.graftbridge.ParquetScanBridge.vectorizedBatch(
+            SparkSession.active,
+            currentFiles.map(uri),
+            SchemaNames.toPhysical(fullSchema), physRequired,
+            residualPhys)
     }
   }
 

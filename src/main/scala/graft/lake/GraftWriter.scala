@@ -100,6 +100,17 @@ object GraftWriter {
           list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
             .map(c => col(physical(c)))
       }
+      // physical sort columns when the order is a PLAIN list — these get
+      // stamped on the written files (DataFile.sortedBy): rows are sorted
+      // by (partition cols, sort keys) and the partition tuple is
+      // constant within a file, so each file is sorted by the keys.
+      // zorder files are clustered on the Morton key, not column-sorted.
+      val plainSortCols: Seq[String] = orderSpec match {
+        case "" => Seq.empty
+        case ZOrderPat(_) => Seq.empty
+        case list => list.split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.map(physical)
+      }
       // Write distribution (`graft.write.distribution-mode`, Iceberg's
       // write.distribution-mode): without it, every task writes a file per
       // partition value it happens to hold — T tasks × P values small
@@ -249,7 +260,8 @@ object GraftWriter {
         DataFile(s"data/$newName", cnt, size, pvs, stats,
           blooms = bloomsByFile.getOrElse(p.getFileName.toString, Map.empty),
           ndv = ndvByFile.getOrElse(p.getFileName.toString, Map.empty),
-          seq = Snapshot.UnassignedSeq)
+          seq = Snapshot.UnassignedSeq,
+          sortedBy = plainSortCols)
       }
     } finally store.io.deleteTree(staging)
   }

@@ -41,7 +41,13 @@ final case class DataFile(
     stats: Map[String, ColumnStats],
     blooms: Map[String, String] = Map.empty,
     ndv: Map[String, String] = Map.empty,
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // physical columns the file's rows are KNOWN to be sorted by
+    // (ascending, nulls first) — stamped only by the clustered append
+    // writer; rewrite paths that do not re-sort leave it empty, so a
+    // sort-order claim (SupportsReportOrdering) never survives an
+    // unsorted rewrite. Old snapshots default to empty = no claim.
+    sortedBy: Seq[String] = Seq.empty)
 
 /** One immutable position-delete file (merge-on-read DELETE): a parquet
   * file with columns `(file_path STRING, pos BIGINT)` naming rows of DATA

@@ -63,7 +63,8 @@ object ParquetScanBridge {
       groups: Seq[(InternalRow, Seq[(String, Long)])], // key -> (path, size)
       dataSchema: StructType,
       readSchema: StructType,
-      filters: Array[Filter]): Batch = {
+      filters: Array[Filter],
+      perFilePartitions: Boolean = false): Batch = {
     val inner = vectorizedBatch(
       spark, groups.flatMap(_._2), dataSchema, readSchema, filters)
     new Batch {
@@ -82,14 +83,27 @@ object ParquetScanBridge {
             case Some(k) => k
             case None => return innerParts // unmappable path: serve unkeyed
           })
-        val openCost = spark.sessionState.conf.filesOpenCostInBytes
-        val maxSplit = FilePartition.maxSplitBytes(spark,
-          splits.map(_.length + openCost).sum)
-        val parts = byKey.toSeq.flatMap { case (key, pfs) =>
-          FilePartition
-            .getFilePartitions(spark, pfs.sortBy(-_.length).toSeq, maxSplit)
-            .map(fp => KeyedFilePartition(fp, key))
-        }
+        val parts: Seq[KeyedFilePartition] =
+          if (perFilePartitions)
+            // sorted-scan mode: one partition per FILE, its splits in
+            // offset order — a partition's rows then ARE in file order,
+            // which the reported SortOrder promises
+            byKey.toSeq.flatMap { case (key, pfs) =>
+              pfs.groupBy(_.toPath.toString).toSeq.map { case (_, sp) =>
+                KeyedFilePartition(
+                  FilePartition(0, sp.sortBy(_.start)), key)
+              }
+            }
+          else {
+            val openCost = spark.sessionState.conf.filesOpenCostInBytes
+            val maxSplit = FilePartition.maxSplitBytes(spark,
+              splits.map(_.length + openCost).sum)
+            byKey.toSeq.flatMap { case (key, pfs) =>
+              FilePartition
+                .getFilePartitions(spark, pfs.sortBy(-_.length).toSeq, maxSplit)
+                .map(fp => KeyedFilePartition(fp, key))
+            }
+          }
         // re-index: per-group packing restarts indices at 0 in each group
         parts.zipWithIndex.map { case (p, i) =>
           p.copy(delegate = FilePartition(i, p.delegate.files))
@@ -98,6 +112,32 @@ object ParquetScanBridge {
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new KeyedReaderFactory(inner.createReaderFactory())
+    }
+  }
+
+  /** Unkeyed per-file planning for sorted scans (same guarantee as the
+    * keyed variant's perFilePartitions mode). */
+  def vectorizedPerFileBatch(
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      dataSchema: StructType,
+      readSchema: StructType,
+      filters: Array[Filter]): Batch = {
+    val inner = vectorizedBatch(spark, files, dataSchema, readSchema, filters)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val innerParts = inner.planInputPartitions()
+        val splits = innerParts.flatMap {
+          case fp: FilePartition => fp.files
+          case _ => return innerParts
+        }
+        splits.groupBy(_.toPath.toString).toSeq.zipWithIndex.map {
+          case ((_, sp), i) =>
+            FilePartition(i, sp.sortBy(_.start)): InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        inner.createReaderFactory()
     }
   }
 }
