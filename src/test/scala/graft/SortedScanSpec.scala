@@ -128,6 +128,26 @@ class SortedScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compaction re-sorts through the clustered writer and keeps the stamp") {
+    import java.nio.file.Paths
+    sql("""CREATE TABLE sortspec.db.e (id BIGINT, v BIGINT)
+           USING iceberg TBLPROPERTIES ('graft.sort-order' = 'id')""")
+    // two small sorted files, then compact: the rewrite flows through
+    // GraftWriter.writeFiles, which re-clusters by the declared order —
+    // so the compacted file is sorted AND stamped, restoring claims
+    spark.range(0, 300).selectExpr("id", "id AS v")
+      .writeTo("sortspec.db.e").append()
+    spark.range(300, 600).selectExpr("id", "id AS v")
+      .writeTo("sortspec.db.e").append()
+    val store = new SnapshotStore(Paths.get(wh, "db", "e"))
+    assert(store.head().get.files.forall(_.sortedBy == Seq("id")))
+    Maintenance.compact(store = store, spark = spark)
+    val after = store.head().get.files
+    assert(after.size == 1 && after.forall(_.sortedBy == Seq("id")),
+      s"compaction must keep the sort stamp: ${after.map(_.sortedBy)}")
+    assert(sql("SELECT count(*) FROM sortspec.db.e").head().getLong(0) == 600)
+  }
+
   test("ORDER BY the sort column needs no SortExec on a single-file scan") {
     sql("""CREATE TABLE sortspec.db.s (id BIGINT, v BIGINT)
            USING iceberg TBLPROPERTIES ('graft.sort-order' = 'id')""")
