@@ -97,14 +97,21 @@ final class GraftMicroBatchStream(
   private def appendedCounts(v: Long): (Long, Long) = {
     val snap = store.read(v)
     if (snap.operation != "append") return (0L, 0L)
-    if (snap.manifests.nonEmpty) {
+    // legacy = pre-seq-stamping snapshot (seq defaults to 0, which a
+    // stamped chain never produces) — same detection planInputPartitions
+    // uses. A stamped append with NO files of its own seq is a genuinely
+    // EMPTY append (INSERT matching zero rows) and costs nothing; only
+    // legacy snapshots over-cost with their whole list (safe direction).
+    val legacy =
+      if (snap.manifests.nonEmpty) snap.manifests.exists(_.seq == 0L)
+      else snap.files.exists(_.seq == 0L)
+    if (legacy) (snap.fileCount, snap.dataFileRows)
+    else if (snap.manifests.nonEmpty) {
       val own = snap.manifests.filter(_.seq == v)
-      if (own.nonEmpty) (own.map(_.fileCount).sum, own.map(_.rowCount).sum)
-      else (snap.fileCount, snap.dataFileRows) // legacy: no seq groups
+      (own.map(_.fileCount).sum, own.map(_.rowCount).sum)
     } else {
       val own = snap.files.filter(_.seq == v)
-      if (own.nonEmpty) (own.size.toLong, own.map(_.rowCount).sum)
-      else (snap.files.size.toLong, snap.files.map(_.rowCount).sum)
+      (own.size.toLong, own.map(_.rowCount).sum)
     }
   }
 

@@ -510,7 +510,10 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
 
     lazy val baseFiles: Seq[DataFile] =
       if (unfiltered) s.files
-      else s.files.filter(df => IdentityFilters.matchesAll(df, physAll, s))
+      // chunk-bounds pruning first: the filtered metadata agg on a
+      // sharded table loads only the chunks the filters can touch
+      else store.filesForScan(s, physAll)
+        .filter(df => IdentityFilters.matchesAll(df, physAll, s))
 
     if (agg.groupByExpressions.isEmpty) {
       aggCells(baseFiles, global = unfiltered).map { out =>
@@ -590,13 +593,15 @@ class GraftScanBuilder(snapshot: Snapshot, store: SnapshotStore,
       case Some(l) if exactIdx.size == filters.length &&
           snapshot.deleteFiles.isEmpty =>
         // exact-partition-filtered LIMIT: prefix over the MATCHING files
-        // (every row in them satisfies the claimed filters)
+        // (every row in them satisfies the claimed filters). Chunk-bounds
+        // pruning first — a sharded table loads only the chunks the
+        // filters can touch, never the full lazy list
         val rename = SchemaNames.renameMap(snapshot.schema)
         val exact = filters.toIndexedSeq
           .map(SchemaNames.renameFilter(_, rename))
         snapshot.copy(
           files = limitPrefix(
-            snapshot.files.filter(df =>
+            store.filesForScan(snapshot, exact).filter(df =>
               IdentityFilters.matchesAll(df, exact, snapshot)), l),
           manifests = Seq.empty)
       case _ => snapshot
@@ -684,19 +689,30 @@ class GraftVectorScan(
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
+  // Physically-renamed filters and the vetted exact subset, computed
+  // ONCE per scan — prunedFiles and buildBatch must agree with the
+  // builder's pushed-claim split (same deterministic inputs) or rows
+  // leak past a dropped Filter node.
+  private lazy val physFilters: IndexedSeq[Filter] =
+    filters.toIndexedSeq.map(
+      SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
+  private lazy val exactPhysIdx: Set[Int] =
+    IdentityFilters.exactIndices(physFilters, snapshot)
+  private lazy val exactPhys: Seq[Filter] =
+    exactPhysIdx.toSeq.map(physFilters)
+  private lazy val residualPhys: Array[Filter] =
+    physFilters.zipWithIndex
+      .filterNot(p => exactPhysIdx.contains(p._2)).map(_._1).toArray
+
   // chunk-level (manifest-list) pruning first — only the chunks whose
   // merged bounds overlap the filters are ever loaded — then per-file,
   // then EXACT selection for the identity-partition filters the builder
   // claimed as pushed (no residual Filter re-applies those — correctness
   // depends on this step, not just performance)
-  private[lake] lazy val prunedFiles: Seq[DataFile] = {
-    val phys = filters.toIndexedSeq.map(
-      SchemaNames.renameFilter(_, SchemaNames.renameMap(snapshot.schema)))
-    val exact = IdentityFilters.exactIndices(phys, snapshot).toSeq.map(phys)
-    StatsPruner.prune(store.filesForScan(snapshot, phys), phys,
+  private[lake] lazy val prunedFiles: Seq[DataFile] =
+    StatsPruner.prune(store.filesForScan(snapshot, physFilters), physFilters,
       snapshot.partitionSpec)
-      .filter(df => IdentityFilters.matchesAll(df, exact, snapshot))
-  }
+      .filter(df => IdentityFilters.matchesAll(df, exactPhys, snapshot))
 
   /** Partition-key groups for storage-partitioned joins, when the layout
     * is soundly reportable (see [[Spj.keyed]]). */
@@ -762,7 +778,14 @@ class GraftVectorScan(
     * reported when the columns survive projection (resolution against
     * the scan output THROWS otherwise, same as SPJ keys). */
   private lazy val orderedBy: Seq[String] = {
-    val fs = prunedFiles
+    // opt-in: honoring an order forces ONE partition per file (no split
+    // packing, no sub-file parallelism) — only pay that when sorted
+    // plans are requested; the conf is the same one Spark gates
+    // SPJ-with-ordering on
+    val wantsSorted = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.sorting.enabled", "false")
+      .toBoolean
+    val fs = if (wantsSorted) prunedFiles else Seq.empty
     if (fs.isEmpty) Seq.empty
     else {
       val stamps = fs.map(_.sortedBy).distinct
@@ -826,10 +849,7 @@ class GraftVectorScan(
     // (prunedFiles) and must NOT reach the parquet reader: their column
     // may be pruned out of the read schema, and parquet record-level
     // filtering evaluates a missing column as NULL — dropping every row
-    val physAll = filters.toIndexedSeq.map(SchemaNames.renameFilter(_, rename))
-    val exactIdx = IdentityFilters.exactIndices(physAll, snapshot)
-    val residualPhys = physAll.zipWithIndex
-      .filterNot(p => exactIdx.contains(p._2)).map(_._1).toArray
+    // (residualPhys, shared lazy val above, excludes them)
     def uri(f: DataFile): (String, Long) =
       store.tableDir.resolve(f.path).toUri.toString -> f.sizeBytes
     keyed match {

@@ -53,12 +53,21 @@ object IdentityFilters {
   }
 
   /** True iff `file` definitely satisfies every filter (callers pass only
-    * filters vetted by [[exactIndices]]). */
+    * filters vetted by [[exactIndices]]). A file missing a vetted value
+    * (possible only if a carrier rollup lies) is KEPT — extra rows are
+    * the not-wrong direction when the claim already dropped the residual
+    * filter. */
   def matchesAll(file: DataFile, exact: Seq[Filter], snapshot: Snapshot)
       : Boolean = {
     if (exact.isEmpty) return true
     val parsers = domainParsers(snapshot)
-    exact.forall(f => eval(file, f, parsers).contains(true))
+    exact.forall(f =>
+      try eval(file, f, parsers).contains(true)
+      catch { case MissingValue => true })
+  }
+
+  private object MissingValue extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
   }
 
   // ---------- typed domain ----------
@@ -169,10 +178,8 @@ object IdentityFilters {
         case Some(Spj.NullSentinel) => None
         case Some(v) => Some(parse(v))
         // vetted fields always carry a value; if one slips through,
-        // keeping the file is the not-wrong direction (extra rows would
-        // leak ONLY if the claim was made, which the carrier check
-        // prevents — this arm is pure defense)
-        case None => Some(Long.MinValue)
+        // abort this filter's evaluation — matchesAll keeps the file
+        case None => throw MissingValue
       }
     }
     def liftCmp(attr: String, v: Any, keep: Int => Boolean): Option[Boolean] = {

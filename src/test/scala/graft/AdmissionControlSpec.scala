@@ -71,6 +71,33 @@ class AdmissionControlSpec extends AnyFunSuite {
       ReadLimit.maxFiles(10), ReadLimit.maxRows(200)))) == 2)
   }
 
+  test("sharded snapshots cost batches from seq-group manifest rollups") {
+    // 70 files/append > InlineMaxFiles(64): snapshots page out to
+    // manifest chunks, and the cap must be computed from the per-seq
+    // rollups without materializing any file list
+    val store = buildStore(appends = 3, filesPer = 70, rowsPer = 10)
+    assert(store.head().get.manifests.nonEmpty, "expected a sharded table")
+    val s = stream(store)
+    assert(latest(s, 0, ReadLimit.maxFiles(70)) == 2)
+    assert(latest(s, 2, ReadLimit.maxFiles(140)) == 4)
+    assert(latest(s, 0, ReadLimit.maxRows(700)) == 2)
+    assert(latest(s, 0, ReadLimit.allAvailable()) == 4)
+  }
+
+  test("an EMPTY stamped append costs nothing (only legacy over-costs)") {
+    val store = buildStore(appends = 2, filesPer = 2, rowsPer = 100)
+    // v4: an append that added zero files (INSERT matching no rows)
+    store.commitAppend(Seq.empty) { (p, st) =>
+      p.copy(timestampMs = 9, operation = "append")
+    }
+    val s = stream(store)
+    // window (0..4] under a 2-file cap: v1(create)+v2 fill the cap; the
+    // NEXT trigger from v2 must take v3 AND the free empty v4 together —
+    // an empty commit must never close a batch on its own
+    assert(latest(s, 0, ReadLimit.maxFiles(2)) == 2)
+    assert(latest(s, 2, ReadLimit.maxFiles(2)) == 4)
+  }
+
   test("backlog drains in bounded AvailableNow batches via readStream options") {
     val spark = SparkSpec.session
     val wh = Files.createTempDirectory("graft-adm-wh").toString
