@@ -21,17 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw int64 nanos
-    * (legacy.parquet.nanosAsLong) and convert to a microsecond timestamp.
-    * ns→µs truncation is harmless for the declared queries (hour/day
-    * bucketing). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read
+    * as raw int64 nanos (legacy.parquet.nanosAsLong) — and as plain
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ). Normalize
+    * both to a session-zone TIMESTAMP column so every downstream query and
+    * its DuckDB oracle see one type. ns→µs truncation is harmless for the
+    * declared queries (hour/day bucketing). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
       // integer DIV: `/` is double division and drifts ±1us at e18 nanos
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      // TIMESTAMP_NTZ → TIMESTAMP: sessions run UTC, so the instant is
+      // unchanged and pre-existing comparisons/literals keep their meaning
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

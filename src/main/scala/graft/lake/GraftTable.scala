@@ -914,17 +914,22 @@ class GraftVectorScan(
     * filter to `true` (the same reason Iceberg's SparkScan defines
     * equality). Runtime-filter state is deliberately excluded: two scans
     * planned alike are interchangeable, and BatchScanExec compares its
-    * own runtimeFilters separately. */
+    * own runtimeFilters separately. The BRANCH is part of identity:
+    * branch chains share tableDir with independent version numbers, so
+    * main-chain v3 and branch-chain v3 hold different file sets and must
+    * never be substituted for each other by exchange/stage reuse. */
   override def equals(other: Any): Boolean = other match {
     case o: GraftVectorScan =>
       store.tableDir == o.store.tableDir &&
+        store.branch == o.store.branch &&
         snapshot.version == o.snapshot.version &&
         required == o.required &&
         filters.toSeq == o.filters.toSeq
     case _ => false
   }
   override def hashCode(): Int =
-    (store.tableDir, snapshot.version, required, filters.toSeq).hashCode()
+    (store.tableDir, store.branch, snapshot.version, required,
+      filters.toSeq).hashCode()
 }
 
 /** The stable Batch for [[GraftVectorScan]]: value-equal when the owning

@@ -403,8 +403,12 @@ object GraftWriter {
             "added-files" -> stamped.size.toString,
             "added-records" -> addedRows.toString,
             "total-files" -> (p.fileCount + stamped.size).toString,
+            // position-delete tuples only: an equality tuple kills 0..N
+            // rows, so its rowCount is not a row count — matching
+            // Snapshot.totalRows and the overwrite path
             "total-records" -> (p.dataFileRows + addedRows -
-              p.deleteFiles.map(_.rowCount).sum).toString))
+              p.deleteFiles.filter(_.kind == "position")
+                .map(_.rowCount).sum).toString))
       }
   }
 }

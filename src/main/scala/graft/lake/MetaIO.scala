@@ -71,9 +71,11 @@ object LocalMetaIO extends MetaIO {
 
   override def replaceAtomic(p: Path, content: String): Unit = {
     val tmp = Files.createTempFile(p.getParent, ".r", ".tmp")
-    Files.writeString(tmp, content, UTF_8)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.writeString(tmp, content, UTF_8)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def write(p: Path, content: String): Unit =

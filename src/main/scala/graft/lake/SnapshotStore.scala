@@ -410,15 +410,8 @@ object SnapshotStore {
   private[lake] def loadChunks(tableDir: Path, refs: Seq[ManifestRef],
       io: MetaIO = LocalMetaIO): Seq[DataFile] =
     if (refs.isEmpty) Seq.empty
-    else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence(refs.map(r => Future {
-          loadChunk(tableDir.resolve(r.path), io)
-        })), Duration.Inf).flatten
-    }
+    else MetaPool.mapAll(refs, s"manifest chunk load for $tableDir")(r =>
+      loadChunk(tableDir.resolve(r.path), io)).flatten
 }
 
 /** `Snapshot.files` of a READ sharded snapshot: materializes the chunk

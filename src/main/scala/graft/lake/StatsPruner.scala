@@ -218,16 +218,11 @@ object StatsPruner {
       // O(files / cores) instead of one driver core walking every file.
       // Chunk size derives from the core count (2 chunks per core for
       // stragglers), floored so tiny chunks don't drown in task overhead.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val cores = Runtime.getRuntime.availableProcessors()
       val chunkSize = math.max(512, files.size / (cores * 2) + 1)
       val chunks = files.grouped(chunkSize).toSeq
-      Await.result(
-        Future.sequence(chunks.map(c => Future {
-          c.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))
-        })), Duration.Inf).flatten
+      MetaPool.mapAll(chunks, s"stats prune of ${files.size} files")(c =>
+        c.filter(f => filters.forall(flt => mightMatch(f, flt, spec)))).flatten
     }
 
   /** Rename-aware variant: file stats and partition sources are keyed by

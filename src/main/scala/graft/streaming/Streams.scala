@@ -25,15 +25,25 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema with ts as raw int64 nanos (parquet TIMESTAMP(NANOS) —
-    * see Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema with ts as parquet physically stored it — the fixture
+    * has shipped as both TIMESTAMP(NANOS) (readable only as raw int64
+    * nanos) and TIMESTAMP(MICROS) NTZ (see Tables.events). A streaming
+    * source needs the schema up front, so probe it with a one-off batch
+    * footer read and normalize ts to a session-zone TIMESTAMP the same way
+    * the batch loader does — declaring the WRONG physical type here would
+    * silently read micros as nanos and compress a month of event time
+    * 1000-fold. */
+  private def rawSchema(spark: SparkSession, sfDir: String): StructType = {
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** File-based stream over the events parquet: each file = a micro-batch
     * (the snapshot-log streaming pattern: commits arrive as new files).
@@ -41,12 +51,18 @@ object Streams {
     * through a per-sfDir symlink dir. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = rawSchema(spark, sfDir)
     val dir = streamDirFor(sfDir)
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .parquet(dir)
+    schema("ts").dataType match {
       // integer DIV: `/` is double division and drifts ±1us at e18 nanos
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      // NTZ → session-zone TIMESTAMP: sessions run UTC, instant unchanged
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private val streamDirs = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -201,4 +201,82 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // but a third upsert would push it below the true count)
     assert(est == 10L, s"numRows estimate subtracted eq-delete tuples: $est")
   }
+
+  // --- round-4 ADVICE pins ---
+
+  test("branch scans never compare equal to main-chain scans (scan reuse)") {
+    sql("CREATE TABLE advreg.t.brscan (id INT, v STRING) USING iceberg")
+    sql("INSERT INTO advreg.t.brscan VALUES (1, 'a')")
+    sql("CALL advreg.system.create_branch('t.brscan', 'b')")
+    // advance BOTH chains to the same version with different file sets
+    sql("INSERT INTO advreg.t.brscan.branch_b VALUES (100, 'branch')")
+    sql("INSERT INTO advreg.t.brscan VALUES (2, 'main')")
+
+    val main = new SnapshotStore(Paths.get(wh, "t", "brscan"))
+    val branch = main.branchStore("b")
+    val (ms, bs) = (main.head().get, branch.head().get)
+    assert(ms.version == bs.version,
+      s"test setup: chains diverged (${ms.version} vs ${bs.version})")
+    def scan(snap: Snapshot, st: SnapshotStore) =
+      new GraftVectorScan(snap, st, snap.schema, snap.schema, Array.empty)
+    // same tableDir + version + projection + filters, different branch:
+    // MUST differ, or Spark's sameResult-driven reuse swaps their results
+    assert(scan(ms, main) != scan(bs, branch),
+      "main-chain and branch scans at the same version compare equal")
+    assert(scan(ms, main) == scan(ms, main), "self-equality lost")
+    // end-to-end: two identically-shaped scalar subqueries differing only
+    // in branch — ReuseSubquery folds them into one if the scans compare
+    // equal, returning the main sum for both
+    val r = sql("""SELECT (SELECT sum(id) FROM advreg.t.brscan),
+                          (SELECT sum(id) FROM advreg.t.brscan.branch_b)""")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == (3L, 101L),
+      s"branch subquery answered from the main chain: $r")
+  }
+
+  test("replaceAtomic leaves no tmp file behind when the move fails") {
+    val dir = Files.createTempDirectory("graft-replat")
+    // a non-empty DIRECTORY target makes the atomic move throw after the
+    // tmp file has been written — the failure path the finally must cover
+    val target = dir.resolve("ref.json")
+    Files.createDirectory(target)
+    Files.writeString(target.resolve("occupant"), "x")
+    intercept[Exception] { LocalMetaIO.replaceAtomic(target, "content") }
+    val strays = LocalMetaIO.list(dir).map(_.getFileName.toString)
+      .filter(_.endsWith(".tmp"))
+    assert(strays.isEmpty, s"stray tmp files after failed replace: $strays")
+  }
+
+  test("append summary total-records matches totalRows with eq-deletes pending") {
+    import spark.implicits._
+    sql("CREATE TABLE advreg.t.sumeq (k INT, v STRING) USING iceberg")
+    sql("INSERT INTO advreg.t.sumeq VALUES (1,'a'), (2,'b'), (3,'c')")
+    val store = new SnapshotStore(Paths.get(wh, "t", "sumeq"))
+    // upsert leaves equality-delete files whose rowCount is a TUPLE count
+    Upsert.into(spark, store, Seq((1, "a2"), (2, "b2")).toDF("k", "v"), Seq("k"))
+    sql("INSERT INTO advreg.t.sumeq VALUES (4,'d')")
+    val snap = store.head().get
+    assert(snap.deleteFiles.exists(_.kind == "equality"),
+      "test setup: no equality deletes pending")
+    val summarized = snap.summary("total-records").toLong
+    assert(summarized == snap.totalRows,
+      s"append summary says $summarized, totalRows says ${snap.totalRows}")
+    // and the live count is what SQL sees
+    val live = sql("SELECT count(*) FROM advreg.t.sumeq").collect().head.getLong(0)
+    assert(live == 4L, s"expected 4 live rows, got $live")
+  }
+
+  test("MetaPool.mapAll preserves order and propagates worker failures") {
+    val out = MetaPool.mapAll(1 to 100, "order check")(i => i * 2)
+    assert(out == (2 to 200 by 2).toSeq)
+    val e = intercept[Exception] {
+      MetaPool.mapAll(Seq(1, 2, 3), "failure check") { i =>
+        if (i == 2) sys.error("backend exploded") else i
+      }
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("backend exploded")), s"got: ${msgs(e)}")
+  }
 }
