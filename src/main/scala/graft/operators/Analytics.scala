@@ -219,20 +219,45 @@ object Analytics {
   }
 
   /** Exact percentiles (median/p90) per group — linear interpolation,
-    * matching DuckDB's quantile_cont. The exact form sorts per group; at
-    * 100 TB you'd swap in approx_percentile (t-digest, mergeable) — same
-    * call site, declared alongside in TypedOps.qApproxDistinct's spirit. */
+    * matching DuckDB's quantile_cont, computed by RANK rather than by
+    * materializing each group's values: `percentile()` holds every value
+    * of a group in one aggregation buffer (OOM at 100 TB); here the heavy
+    * pass is a map-side-combinable count per (group, value), the ordered
+    * cumulative-rank window runs over DISTINCT values only (externally
+    * sorted, spillable), and the interpolation endpoints fall out of a
+    * rank-range test. Exact to the last bit, no O(group) driver or buffer
+    * state. The t-digest twin below stays the one-pass sketch alternative
+    * when even the distinct-value sort is unwanted. */
   val qPercentiles: Q = Q(
     "q_percentiles",
     """SELECT l_returnflag,
               round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
               round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
-    Tables.lineitem(s, d)
+    val byVal = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy("x")
+    val ranked = byVal
+      .withColumn("hi_rk", sum("cnt").over(w))
+      .withColumn("lo_rk", col("hi_rk") - col("cnt") + 1)
+    val totals = byVal.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+    // quantile_cont: 1-based position 1 + q(n-1); the value(s) whose rank
+    // range covers floor/ceil contribute the interpolation weights (a
+    // single row covering both contributes (1-frac)+frac = its value)
+    def contrib(q: Double) = {
+      val pos = lit(1.0) + lit(q) * (col("n") - lit(1.0))
+      val lo = floor(pos)
+      val frac = pos - lo
+      when(col("lo_rk") <= lo && lo <= col("hi_rk"),
+          col("x") * (lit(1.0) - frac)).otherwise(lit(0.0)) +
+        when(col("lo_rk") <= ceil(pos) && ceil(pos) <= col("hi_rk"),
+          col("x") * frac).otherwise(lit(0.0))
+    }
+    ranked.join(broadcast(totals), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+      .agg(round(sum(contrib(0.5)), 2).as("p50"),
+        round(sum(contrib(0.9)), 2).as("p90"))
       .orderBy("l_returnflag")
   }
 
