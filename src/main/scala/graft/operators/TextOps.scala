@@ -153,14 +153,66 @@ object TextOps {
     * stats. The sets themselves feed near-dup overlap joins (share a
     * fingerprint ⇒ share a ≥23-char substring); here the deterministic
     * per-doc summary is the declared surface, property-tested in
-    * TextOpsSpec. Rows-only (polynomial rolling hash has no DuckDB twin). */
-  val qWinnowFingerprint: Q = Q.noOracle("q_winnow_fingerprint") { (s, d) =>
+    * TextOpsSpec.
+    *
+    * The DuckDB twin reproduces the polynomial hash EXACTLY: the rolling
+    * recurrence is just the k-gram polynomial sum_{j} cp_j * B^(k-1-j)
+    * in wrapping 64-bit arithmetic, so the oracle precomputes B^e mod 2^64
+    * as HUGEINT literals, sums cp * weight per k-gram, reduces mod 2^64,
+    * winnows per disjoint 16-gram window, and two's-complements back to
+    * the signed BIGINT Spark emits. Java's Character.isLetterOrDigit is
+    * \p{L}+\p{Nd} over BMP codepoints (the corpus has no astral chars, so
+    * UTF-16 units == codepoints). */
+  val qWinnowFingerprint: Q = Q(
+    "q_winnow_fingerprint",
+    """WITH norm AS (
+         SELECT doc_id, regexp_replace(lower(text), '[^\p{L}\p{Nd}]', '', 'g') AS s
+         FROM documents),
+       chars AS (
+         SELECT doc_id, u.i AS pos, unicode(substr(s, u.i, 1))::HUGEINT AS cp
+         FROM norm, unnest(range(1, length(s) + 1)) AS u(i)),
+       pw AS (
+         SELECT * FROM (VALUES
+           (0, 12924618581234127435::HUGEINT),
+           (1, 10923514805226455897::HUGEINT),
+           (2, 14453212906556403763::HUGEINT),
+           (3, 14003818205314896721::HUGEINT),
+           (4, 1000009000027000027::HUGEINT),
+           (5, 1000006000009::HUGEINT),
+           (6, 1000003::HUGEINT),
+           (7, 1::HUGEINT)) AS v(j, p)),
+       grams AS (
+         -- sign-convert BEFORE winnowing: the engine's per-window min is a
+         -- SIGNED Java-long comparison, not an unsigned mod-2^64 one
+         SELECT doc_id, start,
+                CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE h::BIGINT END AS hs
+         FROM (
+           SELECT c.doc_id, c.pos - pw.j AS start,
+                  (sum(c.cp * pw.p) % 18446744073709551616::HUGEINT) AS h
+           FROM chars c JOIN pw ON c.pos - pw.j >= 1
+           GROUP BY 1, 2 HAVING count(*) = 8)),
+       wins AS (
+         SELECT doc_id, (start - 1) // 16 AS widx, min(hs) AS mh
+         FROM grams GROUP BY 1, 2),
+       fps AS (
+         SELECT DISTINCT doc_id, mh AS fp FROM wins),
+       agg AS (
+         SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+         FROM fps GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+              a.min_fp
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id""") { (s, d) =>
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val fps = ColumnBridge.column(graft.functions.WinnowFingerprints(
       ColumnBridge.expression(col("text")), 8, 16))
     Tables.documents(s, d)
       .select(col("doc_id"), fps.as("fps"))
-      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
         element_at(col("fps"), 1).as("min_fp"))
       .orderBy("doc_id")
   }
