@@ -224,4 +224,50 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM eqspec.demo.e11")
       .collect().head.getLong(0) == 2)
   }
+
+  test("a 100-commit streaming-upsert chain folds to zero delete files") {
+    import spark.implicits._
+    makeTable("e15")
+    val st = store("e15")
+    // the streaming-CDC shape: 100 upsert commits cycling over 10 keys —
+    // each leaves an equality-delete file, and without maintenance every
+    // scan probes all of them
+    (1 to 100).foreach { r =>
+      val k = 100 + (r % 10)
+      Upsert.into(spark, st,
+        Seq((k, "cdc", r)).toDF("id", "grp", "v"), Seq("id"))
+    }
+    val before = st.head().get
+    val eqBefore = before.deleteFiles.filter(_.kind == "equality")
+    assert(eqBefore.size == 100,
+      s"expected 100 accumulated equality-delete files, got ${eqBefore.size}")
+
+    // correct answers even with the full chain pending (MOR semantics):
+    // key 100+i holds the LAST round that wrote it
+    def liveRows() = sql(
+      "SELECT id, v FROM eqspec.demo.e15 WHERE grp = 'cdc' ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val expected = (0 until 10).map { i =>
+      (100 + i, (1 to 100).filter(_ % 10 == i).max)
+    }
+    assert(liveRows() == expected, "MOR read wrong with pending chain")
+
+    // maintenance folds the whole chain: no delete files survive, the
+    // scan's delete-probe set is empty, and answers are unchanged
+    sql("CALL eqspec.system.rewrite_deletes('demo.e15')")
+    val after = st.head().get
+    assert(after.deleteFiles.isEmpty,
+      s"delete files survived maintenance: ${after.deleteFiles.size}")
+    assert(liveRows() == expected, "answers changed by rewrite_deletes")
+    assert(after.totalRows == 4 + 10,
+      s"totalRows=${after.totalRows} after fold, expected 14")
+
+    // and compaction shrinks the 100 tiny upsert files to O(1) data files
+    sql("CALL eqspec.system.compact('demo.e15')")
+    val compacted = st.head().get
+    assert(compacted.files.size < before.files.size / 10,
+      s"compaction left ${compacted.files.size} files " +
+        s"(was ${before.files.size})")
+    assert(liveRows() == expected, "answers changed by compaction")
+  }
 }
