@@ -130,6 +130,88 @@ class PlanQualitySpec extends SparkSpec {
       s"MOR delete anti-join shuffles the data side:\n$p")
   }
 
+  test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
+    // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
+    // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must
+    // reach the optimizer so both dimensions end up as BROADCAST BUILD
+    // sides and the fact side is never exchanged — the decision that
+    // keeps a 100 TB fact scan shuffle-free in star joins.
+    SparkEntry.queries("q_lake_roundtrip")(spark, sf) // registers the catalog
+    spark.sql("DROP TABLE IF EXISTS graft.verify.cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.verify.cbo_dima")
+    spark.sql("DROP TABLE IF EXISTS graft.verify.cbo_dimb")
+    spark.sql("""CREATE TABLE graft.verify.cbo_fact (a BIGINT, b BIGINT, x BIGINT)
+                 USING graft TBLPROPERTIES ('graft.ndv-columns' = 'a,b')""")
+    spark.sql("""CREATE TABLE graft.verify.cbo_dima (id BIGINT, la STRING)
+                 USING graft TBLPROPERTIES ('graft.ndv-columns' = 'id')""")
+    spark.sql("""CREATE TABLE graft.verify.cbo_dimb (id BIGINT, lb STRING)
+                 USING graft TBLPROPERTIES ('graft.ndv-columns' = 'id')""")
+    spark.sql("""INSERT INTO graft.verify.cbo_fact
+                 SELECT id % 3000, id % 50, id FROM range(0, 40000)""")
+    spark.sql("""INSERT INTO graft.verify.cbo_dima
+                 SELECT id, concat('a', CAST(id AS STRING)) FROM range(0, 3000)""")
+    spark.sql("""INSERT INTO graft.verify.cbo_dimb
+                 SELECT id, concat('b', CAST(id AS STRING)) FROM range(0, 50)""")
+
+    // connector stats visible to the optimizer: exact row counts, not the
+    // 8 EiB default that poisons every CBO estimate
+    val factStats = spark.table("graft.verify.cbo_fact")
+      .queryExecution.optimizedPlan.stats
+    assert(factStats.rowCount.exists(_.toLong == 40000L),
+      s"fact rowCount not reported: ${factStats.rowCount}")
+    // and per-column NDV from the merged sketches
+    val store = new graft.lake.SnapshotStore(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.graft.warehouse"), "verify", "cbo_fact"))
+    val cs = graft.lake.NdvStats.columnStats(store.head().get)
+    val ndvByName = {
+      val it = cs.entrySet().iterator()
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.distinctCount().isPresent)
+          m(e.getKey.fieldNames().mkString(".")) =
+            e.getValue.distinctCount().getAsLong
+      }
+      m.toMap
+    }
+    assert(ndvByName.get("a").exists(n => math.abs(n - 3000) < 150),
+      s"NDV(a) wrong: $ndvByName")
+    assert(ndvByName.get("b").exists(n => math.abs(n - 50) < 5),
+      s"NDV(b) wrong: $ndvByName")
+
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val df = spark.sql(
+        """SELECT la, lb, count(*) AS n, sum(x) AS sx
+           FROM graft.verify.cbo_fact f
+           JOIN graft.verify.cbo_dima da ON f.a = da.id
+           JOIN graft.verify.cbo_dimb db ON f.b = db.id
+           GROUP BY la, lb""")
+      df.collect() // final adaptive plan
+      // AQE's toString appends an "== Initial Plan ==" section; inspect
+      // only the final plan above it
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val nBhj = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(nBhj == 2, s"expected both dims broadcast, got $nBhj BHJ:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"star join degraded to shuffle:\n$p")
+      // the fact table is STREAMED: its scan never sits under a broadcast
+      // exchange (broadcasting 40k fact rows here = broadcasting 100 TB
+      // at scale)
+      val broadcastSubtrees = p.split("BroadcastExchange|BroadcastQueryStage")
+        .drop(1)
+      assert(!broadcastSubtrees.exists(_.contains("cbo_fact")),
+        s"fact table broadcast:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   test("MOR anti-join falls back to shuffle past the broadcast cap") {
     // a delete backlog bigger than executor memory must NOT be pinned to
     // a broadcast build: past graft.mor.broadcast-max-bytes the hint is
