@@ -104,4 +104,23 @@ class ViewsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("DROP NAMESPACE vw.only_views") }
     spark.sql("DROP NAMESPACE vw.only_views CASCADE")
   }
+
+  test("UPSTREAM WATCH: SQL CREATE VIEW still bypasses V2 view catalogs") {
+    // Spark 4.1.2 ships the org.apache.spark.sql.connector.catalog
+    // .ViewCatalog interface but NO analyzer rule resolves views through
+    // it: spark-catalyst has only the session-catalog view paths
+    // (ResolvedPersistentView et al reference V1 metadata), and
+    // ResolveSessionCatalog rejects CREATE VIEW against any non-session
+    // catalog. This test pins that behavior. THE DAY IT FAILS, Spark has
+    // wired V2 view resolution — delete this test and light up the SQL
+    // surface on GraftCatalog's existing create/load/replace/drop
+    // implementation (Views.scala), which already stores query text +
+    // resolution context in the layout the API mandates.
+    spark.sql("CREATE TABLE IF NOT EXISTS vw.t.watchbase (id INT) USING iceberg")
+    val e = intercept[Exception] {
+      spark.sql("CREATE VIEW vw.t.sql_view AS SELECT id FROM vw.t.watchbase")
+    }
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"unexpected failure class: ${e.getClass} — did V2 view DDL land?")
+  }
 }
