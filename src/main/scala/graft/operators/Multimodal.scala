@@ -34,8 +34,13 @@ object Multimodal {
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"),
       struct(
-        (pmod(col("doc_id") * 2654435761L, lit(1280)) + 64).cast("int").as("width"),
-        (pmod(col("doc_id") * 40503L, lit(720)) + 64).cast("int").as("height"),
+        // mod BEFORE multiply: (a*K) mod m == ((a mod m)*K) mod m, and the
+        // reduced product stays < 3.4e12 — the direct product overflows
+        // Long for doc_id ≳ 3.5e9 (sf1's strided ids) under ANSI mode
+        (pmod(pmod(col("doc_id"), lit(1280)) * 2654435761L, lit(1280)) + 64)
+          .cast("int").as("width"),
+        (pmod(pmod(col("doc_id"), lit(720)) * 40503L, lit(720)) + 64)
+          .cast("int").as("height"),
         when(pmod(col("doc_id"), lit(3)) === 0, "jpeg")
           .when(pmod(col("doc_id"), lit(3)) === 1, "png")
           .otherwise("wav").as("codec"),
@@ -112,7 +117,7 @@ object Multimodal {
                  FOR i IN range(1, strlen(text) + 1, 8)]), 0) AS REAL)
                 AS DOUBLE), 4) AS f0
        FROM documents
-       WHERE (doc_id * 2654435761) % 1280 + 64 >= 64
+       WHERE ((doc_id % 1280) * 2654435761) % 1280 + 64 >= 64
        ORDER BY media_id""") { (s, d) =>
     val media = mediaTable(s, d).filter(col("meta.width") >= 64)
     decodeFeatures(media)
@@ -130,7 +135,7 @@ object Multimodal {
                    WHEN doc_id % 3 = 1 THEN 'png'
                    ELSE 'wav' END AS codec,
               count(*) AS n,
-              round(avg((doc_id * 2654435761) % 1280 + 64), 4) AS avg_width,
+              round(avg(((doc_id % 1280) * 2654435761) % 1280 + 64), 4) AS avg_width,
               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
        FROM documents GROUP BY 1 ORDER BY codec""") { (s, d) =>
     mediaTable(s, d)
