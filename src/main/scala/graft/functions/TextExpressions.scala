@@ -374,3 +374,47 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Shannon character entropy in ONE per-row pass — replaces an
+  * explode-every-character pipeline (regexp_extract_all + two hash
+  * aggregations + a join) whose shuffle carries one row per CHARACTER of
+  * the corpus. Counts Unicode code points (what `[\s\S]` extraction
+  * yields in both Spark and DuckDB for any text), then sums
+  * -(k/n)·log2(k/n) over codepoints in ascending order — a canonical
+  * order, so results are bit-stable across partitionings and runs.
+  * NULL for the empty string, mirroring the explode formulation where an
+  * empty document contributes no rows and thus no output group.
+  */
+case class CharEntropy(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullable: Boolean = true
+
+  private val Log2 = math.log(2.0)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return null
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      ent -= p * (math.log(p) / Log2)
+    }
+    java.lang.Double.valueOf(ent)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

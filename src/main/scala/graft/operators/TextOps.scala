@@ -254,15 +254,16 @@ object TextOps {
                 AS entropy
        FROM f JOIN t USING (doc_id)
        GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, d) =>
-    val f = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("c"))
-      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
-    val t = f.groupBy("doc_id").agg(sum("k").as("n"))
-    val p = col("k") / col("n").cast("double")
-    f.join(t, Seq("doc_id"))
-      .groupBy("doc_id")
-      .agg(round(-sum(p * log2(p)), 6).as("entropy"))
+    // one pass per row (graft.functions.CharEntropy), zero shuffle — the
+    // explode-per-character formulation this replaces shuffled one row
+    // per CHARACTER of the corpus twice (150M exploded rows at sf1)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val ent = ColumnBridge.column(
+      graft.functions.CharEntropy(ColumnBridge.expression(col("text"))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), ent.as("ent"))
+      .where(col("ent").isNotNull)
+      .select(col("doc_id"), round(col("ent"), 6).as("entropy"))
       .orderBy("doc_id")
   }
 

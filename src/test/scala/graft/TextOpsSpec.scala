@@ -108,4 +108,31 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("CharEntropy matches the explode-and-aggregate formulation") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val texts = Seq("aabb", "aaaa", "abcd", "a", "", "héllo wörld 你好",
+      "the quick brown fox jumps over the lazy dog")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val ent = ColumnBridge.column(
+      graft.functions.CharEntropy(ColumnBridge.expression(col("t"))))
+    val got = df.select(col("doc_id"), round(ent, 6).as("e"))
+      .where(col("e").isNotNull)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the declarative twin it replaced
+    val f = df.select(col("doc_id"),
+        explode(regexp_extract_all(col("t"), lit("[\\s\\S]"), lit(0))).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+    val t = f.groupBy("doc_id").agg(sum("k").as("n"))
+    val p = col("k") / col("n").cast("double")
+    val exp = f.join(t, Seq("doc_id")).groupBy("doc_id")
+      .agg(round(-sum(p * log2(p)), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == exp, s"got $got vs $exp")
+    assert(got(0L) == 1.0)        // aabb: two symbols, one bit
+    assert(got(1L) == 0.0)        // aaaa: degenerate
+    assert(got(2L) == 2.0)        // abcd: four symbols
+    assert(!got.contains(4L))     // empty text → no row, like the explode
+  }
 }
