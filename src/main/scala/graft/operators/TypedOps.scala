@@ -54,11 +54,18 @@ object TypedOps {
     * oracle checks the EXACT counts alongside and ScalaTest bounds the
     * estimate's relative error instead. */
   val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
+    // pre-dedupe (group, key) instead of countDistinct: HLL insertion is
+    // idempotent, so the sketch over the distinct pairs is IDENTICAL to
+    // the sketch over the raw multiset — but the plan loses the Expand
+    // (which doubles scanned rows for mixed distinct/non-distinct aggs)
+    // and the shuffle carries map-side-deduped pairs, not every row
     Tables.lineitem(s, d)
+      .select("l_returnflag", "l_partkey")
+      .distinct()
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-        countDistinct("l_partkey").as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .orderBy("l_returnflag")
   }
 
