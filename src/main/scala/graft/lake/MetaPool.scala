@@ -2,7 +2,7 @@ package graft.lake
 
 import java.util.concurrent.{Executors, ThreadFactory, TimeoutException}
 import java.util.concurrent.atomic.AtomicInteger
-import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.{Await, Future, Promise}
 import scala.concurrent.duration._
 
 /** Dedicated bounded pool for driver-side metadata parallelism (chunk
@@ -31,17 +31,36 @@ private[graft] object MetaPool {
       }
     })
 
-  private implicit val ec: ExecutionContext =
-    ExecutionContext.fromExecutorService(pool)
-
   /** Apply `work` to every item in parallel on the dedicated pool,
-    * preserving order; waits at most [[MaxWait]]. */
-  def mapAll[A, B](items: Seq[A], what: => String)(work: A => B): Seq[B] =
-    try Await.result(Future.traverse(items)(a => Future(work(a))), MaxWait)
+    * preserving order; waits at most [[MaxWait]].
+    *
+    * Worker bodies catch ALL Throwables (including fatal ones like
+    * OutOfMemoryError that `Future {}` would swallow) into the returned
+    * future, so a dying worker fails the call immediately instead of
+    * stalling it to the timeout with a misleading "backend hung". The
+    * no-nested-call invariant — a worker fanning out again would starve
+    * the fixed pool until timeout — is enforced, not just documented. */
+  def mapAll[A, B](items: Seq[A], what: => String)(work: A => B): Seq[B] = {
+    if (Thread.currentThread().getName.startsWith("graft-meta-"))
+      throw new IllegalStateException(
+        "MetaPool.mapAll called from a MetaPool worker — nested fan-out " +
+          "would starve the fixed pool until timeout")
+    val futures = items.map { a =>
+      val p = Promise[B]()
+      pool.execute { () =>
+        try p.success(work(a))
+        catch { case t: Throwable => p.failure(t) }
+      }
+      p.future
+    }
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.parasitic
+    try Await.result(Future.sequence(futures), MaxWait)
     catch {
       case _: TimeoutException =>
         throw new IllegalStateException(
           s"$what did not complete within $MaxWait — " +
             "metadata backend hung or overloaded")
     }
+  }
 }

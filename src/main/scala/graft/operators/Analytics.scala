@@ -225,9 +225,11 @@ object Analytics {
     * pass is a map-side-combinable count per (group, value), the ordered
     * cumulative-rank window runs over DISTINCT values only (externally
     * sorted, spillable), and the interpolation endpoints fall out of a
-    * rank-range test. Exact to the last bit, no O(group) driver or buffer
-    * state. The t-digest twin below stays the one-pass sketch alternative
-    * when even the distinct-value sort is unwanted. */
+    * rank-range test. The interpolation is computed in the same
+    * `lo + frac*(hi-lo)` form DuckDB's quantile_cont uses, so the two sides
+    * agree in floating point, not just algebraically. No O(group) driver or
+    * buffer state. The t-digest twin below stays the one-pass sketch
+    * alternative when even the distinct-value sort is unwanted. */
   val qPercentiles: Q = Q(
     "q_percentiles",
     """SELECT l_returnflag,
@@ -242,22 +244,32 @@ object Analytics {
       .withColumn("hi_rk", sum("cnt").over(w))
       .withColumn("lo_rk", col("hi_rk") - col("cnt") + 1)
     val totals = byVal.groupBy("l_returnflag").agg(sum("cnt").as("n"))
-    // quantile_cont: 1-based position 1 + q(n-1); the value(s) whose rank
-    // range covers floor/ceil contribute the interpolation weights (a
-    // single row covering both contributes (1-frac)+frac = its value)
-    def contrib(q: Double) = {
+    // quantile_cont: 1-based position 1 + q(n-1); the row whose rank range
+    // covers floor(pos) is the lower endpoint, ceil(pos) the upper (one row
+    // may cover both). Sum isolates each endpoint value; the interpolation
+    // itself happens AFTER the aggregate, in DuckDB's own arithmetic form.
+    def endpoint(q: Double, upper: Boolean) = {
       val pos = lit(1.0) + lit(q) * (col("n") - lit(1.0))
-      val lo = floor(pos)
-      val frac = pos - lo
-      when(col("lo_rk") <= lo && lo <= col("hi_rk"),
-          col("x") * (lit(1.0) - frac)).otherwise(lit(0.0)) +
-        when(col("lo_rk") <= ceil(pos) && ceil(pos) <= col("hi_rk"),
-          col("x") * frac).otherwise(lit(0.0))
+      val rk = if (upper) ceil(pos) else floor(pos)
+      sum(when(col("lo_rk") <= rk && rk <= col("hi_rk"), col("x"))
+        .otherwise(lit(0.0)))
+    }
+    def interp(q: Double, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) = {
+      val pos = lit(1.0) + lit(q) * (col("n") - lit(1.0))
+      val frac = pos - floor(pos)
+      round(lo + frac * (hi - lo), 2)
     }
     ranked.join(broadcast(totals), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(round(sum(contrib(0.5)), 2).as("p50"),
-        round(sum(contrib(0.9)), 2).as("p90"))
+      .agg(endpoint(0.5, upper = false).as("lo50"),
+        endpoint(0.5, upper = true).as("hi50"),
+        endpoint(0.9, upper = false).as("lo90"),
+        endpoint(0.9, upper = true).as("hi90"),
+        max("n").as("n"))
+      .select(col("l_returnflag"),
+        interp(0.5, col("lo50"), col("hi50")).as("p50"),
+        interp(0.9, col("lo90"), col("hi90")).as("p90"))
       .orderBy("l_returnflag")
   }
 

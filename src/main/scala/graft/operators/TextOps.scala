@@ -213,7 +213,9 @@ object TextOps {
       .select(col("doc_id"), fps.as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
-        element_at(col("fps"), 1).as("min_fp"))
+        // docs shorter than k chars yield an empty array; NULL min_fp then,
+        // like the oracle's LEFT JOIN (plain element_at throws under ANSI)
+        try_element_at(col("fps"), lit(1)).as("min_fp"))
       .orderBy("doc_id")
   }
 

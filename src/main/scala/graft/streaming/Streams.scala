@@ -60,8 +60,16 @@ object Streams {
       // integer DIV: `/` is double division and drifts ±1us at e18 nanos
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => raw
-      // NTZ → session-zone TIMESTAMP: sessions run UTC, instant unchanged
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // NTZ → session-zone TIMESTAMP. The cast reinterprets the wall-clock
+      // value in the SESSION zone, so it only preserves the instant when
+      // that zone is UTC (all pinned entry points — Bench/Verify/specs —
+      // set it). Fail loudly rather than silently shifting event times.
+      case _ =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"eventsStream requires spark.sql.session.timeZone=UTC to read the " +
+            s"NTZ events fixture without shifting instants; session has '$tz'")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
 

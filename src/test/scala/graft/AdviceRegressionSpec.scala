@@ -266,6 +266,87 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == 4L, s"expected 4 live rows, got $live")
   }
 
+  // ---- round-5 pins (ADVICE round 4) ----
+
+  test("winnow fingerprints: doc shorter than k yields 0 fingerprints, NULL min_fp") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-winnow-short").toString
+    val long = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    Seq((1L, "abc", "en", "web", 3L), (2L, long, "en", "web", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // before the fix element_at([], 1) threw INVALID_ARRAY_INDEX under ANSI
+    val out = SparkEntry.queries("q_winnow_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+    assert(out.head == ((1L, 0L, true)), s"short doc row: ${out.head}")
+    assert(out(1)._2 > 0L && !out(1)._3, s"long doc row: ${out(1)}")
+  }
+
+  test("q_percentiles interpolates in DuckDB's lo + frac*(hi-lo) form") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // independent reference: same arithmetic form, computed driver-side
+    val byFlag = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def qc(xs: Array[Double], q: Double): Double = {
+      val pos = 1.0 + q * (xs.length - 1.0)
+      val lo = math.floor(pos).toInt
+      val frac = pos - math.floor(pos)
+      val loV = xs(lo - 1)
+      val hiV = xs(math.ceil(pos).toInt - 1)
+      BigDecimal(loV + frac * (hiV - loV))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    byFlag.foreach { case (flag, xs) =>
+      val (p50, p90) = got(flag)
+      assert(p50 == qc(xs, 0.5), s"$flag p50: got $p50, want ${qc(xs, 0.5)}")
+      assert(p90 == qc(xs, 0.9), s"$flag p90: got $p90, want ${qc(xs, 0.9)}")
+    }
+  }
+
+  test("MetaPool.mapAll propagates fatal worker errors instead of stalling") {
+    // scala.concurrent re-wraps fatal throwables in ExecutionException; the
+    // point is the call fails NOW with the real cause, not after 10 minutes
+    // with "metadata backend hung"
+    val e = intercept[Throwable] {
+      MetaPool.mapAll(Seq(1), "fatal check") { _ =>
+        throw new OutOfMemoryError("synthetic fatal")
+      }
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain.exists(t =>
+      t.isInstanceOf[OutOfMemoryError] && t.getMessage == "synthetic fatal"),
+      s"cause chain: ${chain.map(_.getClass.getSimpleName)}")
+  }
+
+  test("MetaPool.mapAll rejects nested fan-out from its own workers") {
+    val e = intercept[IllegalStateException] {
+      MetaPool.mapAll(Seq(1), "outer") { _ =>
+        MetaPool.mapAll(Seq(2), "inner")(identity)
+      }
+    }
+    assert(e.getMessage.contains("nested fan-out"), e.getMessage)
+  }
+
+  test("eventsStream refuses a non-UTC session instead of shifting instants") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    // only the NTZ fixture shape takes the session-zone cast that needs UTC
+    assume(tsType == org.apache.spark.sql.types.TimestampNTZType)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.Streams.eventsStream(spark, sfDir)
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("MetaPool.mapAll preserves order and propagates worker failures") {
     val out = MetaPool.mapAll(1 to 100, "order check")(i => i * 2)
     assert(out == (2 to 200 by 2).toSeq)
