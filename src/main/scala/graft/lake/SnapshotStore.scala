@@ -160,16 +160,29 @@ final class SnapshotStore(val tableDir: Path,
     * current head — writing any new manifest chunks as it goes, BEFORE
     * the version link, so a crash in between leaves only orphan chunks,
     * never a dangling reference. The exclusive create of `v<N>.json` is
-    * the race arbiter; a lost race re-runs `attempt` on the new head. */
+    * the race arbiter; a lost race re-runs `attempt` on the new head.
+    *
+    * Object-store hardening: a conditional PUT can fail AMBIGUOUSLY (a
+    * timeout or 503 whose response was lost after the write landed).
+    * Treating that as plain failure and re-running the statement would
+    * double-apply a commit that actually succeeded, so an IOException is
+    * disambiguated by reading the version slot back: our exact content
+    * there = the PUT landed (success); someone else's = lost race
+    * (re-plan); empty = transient pre-land failure (safe to re-PUT). If
+    * the read-back itself keeps failing, the loop throws "commit state
+    * unknown" rather than guessing — the one outcome that must never be
+    * silently retried. */
   private def commitLoop(maxRetries: Int)(
       attempt: Option[Snapshot] => (Snapshot, Snapshot)): Snapshot = {
     var tries = 0
     while (true) {
       val head0 = head()
       val (mem, disk) = attempt(head0)
+      val vf = versionFile(mem.version)
+      val json = Snapshot.toJson(disk)
       try {
-        io.createExclusive(versionFile(mem.version), Snapshot.toJson(disk))
-        swapHint(mem.version)
+        io.createExclusive(vf, json)
+        trySwapHint(mem.version)
         return mem
       } catch {
         case _: FileAlreadyExistsException =>
@@ -177,10 +190,42 @@ final class SnapshotStore(val tableDir: Path,
           if (tries > maxRetries)
             throw new IllegalStateException(
               s"commit lost $maxRetries races on $tableDir")
+        case e: java.io.IOException =>
+          var landed, known = false
+          var probes = 0
+          while (!known && probes < 5) {
+            try {
+              landed = io.exists(vf) && io.readString(vf) == json
+              known = true
+            } catch {
+              case _: java.io.IOException =>
+                probes += 1; Thread.sleep(10L << probes)
+            }
+          }
+          if (!known)
+            throw new IllegalStateException(
+              s"commit state unknown for v${mem.version} on $tableDir — " +
+                "storage failed during the conditional PUT and the " +
+                "read-back keeps failing; do NOT blindly re-run the " +
+                "statement (it may have committed)", e)
+          if (landed) { trySwapHint(mem.version); return mem }
+          tries += 1
+          if (tries > maxRetries)
+            throw new IllegalStateException(
+              s"commit could not reach storage in $maxRetries attempts " +
+                s"on $tableDir", e)
+        // not landed: slot empty (transient pre-land failure — loop
+        // re-PUTs this version) or taken by a rival (loop re-plans)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The hint is ADVISORY — `currentVersion` always corrects it against
+    * the listing — so a hint-write failure after a LANDED commit must not
+    * fail the statement. */
+  private def trySwapHint(v: Long): Unit =
+    try swapHint(v) catch { case _: java.io.IOException => () }
 
   /** Optimistic-concurrency commit: builds the next snapshot from the
     * current head, retries on lost races. Returns the committed snapshot. */
