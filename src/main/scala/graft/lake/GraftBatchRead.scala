@@ -52,7 +52,8 @@ final case class GraftInputPartition(
     filePath: String,
     deletedPositions: Array[Long] = Array.empty,
     posDeleteFiles: Seq[String] = Seq.empty,
-    eqDeletes: Seq[EqDeleteRef] = Seq.empty) extends InputPartition
+    eqDeletes: Seq[EqDeleteRef] = Seq.empty,
+    fileSize: Long = 0L) extends InputPartition
 
 final class GraftBatchScan(
     snapshot: Snapshot,
@@ -158,7 +159,7 @@ final class GraftBatchScan(
         GraftInputPartition(
           store.tableDir.resolve(f.path).toString,
           posByName.getOrElse(PositionDeletes.fileName(f.path), Array.empty),
-          Seq.empty, eqFor(f)): InputPartition
+          Seq.empty, eqFor(f), f.sizeBytes): InputPartition
       }.toArray
     } else {
       // O(#delete files) footer reads on the driver, zero tuples
@@ -171,13 +172,47 @@ final class GraftBatchScan(
           case ((lo, hi), p) if lo <= name && name <= hi => p
         }
         GraftInputPartition(store.tableDir.resolve(f.path).toString,
-          Array.empty, covering, eqFor(f)): InputPartition
+          Array.empty, covering, eqFor(f), f.sizeBytes): InputPartition
       }.toArray
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json, snapshot.schema.json)
+  /** Built driver-side: the inner factory is Spark's own parquet reader
+    * (vectorized decode, row interface) over the PHYSICAL read schema —
+    * the required columns (minus the synthesized `_file`) renamed to
+    * their physical file names, plus any equality-delete key columns the
+    * projection didn't already include (the per-row probe needs them even
+    * when the query doesn't). */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val physTypes: Map[String, DataType] =
+      snapshot.schema.fields.map(f => SchemaNames.physicalName(f) -> f.dataType).toMap
+    val dataCols = required.fields.filter(_.name != "_file")
+    // source each projected field from the TABLE schema: it carries the
+    // rename + default metadata the parquet reader needs (null-fill /
+    // EXISTS_DEFAULT for columns absent from old files)
+    val byName = snapshot.schema.fields.map(f => f.name -> f).toMap
+    val physRequired = dataCols.map { rf =>
+      val tf = byName.getOrElse(rf.name, rf)
+      tf.copy(name = SchemaNames.physicalName(tf))
+    }
+    val present = physRequired.map(_.name).toSet
+    val eqCols = snapshot.deleteFiles.filter(_.kind == "equality")
+      .flatMap(_.equalityColumns).distinct.filterNot(present)
+    val extraEq = eqCols.map { c =>
+      val t = physTypes.getOrElse(c, throw new IllegalStateException(
+        s"equality-delete column '$c' no longer exists in the table " +
+          "schema; run rewrite_deletes before dropping delete-key columns"))
+      StructField(c, t)
+    }
+    val physRead = StructType(physRequired ++ extraEq)
+    val physTable = StructType(snapshot.schema.fields.map(f =>
+      f.copy(name = SchemaNames.physicalName(f))))
+    val inner = org.apache.spark.sql.graftbridge.ParquetScanBridge
+      .rowReaderFactory(spark, physTable, physRead)
+    new GraftReaderFactory(inner, physRead.json, required.json,
+      snapshot.schema.json, allowColumnar = snapshot.deleteFiles.isEmpty)
+  }
 
   override def estimateStatistics() = new org.apache.spark.sql.connector.read.Statistics {
     override def sizeInBytes() =
@@ -196,12 +231,17 @@ final class GraftBatchScan(
   * a type widening still compare in one domain). */
 final case class EqProbeSpec(path: String, cols: Seq[String], types: Seq[DataType])
 
-final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
+final class GraftReaderFactory(
+    inner: PartitionReaderFactory,
+    physReadJson: String, requiredJson: String, tableSchemaJson: String,
+    allowColumnar: Boolean = false)
   extends PartitionReaderFactory {
   // parsed once per (deserialized) factory instance, not once per file —
   // a rewrite over thousands of files calls createReader per partition
   @transient private lazy val required: StructType =
     DataType.fromJson(requiredJson).asInstanceOf[StructType]
+  @transient private lazy val physRead: StructType =
+    DataType.fromJson(physReadJson).asInstanceOf[StructType]
   @transient private lazy val tableSchema: StructType =
     DataType.fromJson(tableSchemaJson).asInstanceOf[StructType]
   // files store PHYSICAL column names; the projection uses logical ones
@@ -209,6 +249,59 @@ final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
     SchemaNames.renameMap(tableSchema)
   @transient private lazy val physTypes: Map[String, DataType] =
     tableSchema.fields.map(f => SchemaNames.physicalName(f) -> f.dataType).toMap
+  // output ordinal -> inner-row ordinal; -1 = the synthesized `_file`
+  @transient private lazy val outMap: Array[Int] = required.fields.map { f =>
+    if (f.name == "_file") -1
+    else physRead.fieldIndex(rename.getOrElse(f.name, f.name))
+  }
+
+  /** True when the inner batch IS the required output positionally: every
+    * data column maps to its own ordinal and `_file` (if requested) is the
+    * trailing field — then a batch needs no per-row projection, only a
+    * constant `_file` vector appended. False as soon as the scan appended
+    * equality-delete key columns or a rename reordered anything. */
+  @transient private lazy val columnarAligned: Boolean = {
+    val n = required.length
+    val dataCols = outMap.zipWithIndex.forall { case (m, i) =>
+      m == i || (m == -1 && i == n - 1)
+    }
+    dataCols && physRead.length == (if (outMap.contains(-1)) n - 1 else n)
+  }
+
+  private def wholePart(p: GraftInputPartition): InputPartition = {
+    // legacy partitions may not carry the size; stat as a fallback (a
+    // zero-length split would silently read no row groups)
+    val size =
+      if (p.fileSize > 0) p.fileSize
+      else new java.io.File(p.filePath).length()
+    org.apache.spark.sql.graftbridge.ParquetScanBridge
+      .wholeFilePartition(p.filePath, size)
+  }
+
+  /** Columnar fast path — the common COW case (SNAPSHOT with no pending
+    * deletes, no renames): batches flow straight from Spark's vectorized
+    * parquet reader to Spark's codegen'd ColumnarToRow, zero per-row work
+    * in this layer. BatchScanExec requires a UNIFORM answer across
+    * partitions, so the scan decides at snapshot level (`allowColumnar` =
+    * table has zero delete files): one delete-bearing file puts the whole
+    * scan on the row path — exactly when per-row work is needed anyway. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case p: GraftInputPartition =>
+        allowColumnar && columnarAligned &&
+          p.deletedPositions.isEmpty && p.posDeleteFiles.isEmpty &&
+          p.eqDeletes.isEmpty &&
+          inner.supportColumnarReads(wholePart(p))
+      case _ => false
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val innerReader = inner.createColumnarReader(wholePart(p))
+    if (!outMap.contains(-1)) innerReader
+    else new FileColumnAppendingReader(innerReader, p.filePath)
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -219,35 +312,110 @@ final class GraftReaderFactory(requiredJson: String, tableSchemaJson: String)
             "schema; run rewrite_deletes before dropping delete-key columns")))
       EqProbeSpec(r.path, r.cols, types)
     }
-    new GraftPartitionReader(p.filePath, required, rename, p.deletedPositions,
-      p.posDeleteFiles, eqSpecs)
+    // legacy partitions may not carry the size; stat as a fallback (a
+    // zero-length split would silently read no row groups)
+    val size =
+      if (p.fileSize > 0) p.fileSize
+      else new java.io.File(p.filePath).length()
+    val filePart = org.apache.spark.sql.graftbridge.ParquetScanBridge
+      .wholeFilePartition(p.filePath, size)
+    // VECTORIZED decode whenever the schema supports it: the columnar
+    // reader is the fast parquet path (the row-mode factory is plain
+    // parquet-mr); batches are flattened back to rows here because the
+    // delete-apply below is inherently per-row
+    val innerReader =
+      if (inner.supportColumnarReads(filePart))
+        new ColumnarAsRowReader(inner.createColumnarReader(filePart))
+      else inner.createReader(filePart)
+    new GraftPartitionReader(innerReader, p.filePath, physRead, required,
+      outMap, p.deletedPositions, p.posDeleteFiles, eqSpecs)
   }
 }
 
-/** Reads one parquet file as InternalRows of `required` (missing fields →
-  * null). Handles the physical types our writer produces: int32 (int,
-  * date, small decimal), int64 (long, timestamp micros/millis, decimal),
-  * int96 (legacy Spark timestamps), float/double/boolean, binary (string,
-  * decimal), plus nested arrays/structs/maps in the standard 3-level
-  * encodings (the only forms our writers — Spark datasource and
-  * GraftBatchWrite — produce). */
-final class GraftPartitionReader(filePath: String, required: StructType,
-    rename: Map[String, String] = Map.empty,
+/** Appends the constant `_file` column to every batch (vectorized
+  * equivalent of the row path's Literal splice). */
+private[lake] final class FileColumnAppendingReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    filePath: String)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  private val fileVec = {
+    val v = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+      1, StringType)
+    v.setUtf8String(UTF8String.fromString(filePath))
+    v
+  }
+  override def next(): Boolean = inner.next()
+  override def get(): ColumnarBatch = {
+    val b = inner.get()
+    val cols = Array.tabulate[ColumnVector](b.numCols() + 1)(i =>
+      if (i < b.numCols()) b.column(i) else fileVec)
+    new ColumnarBatch(cols, b.numRows())
+  }
+  override def close(): Unit = inner.close()
+}
+
+/** Adapts a columnar (vectorized) parquet reader to the row interface:
+  * iterates each ColumnarBatch's rows in file order. The returned rows
+  * are views over reused vector memory — [[GraftPartitionReader]] is the
+  * only consumer and projects them through an UnsafeProjection before
+  * they escape. */
+private[lake] final class ColumnarAsRowReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])
+  extends PartitionReader[InternalRow] {
+  private var it: java.util.Iterator[InternalRow] =
+    java.util.Collections.emptyIterator()
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    while (!it.hasNext) {
+      if (!inner.next()) return false
+      it = inner.get().rowIterator()
+    }
+    cur = it.next()
+    true
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}
+
+/** Serves one data file as InternalRows of `required`, applying
+  * merge-on-read deletes row by row. The parquet DECODE is delegated to
+  * Spark's own reader (`inner` — vectorized where the schema supports it,
+  * with widening, rebase, null-fill and DEFAULT handling built in); this
+  * wrapper contributes exactly the lake semantics Spark's reader cannot
+  * know: the position-delete skip cursor (absolute row index within the
+  * file), the equality-delete key probe, the physical→logical column
+  * mapping, and the synthesized `_file` provenance column. */
+final class GraftPartitionReader(
+    inner: PartitionReader[InternalRow],
+    filePath: String,
+    physRead: StructType,
+    required: StructType,
+    outMap: Array[Int],
     deletedPositions: Array[Long] = Array.empty,
     posDeleteFiles: Seq[String] = Seq.empty,
     eqSpecs: Seq[EqProbeSpec] = Seq.empty)
   extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new HPath(filePath))
-      .withConf(new Configuration(false))
-      .build()
-
-  private var current: Group = _
+  private var current: InternalRow = _
 
   /** `_file` metadata column: provenance of every row, served from the
     * reader itself — also the join key of runtime group filtering. */
   private val fileName = UTF8String.fromString(filePath)
+
+  /** Output projection: maps inner-row ordinals to `required` order and
+    * splices the `_file` constant. An UnsafeProjection (codegen) gives
+    * downstream operators a row whose `copy()` is a DEEP copy — essential
+    * because the inner row may be a ColumnarBatchRow view over reused
+    * vector memory. */
+  private val project: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    val exprs = required.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      if (outMap(i) < 0) Literal(fileName, StringType)
+      else BoundReference(outMap(i), f.dataType, nullable = true)
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+  }
 
   /** Large-backlog path: load THIS file's deleted positions from the
     * covering delete files, executor-side. The exact-path predicate rides
@@ -287,29 +455,22 @@ final class GraftPartitionReader(filePath: String, required: StructType,
   private var rowIdx: Long = -1L
   private var delIdx: Int = 0
 
-  // EXISTS_DEFAULT fill for columns ABSENT from this file (added later
-  // with a DEFAULT): internal-format values, aligned to `required`; null
-  // where no default — matching Spark's own file-source behavior
-  private val existsDefaults: Array[Any] =
-    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
-      .existenceDefaultValues(required)
-
-  /** Equality-delete probes, resolved against THIS file's schema on the
-    * first row: key field indexes + target types + the executor-cached
-    * tuple set. A file lacking a key column predates the column — its key
-    * value is NULL, which never equals anything in SQL, so the whole group
-    * is dropped for this file. */
-  private var eqProbes: Array[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] = null
-  private def resolveEqProbes(schema: MessageType): Unit = {
-    eqProbes = eqSpecs.iterator.flatMap { s =>
-      if (s.cols.exists(c => !schema.containsField(c))) None
-      else Some((s.cols.map(schema.getFieldIndex).toArray, s.types.toArray,
-        EqDeleteTupleCache.get(s.path, s.cols, s.types)))
+  /** Equality-delete probes against the inner row: key ordinals in the
+    * `physRead` schema (present by construction — the scan appends any
+    * missing key columns) + target types + the executor-cached tuple set.
+    * A file predating a key column reads NULL there, which never equals
+    * anything in SQL, so its rows never match — same semantics the old
+    * per-file-schema resolution had. */
+  private lazy val eqProbes: Array[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
+    eqSpecs.iterator.map { s =>
+      (s.cols.map(physRead.fieldIndex).toArray, s.types.toArray,
+        EqDeleteTupleCache.get(s.path, s.cols, s.types))
     }.toArray
-  }
 
   /** True iff the current row's key matches a live equality-delete tuple
-    * (NULL key components never match, per SQL equality). */
+    * (NULL key components never match, per SQL equality). The probed
+    * values come from `InternalRow.get`, which lands in the same internal
+    * value domain `GroupReadValues.convert` builds the cached tuples in. */
   private def eqMatched(): Boolean = {
     var gi = 0
     while (gi < eqProbes.length) {
@@ -318,9 +479,8 @@ final class GraftPartitionReader(filePath: String, required: StructType,
       var i = 0
       var ok = true
       while (ok && i < idxs.length) {
-        if (current.getFieldRepetitionCount(idxs(i)) == 0) ok = false
-        else key(i) = GroupReadValues.normKey(
-          GroupReadValues.convert(current, idxs(i), 0, types(i)))
+        if (current.isNullAt(idxs(i))) ok = false
+        else key(i) = GroupReadValues.normKey(current.get(idxs(i), types(i)))
         i += 1
       }
       if (ok && set.contains(
@@ -332,42 +492,20 @@ final class GraftPartitionReader(filePath: String, required: StructType,
   }
 
   override def next(): Boolean = {
-    while (true) {
-      current = reader.read()
-      if (current == null) return false
+    while (inner.next()) {
+      current = inner.get()
       rowIdx += 1
       while (delIdx < deleted.length && deleted(delIdx) < rowIdx) delIdx += 1
       val posDeleted = delIdx < deleted.length && deleted(delIdx) == rowIdx
-      if (!posDeleted) {
-        if (eqProbes == null && eqSpecs.nonEmpty)
-          resolveEqProbes(current.getType.asInstanceOf[MessageType])
-        if (eqSpecs.isEmpty || !eqMatched()) return true
-      }
+      if (!posDeleted && (eqSpecs.isEmpty || !eqMatched())) return true
       // else: row is deleted — skip it
     }
-    false // unreachable
+    false
   }
 
-  override def get(): InternalRow = {
-    val row = new GenericInternalRow(required.length)
-    val schema: MessageType = current.getType.asInstanceOf[MessageType]
-    var i = 0
-    while (i < required.length) {
-      val f = required.fields(i)
-      val fileField = rename.getOrElse(f.name, f.name)
-      if (f.name == "_file") row.update(i, fileName)
-      else if (!schema.containsField(fileField)) row.update(i, existsDefaults(i))
-      else {
-        val idx = schema.getFieldIndex(fileField)
-        if (current.getFieldRepetitionCount(idx) == 0) row.update(i, null)
-        else row.update(i, GroupReadValues.convert(current, idx, 0, f.dataType))
-      }
-      i += 1
-    }
-    row
-  }
+  override def get(): InternalRow = project(current)
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = inner.close()
 }
 
 /** Parquet-mr `Group` → Spark internal value conversion, shared by the COW

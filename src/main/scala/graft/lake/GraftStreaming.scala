@@ -203,13 +203,28 @@ final class GraftMicroBatchStream(
         }
       } else Seq.empty // rewrite commits re-materialize rows: skip
     }.map(f =>
-      GraftInputPartition(store.tableDir.resolve(f.path).toString): InputPartition)
+      GraftInputPartition(store.tableDir.resolve(f.path).toString,
+        fileSize = f.sizeBytes): InputPartition)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readSchema.json,
-      store.head().map(_.schema.json).getOrElse(readSchema.json))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tableSchema = store.head().map(_.schema).getOrElse(readSchema)
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    val physRead = org.apache.spark.sql.types.StructType(
+      readSchema.fields.map { rf =>
+        val tf = byName.getOrElse(rf.name, rf)
+        tf.copy(name = SchemaNames.physicalName(tf))
+      })
+    val physTable = org.apache.spark.sql.types.StructType(
+      tableSchema.fields.map(f => f.copy(name = SchemaNames.physicalName(f))))
+    val inner = org.apache.spark.sql.graftbridge.ParquetScanBridge
+      .rowReaderFactory(spark, physTable, physRead)
+    // streaming partitions are append-commit files (never delete-bearing)
+    new GraftReaderFactory(inner, physRead.json, readSchema.json,
+      tableSchema.json, allowColumnar = true)
+  }
 
   override def commit(end: Offset): Unit = () // snapshot log is immutable
 

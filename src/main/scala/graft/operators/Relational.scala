@@ -33,9 +33,16 @@ object Relational {
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                    AS sum_qty,
-       round(sum(l_extendedprice), 2)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                                                                    AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,6))), 2) AS DOUBLE)
+                                                                    AS sum_disc_price,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l_discount AS DECIMAL(8,6))
+                           AS DECIMAL(14,4))
+                      * CAST(1 + l_tax AS DECIMAL(8,6))), 2) AS DOUBLE)
+                                                                    AS sum_charge,
        round(avg(l_quantity), 4)                                    AS avg_qty,
        round(avg(l_extendedprice), 4)                               AS avg_price,
        round(avg(l_discount), 4)                                    AS avg_disc,
@@ -44,16 +51,28 @@ object Relational {
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+    // money sums accumulate in DECIMAL, not DOUBLE: a double sum's FP
+    // error grows with row count and its order differs between engines,
+    // so at sf1 (6M rows) the rounded-to-2dp hash can land on opposite
+    // sides of a .xx5 boundary. Decimal summation is exact and
+    // order-independent — identical at every scale factor. (TPC-H
+    // defines these columns as DECIMAL in the first place.) The stepped
+    // casts mirror the oracle SQL EXACTLY — each narrows precision so
+    // DuckDB's p1+p2 multiply typing never overflows, and every rounding
+    // point is explicit and shared by both engines.
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc1 = (lit(1) - col("l_discount")).cast("decimal(8,6)")
+    val tax1 = (lit(1) + col("l_tax")).cast("decimal(8,6)")
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(price * disc1), 2).cast("double")
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum((price * disc1).cast("decimal(14,4)") * tax1), 2)
+          .cast("double").as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),

@@ -26,6 +26,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object ParquetScanBridge {
 
+  /** Spark's own parquet `PartitionReaderFactory` in ROW mode: vectorized
+    * columnar DECODE internally (where the schema supports it) behind the
+    * `PartitionReader[InternalRow]` interface. This is what feeds the COW
+    * rewrite reads (MERGE / UPDATE / DELETE planning in
+    * graft.lake.GraftBatchRead): ~the SELECT path's decoder, without
+    * having to re-implement parquet materialization row by row.
+    * No filters are pushed — a row-level read must surface EVERY row in
+    * file order so merge-on-read position deletes can be applied by
+    * absolute row index. */
+  def rowReaderFactory(
+      spark: SparkSession,
+      dataSchema: StructType,
+      readSchema: StructType): PartitionReaderFactory =
+    vectorizedBatch(spark, Seq.empty, dataSchema, readSchema, Array.empty)
+      .createReaderFactory()
+
+  /** One partition = one whole file, start offset 0 — absolute row
+    * positions within the partition equal positions within the file,
+    * which the position-delete skip cursor relies on. */
+  def wholeFilePartition(path: String, size: Long): InputPartition =
+    FilePartition(0, Array(
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path),
+        0L, size,
+        locations = Array.empty,
+        modificationTime = 0L,
+        // fileSize MUST be the real size: the vectorized reader locates
+        // the parquet footer through it (0 = unreadable file)
+        fileSize = size)))
+
   def vectorizedBatch(
       spark: SparkSession,
       files: Seq[(String, Long)], // (path, size) straight from the snapshot
