@@ -94,7 +94,7 @@ object Changes {
       // tuples this commit ADDED (both sides are KB-sized by design).
       val newPosTuples: Option[DataFrame] =
         (PositionDeletes.tuples(spark, store,
-            newDeleteFiles.filter(_.kind == "position")),
+            newDeleteFiles.filter(_.positional)),
           PositionDeletes.tuples(spark, store, parentDeletes)) match {
           case (None, _) => None
           case (Some(n), None) => Some(n)

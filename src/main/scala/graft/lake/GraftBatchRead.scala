@@ -53,7 +53,10 @@ final case class GraftInputPartition(
     deletedPositions: Array[Long] = Array.empty,
     posDeleteFiles: Seq[String] = Seq.empty,
     eqDeletes: Seq[EqDeleteRef] = Seq.empty,
-    fileSize: Long = 0L) extends InputPartition
+    fileSize: Long = 0L,
+    // deletion-vector payload slices covering this file: (blob path,
+    // offset, length) — the reader ranged-reads exactly its own bitmap
+    dvSlices: Seq[(String, Long, Int)] = Seq.empty) extends InputPartition
 
 final class GraftBatchScan(
     snapshot: Snapshot,
@@ -145,7 +148,7 @@ final class GraftBatchScan(
     // positions cannot be capped.
     val spark = org.apache.spark.sql.SparkSession.active
     val files = currentFiles
-    val pos = snapshot.deleteFiles.filter(_.kind == "position")
+    val pos = snapshot.deleteFiles.filter(_.positional)
     val eq = snapshot.deleteFiles.filter(_.kind == "equality")
     val eqRefs = eq.map(e => EqDeleteRef(
       store.tableDir.resolve(e.path).toString, e.seq, e.equalityColumns))
@@ -162,17 +165,29 @@ final class GraftBatchScan(
           Seq.empty, eqFor(f), f.sizeBytes): InputPartition
       }.toArray
     } else {
-      // O(#delete files) footer reads on the driver, zero tuples
-      val ranged = pos.map(d =>
+      // O(#delete files) footer/index reads on the driver, zero tuples:
+      // raw tuple files contribute a name-range (footer stats); vector
+      // blobs contribute exact per-file payload slices (their index IS
+      // the mapping)
+      val (dvs, tupleFiles) = pos.partition(_.kind == DeletionVectors.Kind)
+      val ranged = tupleFiles.map(d =>
         (PositionDeletes.nameRange(store, d),
           store.tableDir.resolve(d.path).toString))
+      val dvSliceByName: Map[String, Seq[(String, Long, Int)]] = dvs
+        .flatMap { d =>
+          val blob = store.tableDir.resolve(d.path).toString
+          DeletionVectors.readIndex(store, d)
+            .map(e => e.name -> ((blob, e.offset, e.length)))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       files.map { f =>
         val name = PositionDeletes.fileName(f.path)
         val covering = ranged.collect {
           case ((lo, hi), p) if lo <= name && name <= hi => p
         }
         GraftInputPartition(store.tableDir.resolve(f.path).toString,
-          Array.empty, covering, eqFor(f), f.sizeBytes): InputPartition
+          Array.empty, covering, eqFor(f), f.sizeBytes,
+          dvSliceByName.getOrElse(name, Seq.empty)): InputPartition
       }.toArray
     }
   }
@@ -328,7 +343,7 @@ final class GraftReaderFactory(
         new ColumnarAsRowReader(inner.createColumnarReader(filePart))
       else inner.createReader(filePart)
     new GraftPartitionReader(innerReader, p.filePath, physRead, required,
-      outMap, p.deletedPositions, p.posDeleteFiles, eqSpecs)
+      outMap, p.deletedPositions, p.posDeleteFiles, eqSpecs, p.dvSlices)
   }
 }
 
@@ -394,7 +409,8 @@ final class GraftPartitionReader(
     outMap: Array[Int],
     deletedPositions: Array[Long] = Array.empty,
     posDeleteFiles: Seq[String] = Seq.empty,
-    eqSpecs: Seq[EqProbeSpec] = Seq.empty)
+    eqSpecs: Seq[EqProbeSpec] = Seq.empty,
+    dvSlices: Seq[(String, Long, Int)] = Seq.empty)
   extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
@@ -449,9 +465,23 @@ final class GraftPartitionReader(
   }
 
   // merge-on-read skip cursor: rows arrive in file order, so one pointer
-  // into the SORTED deleted-position array replaces any per-row lookup
-  private val deleted: Array[Long] =
-    if (posDeleteFiles.isEmpty) deletedPositions else loadOwnPositions()
+  // into the SORTED deleted-position array replaces any per-row lookup.
+  // Sources merge: driver-provided array (small backlog) ∪ executor-side
+  // tuple-file loads (large backlog) ∪ deletion-vector slices (exact
+  // ranged reads of this file's bitmap).
+  private val deleted: Array[Long] = {
+    val fromFiles: Array[Long] =
+      if (posDeleteFiles.isEmpty) Array.empty else loadOwnPositions()
+    val fromDv: Array[Long] = dvSlices.iterator.flatMap {
+      case (blob, off, len) => DeletionVectors.readPositions(blob, off, len)
+    }.toArray
+    if (fromFiles.isEmpty && fromDv.isEmpty) deletedPositions
+    else {
+      val all = (deletedPositions ++ fromFiles ++ fromDv).distinct
+      java.util.Arrays.sort(all)
+      all
+    }
+  }
   private var rowIdx: Long = -1L
   private var delIdx: Int = 0
 

@@ -1004,7 +1004,7 @@ class GraftScan(
     // rationale (planner stats only; an overestimate is the safe direction
     // for broadcast decisions).
     private val rows = math.max(0L, prunedFiles.map(_.rowCount).sum -
-      snapshot.deleteFiles.filter(_.kind == "position").map(_.rowCount).sum)
+      snapshot.deleteFiles.filter(_.positional).map(_.rowCount).sum)
     private val bytes = prunedFiles.map(_.sizeBytes).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)

@@ -407,7 +407,7 @@ object GraftWriter {
             // rows, so its rowCount is not a row count — matching
             // Snapshot.totalRows and the overwrite path
             "total-records" -> (p.dataFileRows + addedRows -
-              p.deleteFiles.filter(_.kind == "position")
+              p.deleteFiles.filter(_.positional)
                 .map(_.rowCount).sum).toString))
       }
   }

@@ -106,6 +106,41 @@ object Maintenance {
     }
   }
 
+  /** Fold the pending position-delete BACKLOG (tuple files + previous
+    * vector blobs) into one deletion-vector blob per table — WITHOUT
+    * rewriting any data file. K stacked DELETEs cost readers K tuple-file
+    * opens and a K-way union; after this, every reader does one index
+    * lookup plus one exact ranged read per data file (O(1) structures).
+    * The cheap, frequent maintenance step; `rewriteDeletes` remains the
+    * heavy fold that rewrites data files and also clears equality
+    * deletes. */
+  def rewriteDeleteVectors(spark: SparkSession, store: SnapshotStore): Snapshot = {
+    val head = store.head().getOrElse(
+      throw new IllegalStateException(s"no table at ${store.tableDir}"))
+    val positional = head.deleteFiles.filter(_.positional)
+    // nothing to fold, or already exactly one vector: no-op commit saved
+    if (positional.isEmpty ||
+      (positional.size == 1 && positional.head.kind == DeletionVectors.Kind))
+      return head
+    val dv = DeletionVectors.consolidate(spark, store, positional)
+    store.commit { prev =>
+      val p = prev.getOrElse(head)
+      require(p.version == head.version,
+        "concurrent commit during rewrite_delete_vectors; retry")
+      val eq = p.deleteFiles.filter(_.kind == "equality")
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "replace",
+        deleteFiles = dv.toSeq ++ eq,
+        summary = Map(
+          "consolidated-delete-files" -> positional.size.toString,
+          "deletion-vectors" -> dv.size.toString,
+          "vector-positions" -> dv.map(_.rowCount).sum.toString,
+          "total-records" -> (p.dataFileRows -
+            dv.map(_.rowCount).sum).toString))
+    }
+  }
+
   // ---------- branches (write-audit-publish) ----------
 
   private def validBranchName(name: String): Unit =

@@ -58,22 +58,27 @@ object PositionDeletes {
       .map(_.toLong)
       .getOrElse(BroadcastMaxBytesDefault)
 
-  /** All tuples of `deleteFiles` as `(NameCol, RowPosCol)` — file paths
-    * reduced to names for provenance joins. None when there are none. */
+  /** All position-shaped deletes of `deleteFiles` — raw tuple parquet
+    * files AND consolidated deletion vectors — as a `(NameCol, RowPosCol)`
+    * frame (file paths reduced to names for provenance joins). None when
+    * there are none. */
   def tuples(spark: SparkSession, store: SnapshotStore,
       deleteFilesIn: Seq[DeleteFile]): Option[DataFrame] = {
-    val deleteFiles = deleteFilesIn.filter(_.kind == "position")
-    if (deleteFiles.isEmpty) None
-    else {
-      val paths = deleteFiles.map(f => store.tableDir.resolve(f.path).toString)
-      val t = spark.read.schema(tupleSchema).parquet(paths: _*)
+    val tupleFiles = deleteFilesIn.filter(_.kind == "position")
+    val dvs = deleteFilesIn.filter(_.kind == DeletionVectors.Kind)
+    if (tupleFiles.isEmpty && dvs.isEmpty) return None
+    val parts = Seq.newBuilder[DataFrame]
+    if (tupleFiles.nonEmpty) {
+      val paths = tupleFiles.map(f => store.tableDir.resolve(f.path).toString)
+      parts += spark.read.schema(tupleSchema).parquet(paths: _*)
         .select(
           element_at(split(col(FilePathCol), "/"), -1).as(NameCol),
           col(PosCol).as(RowPosCol))
-      Some(
-        if (deleteFiles.map(_.sizeBytes).sum <= broadcastMaxBytes) broadcast(t)
-        else t)
     }
+    if (dvs.nonEmpty) parts += DeletionVectors.tupleFrame(spark, store, dvs)
+    val t = parts.result().reduce(_ unionByName _)
+    val totalBytes = (tupleFiles ++ dvs).map(_.sizeBytes).sum
+    Some(if (totalBytes <= broadcastMaxBytes) broadcast(t) else t)
   }
 
   /** Remove deleted rows from a data read that carries `NameCol`/`RowPosCol`
@@ -225,11 +230,19 @@ object PositionDeletes {
     val posKept =
       if (pos.isEmpty) Seq.empty
       else {
-        val surviving = survivingFiles.map(_.path).toSet
-        val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
-        val kept = spark.read.schema(tupleSchema).parquet(paths: _*)
-          .filter(col(FilePathCol).isin(surviving.toSeq: _*))
-        writeDeleteFiles(spark, store, kept)
+        // via tuples(): transparently covers raw tuple files AND deletion
+        // vectors; surviving subset rewrites to plain tuple files (a later
+        // rewrite_delete_vectors re-consolidates)
+        val survivingNames = survivingFiles
+          .map(f => fileName(f.path)).toSeq
+        tuples(spark, store, pos) match {
+          case None => Seq.empty
+          case Some(t) =>
+            val kept = t.filter(col(NameCol).isin(survivingNames: _*))
+              .select(concat(lit("data/"), col(NameCol)).as(FilePathCol),
+                col(RowPosCol).as(PosCol))
+            writeDeleteFiles(spark, store, kept)
+        }
       }
     val eqKept = eq.filter(e => survivingFiles.exists(_.seq < e.seq))
     posKept ++ eqKept
@@ -296,17 +309,34 @@ object PositionDeletes {
       deleteFiles: Seq[DeleteFile],
       files: Seq[DataFile]): Map[String, Array[Long]] = {
     val pos = deleteFiles.filter(_.kind == "position")
-    if (pos.isEmpty || files.isEmpty) return Map.empty
+    val dvs = deleteFiles.filter(_.kind == DeletionVectors.Kind)
+    if ((pos.isEmpty && dvs.isEmpty) || files.isEmpty) return Map.empty
     val wanted = files.map(f => fileName(f.path)).toSet
-    val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
-    spark.read.schema(tupleSchema).parquet(paths: _*)
-      .select(
-        element_at(split(col(FilePathCol), "/"), -1).as(NameCol),
-        col(PosCol))
-      .filter(col(NameCol).isin(wanted.toSeq: _*))
-      .collect()
-      .groupBy(_.getString(0))
-      .view.mapValues(_.map(_.getLong(1)).distinct.sorted).toMap
+    val fromTuples: Map[String, Array[Long]] =
+      if (pos.isEmpty) Map.empty
+      else {
+        val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
+        spark.read.schema(tupleSchema).parquet(paths: _*)
+          .select(
+            element_at(split(col(FilePathCol), "/"), -1).as(NameCol),
+            col(PosCol))
+          .filter(col(NameCol).isin(wanted.toSeq: _*))
+          .collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getLong(1))).toMap
+      }
+    // vector payloads: exact ranged reads of just the wanted files'
+    // bitmaps (bounded by the same driver tuple cap as the tuple path)
+    val fromDvs: Seq[(String, Array[Long])] = dvs.flatMap { d =>
+      val blob = store.tableDir.resolve(d.path).toString
+      DeletionVectors.readIndex(store, d)
+        .filter(e => wanted.contains(e.name))
+        .map(e => e.name ->
+          DeletionVectors.readPositions(blob, e.offset, e.length))
+    }
+    (fromTuples.toSeq ++ fromDvs)
+      .groupBy(_._1)
+      .view.mapValues(_.flatMap(_._2).distinct.sorted.toArray).toMap
   }
 
   /** Distinct data-file NAMES referenced by any position tuple — the
@@ -317,14 +347,21 @@ object PositionDeletes {
   def referencedFileNames(spark: SparkSession, store: SnapshotStore,
       deleteFiles: Seq[DeleteFile]): Set[String] = {
     val pos = deleteFiles.filter(_.kind == "position")
-    if (pos.isEmpty) return Set.empty
-    val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
-    spark.read.schema(tupleSchema).parquet(paths: _*)
-      .select(element_at(split(col(FilePathCol), "/"), -1).as(NameCol))
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .toSet
+    val fromTuples: Set[String] =
+      if (pos.isEmpty) Set.empty
+      else {
+        val paths = pos.map(f => store.tableDir.resolve(f.path).toString)
+        spark.read.schema(tupleSchema).parquet(paths: _*)
+          .select(element_at(split(col(FilePathCol), "/"), -1).as(NameCol))
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSet
+      }
+    // a vector blob's INDEX is exactly this question, one small read
+    val fromDvs = deleteFiles.filter(_.kind == DeletionVectors.Kind)
+      .flatMap(d => DeletionVectors.readIndex(store, d).map(_.name))
+    fromTuples ++ fromDvs
   }
 
   /** Plan-time (minName, maxName) range one position-delete file covers,

@@ -72,9 +72,14 @@ final case class DeleteFile(
     path: String,      // relative to tableDir, e.g. "data/<uuid>-deletes.parquet"
     rowCount: Long,    // number of tuples
     sizeBytes: Long,
-    kind: String = "position", // position | equality
+    kind: String = "position", // position | equality | dv
     equalityColumns: Seq[String] = Seq.empty, // physical names (equality kind)
-    seq: Long = 0L)
+    seq: Long = 0L) {
+  /** Position-shaped deletes (each entry kills exactly one known row, so
+    * rowCount IS a row count): raw tuple files and consolidated deletion
+    * vectors. Equality deletes are key-shaped — one key kills 0..N rows. */
+  def positional: Boolean = kind == "position" || kind == "dv"
+}
 
 /** GENERATED ... AS IDENTITY column: values assigned at ingest from a
   * per-table high-water mark. `lastValue` is the largest (or smallest,
@@ -161,7 +166,7 @@ final case class Snapshot(
     * subtracted, making this an upper bound until `rewrite_deletes` folds
     * them in (same caveat as Iceberg's record_count with eq-deletes). */
   def totalRows: Long =
-    dataFileRows - deleteFiles.filter(_.kind == "position").map(_.rowCount).sum
+    dataFileRows - deleteFiles.filter(_.positional).map(_.rowCount).sum
   def totalBytes: Long =
     if (manifests.nonEmpty) manifests.map(_.sizeBytes).sum
     else files.map(_.sizeBytes).sum

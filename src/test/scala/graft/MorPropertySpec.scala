@@ -31,6 +31,7 @@ class MorPropertySpec extends SparkSpec {
   private case class UpsertB(rows: Seq[(Int, String)]) extends Op
   private case object Rewrite extends Op
   private case object Compact extends Op
+  private case object Vectors extends Op
 
   private val genRows: Gen[Seq[(Int, String)]] = for {
     n <- Gen.choose(1, 4)
@@ -50,7 +51,8 @@ class MorPropertySpec extends SparkSpec {
     2 -> Gen.choose(0, 40).map(DeleteRange),
     3 -> genUpsertRows.map(UpsertB),
     1 -> Gen.const(Rewrite),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Vectors))
 
   test("random MOR op sequences match the model at every step; CDC replays") {
     val wh = Files.createTempDirectory("graft-morprop-wh").toString
@@ -93,6 +95,9 @@ class MorPropertySpec extends SparkSpec {
             Maintenance.rewriteDeletes(spark, store)
           case Compact =>
             Maintenance.compact(spark, store)
+          case Vectors =>
+            // consolidation changes no logical content (and must not)
+            Maintenance.rewriteDeleteVectors(spark, store)
         }
         check(op.getClass.getSimpleName)
       }
