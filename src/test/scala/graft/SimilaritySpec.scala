@@ -24,13 +24,13 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(Vectors.l2Distance(col("a"), col("b"))).as[Double].head() == 5.0)
   }
 
-  test("LSH kNN recall@10 >= 0.5 vs exact kNN (8 tables x 4 bits)") {
+  test("LSH kNN recall@10 >= 0.9 vs exact kNN (8 tables x 4 bits, multi-probe)") {
     val exact = Similarity.qKnnExact.fn(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.qKnnLsh.fn(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
     // and every approx hit must be a real vector pair, not a fabrication
     assert(approx.forall { case (q, n) => q != n })
   }
@@ -39,13 +39,13 @@ class SimilaritySpec extends SparkSpec {
   // ~1/3 of true neighbors live outside the query's 5 best of 10 lists);
   // the bound pins that probing half the lists beats the uniform-data
   // floor of nprobe/K = 0.5, i.e. the quantizer carries real signal.
-  test("IVF kNN recall@10 >= 0.6 vs exact kNN (label centroids, nprobe=5)") {
+  test("IVF kNN recall@10 >= 0.9 vs exact kNN (k-means 32 lists, nprobe=20)") {
     val exact = Similarity.qKnnExact.fn(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.qKnnIvf.fn(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
     assert(approx.forall { case (q, n) => q != n })
     // every query returns a full top-10 (probed lists are never empty —
     // each query's own list is always among its probes)
