@@ -154,6 +154,28 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT * FROM cdc_all").collect().nonEmpty)
   }
 
+  test("COW scan is columnar on a clean snapshot, row-mode under deletes") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    def scanOf(t: String) = {
+      val st = store(t)
+      val snap = st.head().get
+      val scan = new GraftBatchScan(snap, st,
+        StructType(snap.schema.fields :+ StructField("_file", StringType)),
+        Array.empty)
+      (scan.planInputPartitions(), scan.createReaderFactory())
+    }
+    // dv.d.t: rewrite_deletes folded everything earlier — clean snapshot
+    val (cleanParts, cleanF) = scanOf("t")
+    assert(cleanParts.nonEmpty)
+    assert(cleanParts.forall(cleanF.supportColumnarReads),
+      "clean snapshot must serve the vectorized columnar fast path")
+    // dv.d.cdc: still carries its deletion vector — whole scan row-mode
+    val (dvParts, dvF) = scanOf("cdc")
+    assert(dvParts.nonEmpty)
+    assert(dvParts.forall(p => !dvF.supportColumnarReads(p)),
+      "delete-bearing snapshot must fall back to the row path uniformly")
+  }
+
   test("metadata delete_files table reports the vector") {
     val rows = sql("SELECT * FROM dv.d.cdc.delete_files").collect()
     assert(rows.nonEmpty)
