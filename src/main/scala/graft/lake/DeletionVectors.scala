@@ -52,27 +52,20 @@ object DeletionVectors {
 
   // ---------- encoding ----------
 
-  /** Encode one file's SORTED ascending positions as roaring-lite. */
-  private[graft] def encodeBitmap(sorted: Array[Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    var i = 0
-    val containers = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Array[Int])] // (high, low values ascending)
-    while (i < sorted.length) {
-      val high = (sorted(i) >>> 16).toInt
-      var j = i
-      val lows = scala.collection.mutable.ArrayBuffer.empty[Int]
-      while (j < sorted.length && (sorted(j) >>> 16).toInt == high) {
-        lows += (sorted(j) & 0xFFFF).toInt
-        j += 1
-      }
-      containers += ((high, lows.toArray))
-      i = j
-    }
-    out.writeInt(containers.length)
-    containers.foreach { case (high, lows) =>
-      out.writeInt(high)
+  /** Encode SORTED ascending positions (duplicates tolerated) streamed
+    * from an iterator — task memory is one 64 Ki-position container at a
+    * time plus the compressed output, never the position array itself (a
+    * fully-deleted billion-row file would otherwise hold 8 GB in one
+    * task). Returns (cardinality, payload). */
+  private[graft] def encodeSorted(sorted: Iterator[Long]): (Long, Array[Byte]) = {
+    val containers = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var card = 0L
+    var curHigh = -1
+    var lows = new scala.collection.mutable.ArrayBuffer[Int](64)
+    def flush(): Unit = if (curHigh >= 0 && lows.nonEmpty) {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(curHigh)
       if (lows.length < 4096) {
         out.writeByte(0)
         out.writeInt(lows.length)
@@ -84,10 +77,32 @@ object DeletionVectors {
         lows.foreach(l => bits(l >>> 3) = (bits(l >>> 3) | (1 << (l & 7))).toByte)
         out.write(bits)
       }
+      out.flush()
+      containers += bos.toByteArray
+      lows = new scala.collection.mutable.ArrayBuffer[Int](64)
     }
+    var prev = -1L
+    sorted.foreach { p =>
+      if (p != prev) { // dedup on the sorted stream
+        prev = p
+        card += 1
+        val high = (p >>> 16).toInt
+        if (high != curHigh) { flush(); curHigh = high }
+        lows += (p & 0xFFFF).toInt
+      }
+    }
+    flush()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(containers.length)
+    containers.foreach(out.write)
     out.flush()
-    bos.toByteArray
+    (card, bos.toByteArray)
   }
+
+  /** Array form of [[encodeSorted]] (tests, small inputs). */
+  private[graft] def encodeBitmap(sorted: Array[Long]): Array[Byte] =
+    encodeSorted(sorted.iterator)._2
 
   /** Decode one file's payload back to sorted ascending positions. */
   private[graft] def decodeBitmap(bytes: Array[Byte]): Array[Long] = {
@@ -243,13 +258,15 @@ object DeletionVectors {
       val dvDf = tupleFrame(spark, store, dvs)
       df = if (df == null) dvDf else df.unionByName(dvDf)
     }
+    // sorted-group streaming: Spark feeds each file's positions in order
+    // (secondary sort inside the shuffle), so the encoder never holds the
+    // position array — one container window per task, O(bitmap) output
     val perFile = df
       .as[(String, Long)]
       .groupByKey(_._1)
-      .mapGroups { (name, it) =>
-        val arr = it.map(_._2).toArray.distinct
-        java.util.Arrays.sort(arr)
-        (name, arr.length.toLong, encodeBitmap(arr))
+      .flatMapSortedGroups(col(PositionDeletes.RowPosCol).asc) { (name, it) =>
+        val (card, payload) = encodeSorted(it.map(_._2))
+        Iterator.single((name, card, payload))
       }
       .collect()
       .toSeq

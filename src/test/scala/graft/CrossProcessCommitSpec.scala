@@ -79,9 +79,15 @@ class CrossProcessCommitSpec extends AnyFunSuite {
 
     val store = new SnapshotStore(Paths.get(wh, "d", "xt"))
 
-    // 1. one linear, gap-free version chain across all three processes
+    // 1. one linear, gap-free version chain across all three processes,
+    // with every snapshot chained to exactly its predecessor (no commit
+    // overwrote or bypassed another's slot)
     val versions = store.listVersions()
     assert(versions == (1L to versions.max), s"version chain has gaps: $versions")
+    versions.filter(_ > 1).foreach { v =>
+      val parent = store.read(v).parentVersion
+      assert(parent.contains(v - 1), s"v$v chains to $parent, want ${v - 1}")
+    }
 
     val rows = sql("SELECT id, w, v FROM xproc.d.xt").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
