@@ -77,7 +77,12 @@ object PositionDeletes {
     }
     if (dvs.nonEmpty) parts += DeletionVectors.tupleFrame(spark, store, dvs)
     val t = parts.result().reduce(_ unionByName _)
-    val totalBytes = (tupleFiles ++ dvs).map(_.sizeBytes).sum
+    // size the broadcast by the EXPANDED tuple frame, not file bytes: a
+    // dense bitset container compresses ~128× vs its exploded (name,pos)
+    // rows, so a vector blob's sizeBytes wildly understates build memory.
+    // ~16 bytes covers the long + the hashed-relation row overhead.
+    val totalBytes = tupleFiles.map(_.sizeBytes).sum +
+      dvs.map(_.rowCount * 16L).sum
     Some(if (totalBytes <= broadcastMaxBytes) broadcast(t) else t)
   }
 
