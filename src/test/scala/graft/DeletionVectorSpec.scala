@@ -176,6 +176,19 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "delete-bearing snapshot must fall back to the row path uniformly")
   }
 
+  test("remove_orphan_files never collects a live deletion vector") {
+    val st = store("cdc")
+    val dvPaths = st.head().get.deleteFiles.filter(_.kind == "dv").map(_.path)
+    assert(dvPaths.nonEmpty, "test setup: cdc table should carry a vector")
+    val before = sql("SELECT count(*) FROM dv.d.cdc").collect().head.getLong(0)
+    Maintenance.removeOrphanFiles(st, staleStagingMillis = 0L)
+    dvPaths.foreach { p =>
+      assert(Files.exists(st.tableDir.resolve(p)), s"live vector deleted: $p")
+    }
+    assert(sql("SELECT count(*) FROM dv.d.cdc").collect().head.getLong(0)
+      == before, "reads broken after orphan cleanup")
+  }
+
   test("metadata delete_files table reports the vector") {
     val rows = sql("SELECT * FROM dv.d.cdc.delete_files").collect()
     assert(rows.nonEmpty)
