@@ -181,11 +181,17 @@ object DeletionVectors {
   def readIndex(store: SnapshotStore, d: DeleteFile): Seq[DvEntry] =
     readIndex(store.tableDir.resolve(d.path))
 
+  // blob reads go through Hadoop's FileSystem like every other data-plane
+  // read (parquet scans), so a `s3a://`-style table location works the
+  // moment the data plane does — no java.nio local-filesystem assumption
+  private def openBlob(blobPath: String): org.apache.hadoop.fs.FSDataInputStream = {
+    val hp = new org.apache.hadoop.fs.Path(blobPath)
+    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+  }
+
   def readIndex(p: Path): Seq[DvEntry] = {
-    val ch = java.nio.file.Files.newByteChannel(p)
+    val in = openBlob(p.toString)
     try {
-      val in = new java.io.DataInputStream(
-        java.nio.channels.Channels.newInputStream(ch))
       val magic = new Array[Byte](4)
       in.readFully(magic)
       require(magic.sameElements(Magic), s"not a deletion-vector blob: $p")
@@ -197,21 +203,17 @@ object DeletionVectors {
         DvEntry(new String(nb, "UTF-8"), in.readLong(), in.readLong(),
           in.readInt())
       }
-    } finally ch.close()
+    } finally in.close()
   }
 
   /** One file's positions via an exact ranged read of its payload. */
   def readPositions(blobPath: String, offset: Long, length: Int): Array[Long] = {
-    val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(blobPath))
+    val in = openBlob(blobPath)
     try {
-      ch.position(offset)
-      val buf = java.nio.ByteBuffer.allocate(length)
-      while (buf.hasRemaining) {
-        if (ch.read(buf) < 0)
-          throw new java.io.EOFException(s"truncated deletion vector $blobPath")
-      }
-      decodeBitmap(buf.array())
-    } finally ch.close()
+      val buf = new Array[Byte](length)
+      in.readFully(offset, buf) // positioned read: one ranged request
+      decodeBitmap(buf)
+    } finally in.close()
   }
 
   /** All (data file name → sorted positions) pairs of `dvs`, decoded
