@@ -167,8 +167,7 @@ object DeletionVectors {
     store.io.mkdirs(staging)
     val tmp = staging.resolve(name)
     try {
-      java.nio.file.Files.createDirectories(tmp.getParent)
-      java.nio.file.Files.write(tmp, bytes)
+      store.io.writeBytes(tmp, bytes)
       store.io.publish(tmp, target)
     } finally store.io.deleteTree(staging)
     DeleteFile(s"data/$name", sorted.map(_._2).sum, bytes.length.toLong,
@@ -181,12 +180,14 @@ object DeletionVectors {
   def readIndex(store: SnapshotStore, d: DeleteFile): Seq[DvEntry] =
     readIndex(store.tableDir.resolve(d.path))
 
-  // blob reads go through Hadoop's FileSystem like every other data-plane
-  // read (parquet scans), so a `s3a://`-style table location works the
-  // moment the data plane does — no java.nio local-filesystem assumption
+  // blob reads go through Hadoop's FileSystem (no java.nio local-FS
+  // assumption), with the JVM-cached session conf so `spark.hadoop.*`
+  // settings reach them like they reach parquet scans — and so the hot
+  // per-slice path never re-parses Hadoop's XML defaults. Blob WRITES go
+  // through the MetaIO seam, so an alternate backend intercepts them.
   private def openBlob(blobPath: String): org.apache.hadoop.fs.FSDataInputStream = {
     val hp = new org.apache.hadoop.fs.Path(blobPath)
-    hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    hp.getFileSystem(LakeIOConf.conf).open(hp)
   }
 
   def readIndex(p: Path): Seq[DvEntry] = {
@@ -207,12 +208,18 @@ object DeletionVectors {
   }
 
   /** One file's positions via an exact ranged read of its payload. */
-  def readPositions(blobPath: String, offset: Long, length: Int): Array[Long] = {
+  def readPositions(blobPath: String, offset: Long, length: Int): Array[Long] =
+    decodeBitmap(readPayload(blobPath, offset, length))
+
+  /** One file's RAW payload slice — for byte-for-byte copies into a new
+    * blob (see [[PositionDeletes.retain]]), which must never pay a
+    * decode/re-encode of bitmaps they don't modify. */
+  def readPayload(blobPath: String, offset: Long, length: Int): Array[Byte] = {
     val in = openBlob(blobPath)
     try {
       val buf = new Array[Byte](length)
       in.readFully(offset, buf) // positioned read: one ranged request
-      decodeBitmap(buf)
+      buf
     } finally in.close()
   }
 

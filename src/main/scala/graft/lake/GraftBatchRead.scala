@@ -200,8 +200,8 @@ final class GraftBatchScan(
     * when the query doesn't). */
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val physTypes: Map[String, DataType] =
-      snapshot.schema.fields.map(f => SchemaNames.physicalName(f) -> f.dataType).toMap
+    val byPhys: Map[String, StructField] =
+      snapshot.schema.fields.map(f => SchemaNames.physicalName(f) -> f).toMap
     val dataCols = required.fields.filter(_.name != "_file")
     // source each projected field from the TABLE schema: it carries the
     // rename + default metadata the parquet reader needs (null-fill /
@@ -214,11 +214,15 @@ final class GraftBatchScan(
     val present = physRequired.map(_.name).toSet
     val eqCols = snapshot.deleteFiles.filter(_.kind == "equality")
       .flatMap(_.equalityColumns).distinct.filterNot(present)
+    // appended key columns are sourced from the TABLE field like projected
+    // ones, metadata included — a column added with DEFAULT reads its
+    // EXISTS_DEFAULT from old files on BOTH paths, so whether the probe
+    // sees the default value cannot depend on what the query projected
     val extraEq = eqCols.map { c =>
-      val t = physTypes.getOrElse(c, throw new IllegalStateException(
+      val tf = byPhys.getOrElse(c, throw new IllegalStateException(
         s"equality-delete column '$c' no longer exists in the table " +
           "schema; run rewrite_deletes before dropping delete-key columns"))
-      StructField(c, t)
+      tf.copy(name = c)
     }
     val physRead = StructType(physRequired ++ extraEq)
     val physTable = StructType(snapshot.schema.fields.map(f =>
@@ -283,15 +287,23 @@ final class GraftReaderFactory(
     dataCols && physRead.length == (if (outMap.contains(-1)) n - 1 else n)
   }
 
-  private def wholePart(p: GraftInputPartition): InputPartition = {
-    // legacy partitions may not carry the size; stat as a fallback (a
-    // zero-length split would silently read no row groups)
-    val size =
-      if (p.fileSize > 0) p.fileSize
-      else new java.io.File(p.filePath).length()
+  /** Legacy partitions may not carry the size; stat LOUDLY as a fallback
+    * — `java.io.File.length()` answers 0 for a missing or scheme-prefixed
+    * path, and a zero-length split silently reads no row groups, which on
+    * the COW rewrite path would drop every row of a live file in the
+    * replacing commit. Hadoop's stat throws on a missing file instead. */
+  private def fileSizeOf(p: GraftInputPartition): Long =
+    if (p.fileSize > 0) p.fileSize
+    else {
+      val hp = new HPath(p.filePath)
+      val len = hp.getFileSystem(LakeIOConf.conf).getFileStatus(hp).getLen
+      require(len > 0, s"data file ${p.filePath} is empty (0 bytes)")
+      len
+    }
+
+  private def wholePart(p: GraftInputPartition): InputPartition =
     org.apache.spark.sql.graftbridge.ParquetScanBridge
-      .wholeFilePartition(p.filePath, size)
-  }
+      .wholeFilePartition(p.filePath, fileSizeOf(p))
 
   /** Columnar fast path — the common COW case (SNAPSHOT with no pending
     * deletes, no renames): batches flow straight from Spark's vectorized
@@ -305,7 +317,7 @@ final class GraftReaderFactory(
       case p: GraftInputPartition =>
         allowColumnar && columnarAligned &&
           p.deletedPositions.isEmpty && p.posDeleteFiles.isEmpty &&
-          p.eqDeletes.isEmpty &&
+          p.eqDeletes.isEmpty && p.dvSlices.isEmpty &&
           inner.supportColumnarReads(wholePart(p))
       case _ => false
     }
@@ -327,13 +339,8 @@ final class GraftReaderFactory(
             "schema; run rewrite_deletes before dropping delete-key columns")))
       EqProbeSpec(r.path, r.cols, types)
     }
-    // legacy partitions may not carry the size; stat as a fallback (a
-    // zero-length split would silently read no row groups)
-    val size =
-      if (p.fileSize > 0) p.fileSize
-      else new java.io.File(p.filePath).length()
     val filePart = org.apache.spark.sql.graftbridge.ParquetScanBridge
-      .wholeFilePartition(p.filePath, size)
+      .wholeFilePartition(p.filePath, fileSizeOf(p))
     // VECTORIZED decode whenever the schema supports it: the columnar
     // reader is the fast parquet path (the row-mode factory is plain
     // parquet-mr); batches are flattened back to rows here because the
@@ -446,7 +453,7 @@ final class GraftPartitionReader(
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     posDeleteFiles.foreach { p =>
       val r = ParquetReader.builder(new GroupReadSupport(), new HPath(p))
-        .withConf(new Configuration(false))
+        .withConf(LakeIOConf.conf)
         .withFilter(FilterCompat.get(FilterApi.eq(
           FilterApi.binaryColumn(PositionDeletes.FilePathCol),
           Binary.fromString(mine))))
@@ -711,7 +718,7 @@ private[lake] object EqDeleteTupleCache {
       types: Seq[DataType]): java.util.HashSet[Seq[Any]] = {
     val set = new java.util.HashSet[Seq[Any]]()
     val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-      .withConf(new Configuration(false))
+      .withConf(LakeIOConf.conf)
       .build()
     try {
       var idxs: Array[Int] = null

@@ -321,8 +321,10 @@ object Maintenance {
   /** Remove data files not referenced by ANY snapshot (failed writes,
     * crashed commits), plus `.staging-*` directories older than
     * `staleStagingMillis` — the leftovers of writers that died before
-    * moving their files in. The age guard keeps CONCURRENT in-flight
-    * writes safe: a live writer's staging dir is, by definition, young. */
+    * moving their files in. The age guard applies to EVERY class of
+    * removal (staging dirs, manifest chunks, data files) and keeps
+    * CONCURRENT in-flight writes safe: anything a live writer has
+    * published but not yet committed is, by definition, young. */
   def removeOrphanFiles(store: SnapshotStore,
       staleStagingMillis: Long = 60L * 60 * 1000): Seq[String] = {
     // same reasoning as expireSnapshots: only the main store sees every
@@ -359,8 +361,13 @@ object Maintenance {
     orphanManifests.foreach(Files.deleteIfExists(_))
     if (!Files.isDirectory(store.dataDir))
       return (staleStaging ++ orphanManifests).map(_.getFileName.toString)
+    // same age guard on data/ — files published directly there ahead of
+    // their commit (deletion-vector blobs, procedure outputs) are
+    // unreferenced for a moment by design; a concurrent cleanup must not
+    // collect a file whose commit is still in flight
     val orphans = Files.list(store.dataDir).iterator().asScala
-      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+      .filter(p => !referenced.contains(s"data/${p.getFileName}") &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
       .toSeq
     orphans.foreach(Files.deleteIfExists(_))
     orphans.map(_.getFileName.toString) ++

@@ -39,6 +39,11 @@ trait MetaIO {
   /** Plain create of a fresh (collision-free, e.g. UUID-named) file. */
   def write(p: Path, content: String): Unit
 
+  /** Binary twin of [[write]] — used for deletion-vector blobs, which are
+    * staged and published through this seam like every other data file so
+    * an alternate backend sees ALL lake file traffic, not just text. */
+  def writeBytes(p: Path, bytes: Array[Byte]): Unit
+
   /** Move a staged file to its published name (same store). */
   def publish(src: Path, dst: Path): Unit
 
@@ -81,6 +86,9 @@ object LocalMetaIO extends MetaIO {
   override def write(p: Path, content: String): Unit =
     Files.writeString(p, content, UTF_8, StandardOpenOption.CREATE_NEW)
 
+  override def writeBytes(p: Path, bytes: Array[Byte]): Unit =
+    Files.write(p, bytes, StandardOpenOption.CREATE_NEW)
+
   override def publish(src: Path, dst: Path): Unit =
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
 
@@ -104,4 +112,19 @@ object LocalMetaIO extends MetaIO {
       Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
     }
+}
+
+/** One Hadoop configuration per JVM for graft's OWN side-file IO (dv
+  * blobs, delete-tuple loads, size-stat fallbacks). Captures the active
+  * session's Hadoop conf when a SparkSession exists in this JVM — always
+  * true in local mode, where executors share the driver process — so
+  * `spark.hadoop.*` settings reach these reads the same way they reach
+  * parquet scans; a session-less JVM falls back to the default conf.
+  * Built once and cached: constructing a fresh `Configuration` re-parses
+  * the Hadoop XML defaults, which is measurable on per-slice hot paths. */
+private[lake] object LakeIOConf {
+  lazy val conf: org.apache.hadoop.conf.Configuration =
+    scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 }

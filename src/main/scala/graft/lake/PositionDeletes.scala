@@ -80,9 +80,11 @@ object PositionDeletes {
     // size the broadcast by the EXPANDED tuple frame, not file bytes: a
     // dense bitset container compresses ~128× vs its exploded (name,pos)
     // rows, so a vector blob's sizeBytes wildly understates build memory.
-    // ~16 bytes covers the long + the hashed-relation row overhead.
+    // Each expanded row repeats the data file NAME (UUID-based, ~45 UTF-8
+    // bytes) next to the position long plus hashed-relation row overhead —
+    // ~80 bytes/row, not 16.
     val totalBytes = tupleFiles.map(_.sizeBytes).sum +
-      dvs.map(_.rowCount * 16L).sum
+      dvs.map(_.rowCount * 80L).sum
     Some(if (totalBytes <= broadcastMaxBytes) broadcast(t) else t)
   }
 
@@ -221,8 +223,10 @@ object PositionDeletes {
   /** Rewrite `deleteFiles` keeping only entries still needed over the
     * surviving data files — called by commits that REMOVE data files (COW
     * rewrites, compaction) so no dangling tuples accumulate and
-    * `Snapshot.totalRows`'s subtraction stays exact. Position files are
-    * rewritten to the surviving tuple subset; an equality file survives
+    * `Snapshot.totalRows`'s subtraction stays exact. Position tuple files
+    * are rewritten to the surviving tuple subset; deletion vectors keep
+    * their blob form (replaced files' entries dropped by index surgery,
+    * surviving bitmaps byte-copied); an equality file survives
     * as-is while ANY surviving data file is older than it (its keys may
     * still mask rows there). Cheap by construction: delete files are small
     * (else `rewrite_deletes` should have folded them in). Returns the
@@ -232,25 +236,39 @@ object PositionDeletes {
       survivingFiles: Seq[DataFile]): Seq[DeleteFile] = {
     if (deleteFiles.isEmpty) return Seq.empty
     val (eq, pos) = deleteFiles.partition(_.kind == "equality")
-    val posKept =
-      if (pos.isEmpty) Seq.empty
-      else {
-        // via tuples(): transparently covers raw tuple files AND deletion
-        // vectors; surviving subset rewrites to plain tuple files (a later
-        // rewrite_delete_vectors re-consolidates)
-        val survivingNames = survivingFiles
-          .map(f => fileName(f.path)).toSeq
-        tuples(spark, store, pos) match {
-          case None => Seq.empty
-          case Some(t) =>
-            val kept = t.filter(col(NameCol).isin(survivingNames: _*))
-              .select(concat(lit("data/"), col(NameCol)).as(FilePathCol),
-                col(RowPosCol).as(PosCol))
-            writeDeleteFiles(spark, store, kept)
-        }
+    val (dvs, tupleFiles) = pos.partition(_.kind == DeletionVectors.Kind)
+    val survivingNames = survivingFiles.map(f => fileName(f.path)).toSet
+    // raw tuple files: rewrite the surviving subset as tuple files
+    val tuplesKept =
+      if (tupleFiles.isEmpty) Seq.empty
+      else tuples(spark, store, tupleFiles) match {
+        case None => Seq.empty
+        case Some(t) =>
+          val kept = t.filter(col(NameCol).isin(survivingNames.toSeq: _*))
+            .select(concat(lit("data/"), col(NameCol)).as(FilePathCol),
+              col(RowPosCol).as(PosCol))
+          writeDeleteFiles(spark, store, kept)
       }
+    // deletion vectors stay VECTORS: dropping a replaced file's deletes is
+    // index surgery — surviving entries' payloads byte-copy into a fresh
+    // blob (exact ranged reads, no bitmap decode), and a blob none of
+    // whose files were replaced is kept untouched. Exploding a dv back
+    // into tuple files here would undo rewrite_delete_vectors' O(1)-read
+    // consolidation on every compaction/COW commit.
+    val dvKept = dvs.flatMap { d =>
+      val entries = DeletionVectors.readIndex(store, d)
+      val keep = entries.filter(e => survivingNames.contains(e.name))
+      if (keep.isEmpty) None
+      else if (keep.size == entries.size) Some(d)
+      else {
+        val blob = store.tableDir.resolve(d.path).toString
+        Some(DeletionVectors.writeBlob(store, keep.map(e =>
+          (e.name, e.cardinality,
+            DeletionVectors.readPayload(blob, e.offset, e.length)))))
+      }
+    }
     val eqKept = eq.filter(e => survivingFiles.exists(_.seq < e.seq))
-    posKept ++ eqKept
+    tuplesKept ++ dvKept ++ eqKept
   }
 
   /** Rows of a provenance-carrying read over `files` that MATCH any

@@ -66,7 +66,12 @@ object Streams {
       // set it). Fail loudly rather than silently shifting event times.
       case _ =>
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
+        // any UTC-equivalent zone preserves instants — compare normalized
+        // rules, not the string, so Etc/UTC / GMT / +00:00 sessions pass
+        val isUtc = scala.util.Try(
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC)
+          .getOrElse(false)
+        require(isUtc,
           s"eventsStream requires spark.sql.session.timeZone=UTC to read the " +
             s"NTZ events fixture without shifting instants; session has '$tz'")
         raw.withColumn("ts", col("ts").cast(TimestampType))

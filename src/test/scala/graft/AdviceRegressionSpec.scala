@@ -347,6 +347,23 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("eventsStream accepts UTC-equivalent zones (Etc/UTC, GMT, +00:00)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    assume(tsType == org.apache.spark.sql.types.TimestampNTZType)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // zones with identical (fixed zero-offset) rules preserve instants
+      // exactly like "UTC" — the guard must compare rules, not strings
+      Seq("Etc/UTC", "GMT", "+00:00").foreach { z =>
+        spark.conf.set("spark.sql.session.timeZone", z)
+        val df = graft.streaming.Streams.eventsStream(spark, sfDir)
+        assert(df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"zone $z rejected")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("MetaPool.mapAll preserves order and propagates worker failures") {
     val out = MetaPool.mapAll(1 to 100, "order check")(i => i * 2)
     assert(out == (2 to 200 by 2).toSeq)

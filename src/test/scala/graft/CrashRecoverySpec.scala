@@ -88,12 +88,23 @@ class CrashRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("CREATE TABLE crspec.demo.c3 (id INT) USING graft")
     sql("INSERT INTO crspec.demo.c3 VALUES (1)")
     val st = store("c3")
+    // an aborted commit's leftover, old enough to be past the age guard
     val junk = st.dataDir.resolve("deadbeef-orphan.parquet")
     Files.writeString(junk, "junk", UTF_8)
+    Files.setLastModifiedTime(junk,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // a FRESH unreferenced file — e.g. a dv blob or data file published
+    // ahead of a still-in-flight commit — must survive the default sweep
+    val inflight = st.dataDir.resolve("cafebabe-inflight.parquet")
+    Files.writeString(inflight, "junk", UTF_8)
     val removed = Maintenance.removeOrphanFiles(st)
     assert(removed.contains("deadbeef-orphan.parquet"))
     assert(!Files.exists(junk))
+    assert(Files.exists(inflight),
+      "young unreferenced data files must be left for the next sweep")
     assert(sql("SELECT count(*) FROM crspec.demo.c3")
       .collect().head.getLong(0) == 1)
+    Files.deleteIfExists(inflight)
   }
 }

@@ -123,6 +123,49 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COW rewrite keeps a partially-surviving vector in blob form") {
+    sql("""CREATE TABLE dv.d.ret (id INT, v INT) USING iceberg
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    // range(start, end, step, 1) → one partition → exactly one data file
+    // per insert, so the vector's two entries map 1:1 to the two files
+    sql("INSERT INTO dv.d.ret SELECT id, id FROM range(0, 10000, 1, 1)")
+    sql("INSERT INTO dv.d.ret SELECT id, id FROM range(10000, 20000, 1, 1)")
+    sql("DELETE FROM dv.d.ret WHERE id >= 0 AND id < 100")       // file 1
+    sql("DELETE FROM dv.d.ret WHERE id >= 10000 AND id < 10100") // file 2
+    sql("CALL dv.system.rewrite_delete_vectors('d.ret')")
+    val st = store("ret")
+    val dv0 = st.head().get.deleteFiles
+    assert(dv0.map(_.kind) == Seq("dv"))
+    assert(DeletionVectors.readIndex(st, dv0.head).size == 2,
+      "setup: the vector should cover both data files")
+    // COW rewrite narrowed to file 2 (runtime group filtering): file 2's
+    // index entry is dropped, file 1's bitmap byte-copies into a NEW blob
+    // — retain must never explode a vector back into tuple files
+    sql("UPDATE dv.d.ret SET v = -1 WHERE id = 15000")
+    val after = st.head().get
+    assert(after.deleteFiles.map(_.kind) == Seq("dv"),
+      s"retain exploded the vector: ${after.deleteFiles}")
+    val idx = DeletionVectors.readIndex(st, after.deleteFiles.head)
+    assert(idx.size == 1, s"replaced file's entry must be dropped: $idx")
+    assert(after.deleteFiles.head.rowCount == 100L)
+    val expected = (0 until 20000).filterNot(i => i < 100 ||
+      (i >= 10000 && i < 10100))
+    assert(sql("SELECT count(*) FROM dv.d.ret").collect().head.getLong(0)
+      == expected.size.toLong)
+    assert(sql("SELECT sum(v) FROM dv.d.ret").collect().head.getLong(0)
+      == expected.map(i => if (i == 15000) -1L else i.toLong).sum)
+
+    // retain with every vectored file surviving is an identity — no new
+    // blob is written, the original DeleteFile entry rides through
+    val kept = PositionDeletes.retain(spark, st, after.deleteFiles, after.files)
+    assert(kept == after.deleteFiles, s"identity retain rewrote: $kept")
+    // ...and with no vectored file surviving the vector is dropped
+    val dead = PositionDeletes.retain(spark, st, after.deleteFiles,
+      after.files.filter(f => !idx.map(_.name).contains(
+        PositionDeletes.fileName(f.path))))
+    assert(dead.isEmpty, s"stale vector survived: $dead")
+  }
+
   test("rewrite_deletes folds a vector fully into the data files") {
     val st = store("t")
     val before = sql("SELECT id FROM dv.d.t ORDER BY id")

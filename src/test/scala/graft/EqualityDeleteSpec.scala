@@ -225,6 +225,33 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 2)
   }
 
+  test("equality key added with DEFAULT probes old files' default, " +
+      "independent of the projection") {
+    makeTable("e9")
+    sql("ALTER TABLE eqspec.demo.e9 ADD COLUMN k STRING DEFAULT 'X'")
+    sql("INSERT INTO eqspec.demo.e9 VALUES (5, 'c', 50, 'Y')")
+    sql("DELETE FROM eqspec.demo.e9 WHERE k = 'X'")
+    val snap = store("e9").head().get
+    assert(snap.deleteFiles.exists(_.kind == "equality"),
+      s"setup: expected the equality path, got ${snap.deleteFiles}")
+    // SELECT path: rows of files predating k read its EXISTS_DEFAULT 'X'
+    // and die to the delete; the explicitly-'Y' row survives
+    assert(sql("SELECT id FROM eqspec.demo.e9").collect()
+      .map(_.getInt(0)).toSeq == Seq(5))
+    // COW path whose projection does NOT include k (the update's runtime
+    // group-filter scan projects only the condition column + _file): the
+    // appended probe column must read the same default — with a bare
+    // (metadata-less) appended field, old files read NULL there, the
+    // probe misses, and the dead id=1 row gets nominated and rewritten
+    val filesBefore = snap.files.map(_.path).toSet
+    sql("UPDATE eqspec.demo.e9 SET v = 0 WHERE id = 1")
+    val after = store("e9").head().get
+    assert(after.files.map(_.path).toSet == filesBefore,
+      "a projection-dependent default probe resurrected eq-deleted rows")
+    assert(sql("SELECT id, v FROM eqspec.demo.e9").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((5, 50)))
+  }
+
   test("a 100-commit streaming-upsert chain folds to zero delete files") {
     import spark.implicits._
     makeTable("e15")

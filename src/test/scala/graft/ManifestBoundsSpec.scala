@@ -109,6 +109,7 @@ class ManifestBoundsSpec extends AnyFunSuite {
     override def createExclusive(p: Path, content: String): Unit = inner.createExclusive(p, content)
     override def replaceAtomic(p: Path, content: String): Unit = inner.replaceAtomic(p, content)
     override def write(p: Path, content: String): Unit = inner.write(p, content)
+    override def writeBytes(p: Path, bytes: Array[Byte]): Unit = inner.writeBytes(p, bytes)
     override def publish(src: Path, dst: Path): Unit = inner.publish(src, dst)
     override def list(dir: Path): Seq[Path] = inner.list(dir)
     override def listTree(root: Path): Seq[Path] = inner.listTree(root)

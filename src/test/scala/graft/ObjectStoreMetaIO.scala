@@ -119,6 +119,17 @@ final class ObjectStoreMetaIO(latencyMs: Long = 0L) extends MetaIO {
     put(p, content)
   }
 
+  override def writeBytes(p: Path, bytes: Array[Byte]): Unit = {
+    op("PUT", p)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, ".put", ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
   override def publish(src: Path, dst: Path): Unit = {
     // server-side COPY ...
     op("COPY", dst)

@@ -30,6 +30,8 @@ class MetaIOSpec extends AnyFunSuite {
       objects.put(key(p), content)
     override def write(p: Path, content: String): Unit =
       createExclusive(p, content)
+    override def writeBytes(p: Path, bytes: Array[Byte]): Unit =
+      createExclusive(p, java.util.Base64.getEncoder.encodeToString(bytes))
     override def publish(src: Path, dst: Path): Unit = {
       val v = objects.remove(key(src))
       require(v != null, s"no staged object at $src")
