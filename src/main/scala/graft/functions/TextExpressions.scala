@@ -418,3 +418,72 @@ case class CharEntropy(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Email + long-number PII scan in ONE combined regex pass — the kernel of
+  * q_pii_redact, which previously ran FOUR full regex scans per document
+  * (two `regexp_extract_all`, which also materialize an array of every
+  * match just to take its size, and two chained `regexp_replace`, which
+  * materialize the intermediate email-redacted string).
+  *
+  * Returns struct(n_emails, n_nums, redacted) with the exact semantics of
+  * the sequential form
+  * `replace(replace(text, EMAIL, '<EMAIL>'), NUM, '<NUM>')`:
+  *  - the combined alternation `(EMAIL)|(NUM)` visits the same match
+  *    spans, because a digit run adjacent to an email's local part is
+  *    absorbed into the email's leftmost match (digits are local-part
+  *    chars), and a digit run separated from any email cannot overlap
+  *    one — so alternative order decides exactly the ties the sequential
+  *    form decides in favor of EMAIL;
+  *  - `<EMAIL>`/`<NUM>` contain no digits and cannot merge or create
+  *    digit runs, so second-pass NUM matches equal first-pass group-2
+  *    matches (pinned adversarially by PiiScanPropertySpec);
+  *  - counts are over the RAW text (oracle: `regexp_extract_all` on
+  *    `text`), so digits inside an email count toward n_nums even though
+  *    the email's replacement swallows them — that needs the separate
+  *    count-only NUM pass (no match array is ever built).
+  */
+case class PiiScan(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  import PiiScan._
+
+  override def dataType: DataType = Schema
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val m = Combined.matcher(s)
+    val sb = new java.lang.StringBuilder(s.length)
+    var emails = 0
+    var last = 0
+    while (m.find()) {
+      sb.append(s, last, m.start())
+      if (m.start(1) >= 0) { emails += 1; sb.append("<EMAIL>") }
+      else sb.append("<NUM>")
+      last = m.end()
+    }
+    sb.append(s, last, s.length)
+    var nums = 0
+    val nm = Num.matcher(s)
+    while (nm.find()) nums += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](emails, nums, UTF8String.fromString(sb.toString)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumRegex = "[0-9]{3,}"
+
+  private val Combined =
+    java.util.regex.Pattern.compile(s"($EmailRegex)|($NumRegex)")
+  private val Num = java.util.regex.Pattern.compile(NumRegex)
+
+  val Schema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("n_emails", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_nums", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("redacted", StringType, nullable = false)
+}

@@ -196,7 +196,12 @@ object Pipeline {
 
   /** PII redaction: strip email addresses and ≥3-digit number runs from the
     * text, reporting match counts and a fingerprint of the redacted form
-    * (the full text stays distributed; only the 32-byte digest comes back). */
+    * (the full text stays distributed; only the 32-byte digest comes back).
+    * One combined-regex pass + one count-only pass per document
+    * ([[graft.functions.PiiScan]]) instead of the four full regex scans
+    * the declarative `extract_all`×2 + chained `replace`×2 form costs —
+    * semantics equal to that form (property-pinned vs it in
+    * PiiScanPropertySpec; the DuckDB oracle keeps the sequential shape). */
   val qPiiRedact: Q = Q(
     "q_pii_redact",
     """SELECT doc_id,
@@ -206,14 +211,15 @@ object Pipeline {
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '[0-9]{3,}', '<NUM>', 'g')) AS redacted_fp
        FROM documents ORDER BY doc_id""") { (s, d) =>
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val nums = "[0-9]{3,}"
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val scan = ColumnBridge.column(
+      graft.functions.PiiScan(ColumnBridge.expression(col("text"))))
     Tables.documents(s, d)
+      .select(col("doc_id"), scan.as("p"))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(nums), lit(0))).as("n_nums"),
-        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-          nums, "<NUM>").cast("binary")).as("redacted_fp"))
+        col("p.n_emails").as("n_emails"),
+        col("p.n_nums").as("n_nums"),
+        md5(col("p.redacted").cast("binary")).as("redacted_fp"))
       .orderBy("doc_id")
   }
 
