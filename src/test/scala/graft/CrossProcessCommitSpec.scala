@@ -48,6 +48,10 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     sql("INSERT INTO xproc.d.xt SELECT id, 'seed', id FROM range(1, 51)")
     // one victim chunk per worker; each worker COW-deletes its own
     sql("INSERT INTO xproc.d.xt SELECT id, 'victim', 0 FROM range(9000, 9030)")
+    // phase-2 table: merge-on-read deletes + deletion-vector consolidation
+    // + orphan sweeps, all racing across the three processes
+    sql("""CREATE TABLE xproc.d.mt (id INT, w STRING, v INT) USING iceberg
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
 
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
@@ -131,5 +135,44 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     val head = store.head().get
     assert(head.totalRows == rows.length.toLong,
       s"totalRows=${head.totalRows} but table has ${rows.length} rows")
+
+    // ---- phase-2 table: MOR deletes under racing consolidation/sweeps ----
+    val mtStore = new SnapshotStore(Paths.get(wh, "d", "mt"))
+
+    // 9. linear gap-free chain there too
+    val mtVersions = mtStore.listVersions()
+    assert(mtVersions == (1L to mtVersions.max),
+      s"mt version chain has gaps: $mtVersions")
+
+    // 10. exactly the surviving half of every batch, none resurrected,
+    // none over-deleted — deletes raced vector consolidation the whole run
+    val mtRows = sql("SELECT id, w, v FROM xproc.d.mt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val expectedMt = (for {
+      wid <- 0 until 3; b <- 0 until 6; k <- 5 until 10
+    } yield 50000 * (wid + 1) + b * 20 + k).toSet
+    val gotMt = mtRows.map(_._1).toSet
+    assert(gotMt == expectedMt,
+      s"mt lost: ${(expectedMt -- gotMt).toSeq.sorted.take(10)} " +
+        s"resurrected: ${(gotMt -- expectedMt).toSeq.sorted.take(10)}")
+    assert(mtRows.length == expectedMt.size, "mt duplicated rows")
+
+    // 11. every file the final snapshot references still exists — the
+    // concurrent age-guarded orphan sweeps never collected live state
+    val mtHead = mtStore.head().get
+    (mtHead.files.map(_.path) ++ mtHead.deleteFiles.map(_.path)).foreach { p =>
+      assert(Files.exists(mtStore.tableDir.resolve(p)),
+        s"live file collected by a racing orphan sweep: $p")
+    }
+
+    // 12. a quiescent consolidation folds the whole backlog to ≤1 vector
+    // and keeps row accounting exact
+    Maintenance.rewriteDeleteVectors(spark, mtStore)
+    val folded = mtStore.head().get
+    val kinds = folded.deleteFiles.map(_.kind)
+    assert(kinds.forall(_ == "dv") && kinds.size <= 1,
+      s"backlog did not fold: ${folded.deleteFiles}")
+    assert(folded.totalRows == expectedMt.size.toLong,
+      s"mt totalRows=${folded.totalRows}, want ${expectedMt.size}")
   }
 }

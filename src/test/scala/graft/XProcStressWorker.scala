@@ -95,5 +95,28 @@ object XProcStressWorker {
           Seq("id"))
       }
     }
+
+    // phase 2 — the merge-on-read table: every worker appends then MOR-
+    // deletes half of each batch (position tuples); worker 1 interleaves
+    // deletion-vector consolidation (head-pinned, retried on contention);
+    // worker 2 interleaves the age-guarded orphan sweep, which races
+    // everyone's publish→commit windows and must never collect a file a
+    // commit is about to reference
+    val mtStore = new SnapshotStore(Paths.get(wh, "d", "mt"))
+    (0 until appendBatches).foreach { b =>
+      val base = 50000 * (wid + 1) + b * 20
+      val values = (0 until 10)
+        .map(k => s"(${base + k}, 'm$wid', $b)").mkString(", ")
+      retrying(s"mt append w$wid b$b") {
+        spark.sql(s"INSERT INTO xp.d.mt VALUES $values")
+      }
+      retrying(s"mt delete w$wid b$b") {
+        spark.sql(s"DELETE FROM xp.d.mt WHERE id BETWEEN $base AND ${base + 4}")
+      }
+      if (wid == 1 && b % 2 == 1) retrying(s"mt dv w$wid b$b") {
+        Maintenance.rewriteDeleteVectors(spark, mtStore)
+      }
+      if (wid == 2 && b % 2 == 0) Maintenance.removeOrphanFiles(mtStore)
+    }
   }
 }
