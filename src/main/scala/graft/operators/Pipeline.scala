@@ -277,14 +277,21 @@ object Pipeline {
        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n_toks) AS BIGINT) AS n_tokens
        FROM s GROUP BY split ORDER BY split""") { (s, d) =>
-    val toks = size(split(trim(lower(col("text"))), "\\s+"))
-    val punct = size(regexp_extract_all(col("text"),
-      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") / length(col("text"))
+    // token count + punctuation count come from the one-pass TextProfile
+    // kernel (field equalities with the declarative split/extract_all
+    // forms are oracle-pinned by q_text_stats / q_text_quality) — the
+    // only remaining per-row regex is the fingerprint normalization
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val prof = ColumnBridge.column(
+      graft.functions.TextProfile(ColumnBridge.expression(col("text"))))
     val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
       .cast("binary"))
     val deduped = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), toks.as("n_toks"))
-      .filter(toks.between(10, 100000) && punct < 0.1)
+      .select(col("doc_id"), col("text"), prof.as("p"))
+      .select(col("doc_id"), col("text"),
+        col("p.n_tokens").as("n_toks"),
+        (col("p.n_punct").cast("double") / length(col("text"))).as("punct"))
+      .filter(col("n_toks").between(10, 100000) && col("punct") < 0.1)
       .groupBy(fp.as("fp"))
       .agg(min("doc_id").as("doc_id"), min("n_toks").as("n_toks"))
     val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
