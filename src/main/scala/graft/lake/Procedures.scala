@@ -195,9 +195,16 @@ object Procedures {
         }
       case "remove_orphan_files" =>
         simple(ident.name(), "delete data files referenced by no snapshot",
-          Seq(ProcedureParameter.in("table", StringType).build())) { args =>
+          Seq(ProcedureParameter.in("table", StringType).build(),
+            // same shape as Iceberg's older_than: the age guard below
+            // which unreferenced files are presumed in-flight, not orphaned
+            ProcedureParameter.in("older_than_ms", LongType)
+              .defaultValue("3600000")
+              .comment("only unreferenced files older than this are collected")
+              .build())) { args =>
           val tbl = args.getUTF8String(0).toString
-          val removed = Maintenance.removeOrphanFiles(storeFor(tbl))
+          val removed = Maintenance.removeOrphanFiles(storeFor(tbl),
+            args.getLong(1))
           Seq(Row(tbl, removed.size.toLong, 0L))
         }
       case "create_tag" =>

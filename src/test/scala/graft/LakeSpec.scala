@@ -354,6 +354,18 @@ class LakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.listVersions().size == 1)
     sql("CALL lakespec.system.remove_orphan_files(`table` => 'demo.proc_t')")
     assert(sql("SELECT * FROM lakespec.demo.proc_t").count() == 3)
+    // explicit age guard (Iceberg's older_than shape): an unreferenced
+    // file younger than the guard survives; collected once past it
+    val junk = store.tableDir.resolve("data").resolve("junk-orphan.parquet")
+    Files.writeString(junk, "junk")
+    sql("""CALL lakespec.system.remove_orphan_files(
+             `table` => 'demo.proc_t', older_than_ms => 60000)""")
+    assert(Files.exists(junk), "young unreferenced file collected")
+    val swept = sql("""CALL lakespec.system.remove_orphan_files(
+             `table` => 'demo.proc_t', older_than_ms => 0)""").collect()
+    assert(!Files.exists(junk), "stale orphan survived an age-0 sweep")
+    assert(swept.head.getLong(1) >= 1L)
+    assert(sql("SELECT * FROM lakespec.demo.proc_t").count() == 3)
   }
 
   test("commit protocol: crash between snapshot write and hint swap recovers") {
