@@ -167,16 +167,63 @@ object Similarity {
   private val NProbe = 20
   private val NLists = 32
   private val LloydIters = 3
+  private val SampleCap = 8192
+
+  /** Deterministic Lloyd k-means over pre-normalized vectors, run on the
+    * driver over a bounded sample (≤ SampleCap rows — see qKnnIvf step 1).
+    * Assignment = argmax cosine with first-max-wins tie-break (the same
+    * semantics as `array_position(sims, array_max(sims))`); update =
+    * spherical mean of the normalized members; empty clusters drop out
+    * (k shrinks, argmax stays well-defined). */
+  private def localKMeans(xs: Array[Array[Double]]): Seq[Array[Double]] = {
+    require(xs.nonEmpty, "k-means needs a non-empty training sample")
+    val dim = xs.head.length
+    val initStride = math.max(1, xs.length / NLists)
+    var cents: Array[Array[Double]] =
+      xs.indices.collect { case i if i % initStride == 0 => xs(i) }
+        .take(NLists).toArray
+    for (_ <- 1 to LloydIters) {
+      val cnorm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          var s = 0.0
+          var k = 0
+          while (k < dim) { s += x(k) * cents(j)(k); k += 1 }
+          val sim = s / cnorm(j)
+          if (sim > bestSim) { bestSim = sim; best = j }
+          j += 1
+        }
+        var k = 0
+        while (k < dim) { sums(best)(k) += x(k); k += 1 }
+        counts(best) += 1
+      }
+      cents = sums.indices.collect { case j if counts(j) > 0 =>
+        sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    cents.toIndexedSeq
+  }
 
   /** Approximate k-NN via an IVF (inverted-file) index — the structure
     * FAISS-style ANN uses, re-expressed in Spark:
     *
-    *  1. TRAIN: K=32 coarse centroids by deterministic k-means (stride
-    *     init over vec_id order, 3 Lloyd rounds of declarative
-    *     assign+mean aggregations), collected to the driver — the
-    *     "model" is K×Dim doubles (~16 KB), a broadcast artifact, never
-    *     the data. A finer quantizer than the 10 label means: shorter
-    *     lists, so the same scan fraction buys more recall.
+    *  1. TRAIN: K=32 coarse centroids by deterministic k-means over a
+    *     BOUNDED sample, on the driver — the FAISS recipe. The trainer
+    *     sees at most SampleCap=8192 vectors (stride-selected in vec_id
+    *     order: spread, reproducible), so driver memory is
+    *     O(SampleCap·Dim) ≈ 4 MB REGARDLESS of corpus size; at test SFs
+    *     the sample is the whole corpus. Local Lloyd rounds replace
+    *     3×(assign + explode + two shuffled aggregations + collect)
+    *     Spark jobs with zero cluster work; the resulting model is the
+    *     same K×Dim ≈ 16 KB centroid array either way, and only the
+    *     assignment below ever touches the full corpus. A finer
+    *     quantizer than the 10 label means: shorter lists, so the same
+    *     scan fraction buys more recall.
     *  2. ASSIGN: each corpus vector's inverted-list id = argmax cosine
     *     against the centroid literals — a map-only projection (no shuffle,
     *     no join); at ingest time this would be a stored column.
@@ -206,35 +253,24 @@ object Similarity {
         val n = math.sqrt(cv.map(x => x * x).sum)
         dot(col("v"), typedlit(cv.toSeq)) / (col("nv") * lit(n))
       }.toIndexedSeq: _*)
-    // SPHERICAL means: normalize each vector before averaging, so the
-    // centroid is the cosine-consistent direction mean (an unnormalized
-    // mean is dominated by long vectors and misassigns under cosine)
-    def meansBy(assigned: DataFrame, key: Column): Seq[Array[Double]] = assigned
-      .select(key.as("k"),
-        posexplode(transform(col("v"), x => x / col("nv"))).as(Seq("i", "x")))
-      .groupBy("k", "i").agg(avg("x").as("c"))
-      .groupBy("k")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        t => t.getField("c")).as("cv"))
-      .orderBy("k")
-      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
-    // 1. train: deterministic k-means. Init = every (n/K)-th vector in
-    //    vec_id order (spread, reproducible); each Lloyd round is one
-    //    map-only assignment + one elementwise-mean aggregation. Empty
-    //    clusters drop out (k shrinks; argmax stays well-defined).
+    // 1. train: deterministic k-means on a bounded sample, driver-side
+    //    (see scaladoc). The sample is pre-normalized at collect time —
+    //    SPHERICAL means: averaging normalized vectors gives the
+    //    cosine-consistent direction mean (an unnormalized mean is
+    //    dominated by long vectors and misassigns under cosine).
     val n = e.count()
-    val stride = math.max(1L, n / NLists)
-    var cents: Seq[Array[Double]] = e
+    val stride = math.max(1L, n / SampleCap)
+    val sample: Array[Array[Double]] = e
       .filter(col("vec_id") % stride === 0)
       .orderBy("vec_id")
-      .limit(NLists)
-      .select("v").collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
-    (1 to LloydIters).foreach { _ =>
-      val sims = centSimsFor(cents)
-      cents = meansBy(
-        e.withColumn("cid", array_position(sims, array_max(sims))),
-        col("cid"))
-    }
+      .limit(SampleCap)
+      .select(col("v"), col("nv"))
+      .collect()
+      .map { r =>
+        val nv = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / nv)
+      }
+    val cents = localKMeans(sample)
     // 2. assign: inverted-list id = argmax centroid sim (map-only)
     val centSims = centSimsFor(cents)
     val corpus = e
