@@ -487,3 +487,80 @@ object PiiScan {
       .add("n_nums", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("redacted", StringType, nullable = false)
 }
+
+/** Repetition counters of whitespace-tokenized, lowercased text — the
+  * kernel of q_repetition_profile, the Gopher/FineWeb-style repetition
+  * quality gate (duplicate-token fraction, most-common-token coverage,
+  * most-common-bigram coverage) a pretraining pipeline runs before
+  * anything expensive touches a document.
+  *
+  * One pass builds the token-count and adjacent-bigram-count maps per row;
+  * the declarative twin (two explode→groupBy→max round-trips per metric)
+  * would shuffle every token and bigram of the corpus twice for what is a
+  * per-document map-side loop. Only COUNTS leave the expression — the
+  * argmax token itself never materializes, so mode ties (two tokens with
+  * the same max count) cannot make the result nondeterministic.
+  *
+  * Tokenization matches the rest of the text pack (and the DuckDB oracle):
+  * `trim(lower(text))` split on `\s+` with Spark's keep-empty semantics.
+  * Bigrams are the n_tokens-1 adjacent pairs; n_bigrams is 0 for
+  * single-token documents and the bigram count columns are then 0 (the
+  * query layer turns 0/0 into NULL to match the oracle's CASE).
+  */
+case class RepetitionProfile(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  import RepetitionProfile._
+
+  override def dataType: DataType = Schema
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = trimSpaces(v.asInstanceOf[UTF8String].toLowerCase.toString)
+      .split("\\s+", -1)
+    val tokCounts = new java.util.HashMap[String, Int](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      tokCounts.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var topTok = 0
+    val it = tokCounts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > topTok) topTok = c }
+
+    val nBigrams = math.max(0, toks.length - 1)
+    var topBigram = 0
+    if (nBigrams > 0) {
+      val bigramCounts = new java.util.HashMap[String, Int](nBigrams * 2)
+      i = 0
+      while (i < nBigrams) {
+        bigramCounts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        i += 1
+      }
+      val bit = bigramCounts.values().iterator()
+      while (bit.hasNext) { val c = bit.next(); if (c > topBigram) topBigram = c }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, tokCounts.size(), topTok, nBigrams, topBigram))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionProfile {
+  val Schema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("n_tokens", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_distinct", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("top_token", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("n_bigrams", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("top_bigram", org.apache.spark.sql.types.IntegerType, nullable = false)
+
+  /** Spark/DuckDB `trim` strips the SPACE character only. */
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+}

@@ -269,7 +269,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality gate (Gopher/FineWeb-style): duplicate-token
+    * fraction, most-common-token coverage and most-common-bigram coverage
+    * per document, plus the composite keep decision (drop documents whose
+    * top token covers >30% or whose top adjacent bigram covers >20% of the
+    * text). One per-row pass (graft.functions.RepetitionProfile) — zero
+    * shuffle; the declarative twin explodes every token AND bigram of the
+    * corpus into rows and re-aggregates twice. Only counts cross the
+    * expression boundary, so mode ties can't leak nondeterminism; the keep
+    * predicate reads the ROUNDED ratios on both sides so a boundary value
+    * decides identically in Spark and DuckDB. */
+  val qRepetitionProfile: Q = Q(
+    "q_repetition_profile",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+            b AS (SELECT doc_id, toks,
+                         list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+                  FROM t),
+            r AS (SELECT doc_id,
+                         CAST(len(toks) AS INTEGER) AS n_tokens,
+                         round(1.0 - len(list_distinct(toks))
+                                     / CAST(len(toks) AS DOUBLE), 4) AS dup_token_ratio,
+                         round(len(list_filter(toks, x -> x = list_aggregate(toks, 'mode')))
+                               / CAST(len(toks) AS DOUBLE), 4) AS top_token_ratio,
+                         CASE WHEN len(bigrams) = 0 THEN NULL
+                              ELSE round(len(list_filter(bigrams,
+                                             x -> x = list_aggregate(bigrams, 'mode')))
+                                         / CAST(len(bigrams) AS DOUBLE), 4)
+                              END AS top_bigram_ratio
+                  FROM b)
+       SELECT doc_id, n_tokens, dup_token_ratio, top_token_ratio, top_bigram_ratio,
+              (top_token_ratio <= 0.3
+               AND coalesce(top_bigram_ratio, 0) <= 0.2) AS keep
+       FROM r ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rep = ColumnBridge.column(
+      graft.functions.RepetitionProfile(ColumnBridge.expression(col("text"))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), rep.as("__r"))
+      .select(col("doc_id"),
+        col("__r.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("__r.n_distinct") / col("__r.n_tokens").cast("double"), 4)
+          .as("dup_token_ratio"),
+        round(col("__r.top_token") / col("__r.n_tokens").cast("double"), 4)
+          .as("top_token_ratio"),
+        when(col("__r.n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__r.top_bigram") / col("__r.n_bigrams").cast("double"), 4))
+          .as("top_bigram_ratio"))
+      .withColumn("keep",
+        col("top_token_ratio") <= 0.3 &&
+          coalesce(col("top_bigram_ratio"), lit(0.0)) <= 0.2)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
-    qWordFreq, qCharEntropy)
+    qWordFreq, qCharEntropy, qRepetitionProfile)
 }

@@ -135,4 +135,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == 2.0)        // abcd: four symbols
     assert(!got.contains(4L))     // empty text → no row, like the explode
   }
+
+  test("RepetitionProfile counts tokens, distincts, top token and top bigram") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cases = Seq(
+      // (text, n_tokens, n_distinct, top_token, n_bigrams, top_bigram)
+      ("the cat the cat the dog", 6, 3, 3, 5, 2),
+      ("a", 1, 1, 1, 0, 0),          // single token: no bigrams
+      ("", 1, 1, 1, 0, 0),           // Spark split keeps the empty token
+      ("x y x y x y x y", 8, 2, 4, 7, 4),
+      ("unique words only here", 4, 4, 1, 3, 1),
+      ("The THE the tHe", 4, 1, 4, 3, 3), // lowercased before counting
+      ("  padded   with   runs  ", 3, 3, 1, 2, 1)) // \s+ collapses runs
+    val df = cases.zipWithIndex
+      .map { case ((t, _, _, _, _, _), i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val rep = ColumnBridge.column(
+      graft.functions.RepetitionProfile(ColumnBridge.expression(col("t"))))
+    val got = df.select(col("doc_id"), rep.as("r")).orderBy("doc_id")
+      .select("r.n_tokens", "r.n_distinct", "r.top_token", "r.n_bigrams",
+        "r.top_bigram")
+      .collect().map(_.toSeq)
+    cases.zip(got).foreach { case ((t, n, d, tt, nb, tb), a) =>
+      assert(a == Seq(n, d, tt, nb, tb), s"text '$t'")
+    }
+  }
+
+  test("q_repetition_profile flags repeated documents and keeps varied ones") {
+    // run the declared query against a tiny on-disk corpus so the full
+    // column pipeline (ratios, NULL bigram case, rounded keep rule) is
+    // exercised, not just the kernel
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 0L),
+      (1L, "a varied document with many different words inside it", "en", "s", 0L),
+      (2L, "go", "en", "s", 0L)) // single token → NULL top_bigram_ratio
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextOps.qRepetitionProfile.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(0L).getBoolean(5), "all-one-token spam must be dropped")
+    assert(out(1L).getBoolean(5), "varied text must be kept")
+    assert(out(2L).isNullAt(4), "single-token doc has no bigram ratio")
+    // a single token IS 100% top-token coverage → dropped by that rule
+    // (the NULL bigram ratio coalesces to 0 and never drops by itself)
+    assert(!out(2L).getBoolean(5), "one-token doc fails top-token coverage")
+    assert(out(0L).getDouble(2) == 0.9) // dup_token_ratio = 1 - 1/10
+  }
 }
