@@ -367,6 +367,95 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Domain mixture resampling: downsample each source to a target weight
+    * so the corpus matches a desired domain mix (the data-mixing step that
+    * precedes pretraining — e.g. cap the web-crawl share, keep all of the
+    * high-quality sources). The keep decision is a pure per-row hash
+    * compare (`substr(md5(doc_id), 1, 2) < threshold(source)`), so it is
+    * deterministic, stable under repartitioning, and composable with the
+    * split/sample operators above (independent hash prefixes would use a
+    * salt — here the shared bucket is intentional so held-out membership
+    * survives remixing).
+    *
+    * Scale design: the weights are a ~O(#domains) dimension joined with an
+    * explicit `broadcast()` — map-side, no shuffle of the corpus; at
+    * 100 TB the filter prunes before anything else runs, and a
+    * source-partitioned layout turns the rate-1.0 domains into untouched
+    * partitions. 'zz' is the keep-all sentinel: every 2-hex-digit bucket
+    * compares below it. */
+  val qDomainMixture: Q = Q(
+    "q_domain_mixture",
+    """SELECT doc_id, source,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'zz'
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN '80'
+                  ELSE '40' END
+       ORDER BY doc_id""") { (s, d) =>
+    val weights = s.createDataFrame(Seq(
+      (0 to 4).map(i => (s"src$i", "zz")),   // keep-all sentinel
+      (5 to 9).map(i => (s"src$i", "80")),   // 50%
+      (10 to 19).map(i => (s"src$i", "40"))  // 25%
+    ).flatten).toDF("source", "threshold")
+    val bucket = substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .join(broadcast(weights), Seq("source"), "left")
+      // mirror the oracle's ELSE: a source missing from the weights table
+      // gets the default rate instead of silently vanishing in the join
+      .filter(col("bucket") < coalesce(col("threshold"), lit("40")))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: concatenate each source's documents in doc_id order
+    * and chop the token stream into fixed 256-token context windows (the
+    * GPT-style pack-and-truncate batcher). Each document reports the chunk
+    * range it lands in — `first_chunk`/`last_chunk`/`n_chunks` — which is
+    * exactly the manifest a training loader needs to materialize window k
+    * without scanning its neighbors.
+    *
+    * Scale design: the only non-map work is a running sum windowed
+    * PARTITION BY source ORDER BY doc_id — a per-shard sort, never a
+    * global one; shards are independent, so at 100 TB packing runs per
+    * (source, date-bucket) partition with bounded memory and the chunk ids
+    * stay local to the shard. No explode: the window positions are pure
+    * arithmetic on the cumulative count (integer DIV — no FP drift at
+    * 100 TB token offsets). */
+  val qSequencePack: Q = Q(
+    "q_sequence_pack",
+    """WITH t AS (SELECT doc_id, source,
+                         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                  FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                  0) AS cum_before
+                  FROM t)
+       SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+              CAST(cum_before // 256 AS BIGINT) AS first_chunk,
+              CAST((cum_before + n_tokens - 1) // 256 AS BIGINT) AS last_chunk,
+              CAST((cum_before + n_tokens - 1) // 256
+                   - cum_before // 256 + 1 AS BIGINT) AS n_chunks
+       FROM c ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("cum_before DIV 256").as("first_chunk"),
+        expr("(cum_before + n_tokens - 1) DIV 256").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
-    qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample)
+    qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
+    qSequencePack)
 }

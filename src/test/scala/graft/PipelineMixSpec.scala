@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+/** Invariants of the corpus-mixing operators (q_domain_mixture,
+  * q_sequence_pack) beyond the oracle hash: determinism under
+  * repartitioning, exact rate semantics, and chunk-geometry laws the SQL
+  * twin can't state directly. */
+class PipelineMixSpec extends SparkSpec {
+
+  test("domain mixture keeps every doc of a rate-1.0 source and is " +
+    "deterministic under repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Pipeline.qDomainMixture.fn(spark, sf).cache()
+    try {
+      val full = docs.filter(col("source").isin((0 to 4).map(i => s"src$i"): _*))
+      assert(kept.filter(col("source").isin((0 to 4).map(i => s"src$i"): _*))
+        .count() == full.count(), "rate-1.0 sources must keep every doc")
+
+      // the keep set is a pure function of doc_id — recompute membership
+      // with the same hash in the test and demand exact equality
+      val expect = docs
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+            .as("bucket"))
+        .filter(
+          col("source").isin((0 to 4).map(i => s"src$i"): _*) ||
+            (col("source").isin((5 to 9).map(i => s"src$i"): _*) &&
+              col("bucket") < "80") ||
+            (col("source").isin((10 to 19).map(i => s"src$i"): _*) &&
+              col("bucket") < "40"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect)
+
+      // repartitioning the input must not change membership (hash is
+      // row-local, not partition-local)
+      val reshuffled = Pipeline.qDomainMixture
+        .fn(spark, sf).repartition(17)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(reshuffled == expect)
+    } finally kept.unpersist()
+  }
+
+  test("sequence packing tiles each source's token stream exactly") {
+    val out = Pipeline.qSequencePack.fn(spark, sf).cache()
+    try {
+      // chunk geometry per source: doc ranges are contiguous, start at
+      // chunk 0, and the last chunk index is ceil(total_tokens/256)-1
+      val bySource = out.collect().groupBy(_.getString(1))
+      bySource.foreach { case (src, rows) =>
+        val sorted = rows.sortBy(_.getLong(0))
+        var cum = 0L
+        sorted.foreach { r =>
+          val n = r.getInt(2).toLong
+          assert(r.getLong(3) == cum / 256, s"$src doc ${r.getLong(0)} first_chunk")
+          assert(r.getLong(4) == (cum + n - 1) / 256, s"$src last_chunk")
+          assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1)
+          cum += n
+        }
+        val lastChunk = sorted.map(_.getLong(4)).max
+        assert(lastChunk == (cum - 1) / 256,
+          s"$src: stream of $cum tokens must end in chunk ceil/256 - 1")
+      }
+      // a doc never spans more chunks than its token count requires
+      assert(out.filter(col("n_chunks") > col("n_tokens") / 256 + 2)
+        .count() == 0)
+    } finally out.unpersist()
+  }
+}
