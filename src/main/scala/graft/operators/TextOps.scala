@@ -324,7 +324,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-LM quality score: train a unigram language model on the corpus
+    * itself (token → count), then score every document by its mean token
+    * log-probability and perplexity — the KenLM-style "does this look like
+    * the rest of the corpus" filter of a pretraining pipeline (gibberish
+    * and OCR noise score far below fluent text).
+    *
+    * Scale design: pass 1 is a hash aggregation whose map-side combine
+    * reduces each partition to its vocabulary before the shuffle; the
+    * model IS that aggregate, so there is no separate training job. Pass 2
+    * re-joins tokens to the model on the token key — AQE broadcasts the
+    * model when it fits (it always does here) and falls back to a plain
+    * shuffle equi-join when a web-scale vocabulary doesn't; either way the
+    * work is linear in corpus tokens. The corpus-total row is a 1-row
+    * broadcast cross join, not a collect. A production variant caps the
+    * model at top-V tokens with an OOV floor to bound the join side
+    * unconditionally; uncapped keeps this oracle-exact. */
+  val qUnigramLogprob: Q = Q(
+    "q_unigram_logprob",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+            n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f)
+       SELECT u.doc_id,
+              CAST(count(*) AS INTEGER) AS n_tokens,
+              round(avg(ln(f.c / n.n)), 4) AS avg_logprob,
+              round(exp(-avg(ln(f.c / n.n))), 2) AS perplexity
+       FROM u JOIN f USING (tok) CROSS JOIN n
+       GROUP BY u.doc_id ORDER BY u.doc_id""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = model.agg(sum("c").cast("double").as("n"))
+    val lp = log(col("c") / col("n"))
+    toks.join(model, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(avg(lp), 4).as("avg_logprob"),
+        round(exp(-avg(lp)), 2).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
-    qWordFreq, qCharEntropy, qRepetitionProfile)
+    qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob)
 }

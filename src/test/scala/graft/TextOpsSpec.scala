@@ -181,4 +181,23 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(2L).getBoolean(5), "one-token doc fails top-token coverage")
     assert(out(0L).getDouble(2) == 0.9) // dup_token_ratio = 1 - 1/10
   }
+
+  test("q_unigram_logprob ranks out-of-distribution text below fluent text") {
+    val dir = java.nio.file.Files.createTempDirectory("ulm").toString
+    val common = "the cat sat on the mat and the dog ran to the cat"
+    Seq(
+      (0L, common, "en", "s", 0L),
+      (1L, common, "en", "s", 0L),
+      (2L, "the dog sat on the mat", "en", "s", 0L),
+      (3L, "zxqj vvkw qqpl mmnr zzty", "en", "s", 0L)) // gibberish: all hapax
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextOps.qUnigramLogprob.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // identical docs score identically; the gibberish doc (every token a
+    // corpus hapax) must score strictly lowest / highest perplexity
+    assert(got(0L) == got(1L))
+    assert(got(3L)._1 < got.filter(_._1 != 3L).values.map(_._1).min)
+    assert(got(3L)._2 > got.filter(_._1 != 3L).values.map(_._2).max)
+  }
 }
