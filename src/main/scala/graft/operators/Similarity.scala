@@ -245,19 +245,21 @@ object Similarity {
     * Approximate → no SQL oracle; SimilaritySpec pins recall@10 ≥ 0.9
     * against q_knn_exact. At 100 TB training runs on a sample; only the
     * assignment touches the full corpus. */
-  val qKnnIvf: Q = Q.noOracle("q_knn_ivf") { (s, d) =>
-    val e = emb(s, d)
-    // cosine against each centroid as one literal-array expression
-    def centSimsFor(cents: Seq[Array[Double]]): Column =
-      array(cents.map { cv =>
-        val n = math.sqrt(cv.map(x => x * x).sum)
-        dot(col("v"), typedlit(cv.toSeq)) / (col("nv") * lit(n))
-      }.toIndexedSeq: _*)
-    // 1. train: deterministic k-means on a bounded sample, driver-side
-    //    (see scaladoc). The sample is pre-normalized at collect time —
-    //    SPHERICAL means: averaging normalized vectors gives the
-    //    cosine-consistent direction mean (an unnormalized mean is
-    //    dominated by long vectors and misassigns under cosine).
+  /** Cosine against each centroid as one literal-array expression over the
+    * (v, nv) columns of [[emb]]. */
+  private def centSimsFor(cents: Seq[Array[Double]]): Column =
+    array(cents.map { cv =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      dot(col("v"), typedlit(cv.toSeq)) / (col("nv") * lit(n))
+    }.toIndexedSeq: _*)
+
+  /** Deterministic driver-side k-means training over a bounded sample of
+    * the corpus (see qKnnIvf step-1 scaladoc). The sample is
+    * pre-normalized at collect time — SPHERICAL means: averaging
+    * normalized vectors gives the cosine-consistent direction mean (an
+    * unnormalized mean is dominated by long vectors and misassigns under
+    * cosine). */
+  private def trainCentroids(e: DataFrame): Seq[Array[Double]] = {
     val n = e.count()
     val stride = math.max(1L, n / SampleCap)
     val sample: Array[Array[Double]] = e
@@ -270,7 +272,13 @@ object Similarity {
         val nv = r.getDouble(1)
         r.getSeq[Double](0).toArray.map(_ / nv)
       }
-    val cents = localKMeans(sample)
+    localKMeans(sample)
+  }
+
+  val qKnnIvf: Q = Q.noOracle("q_knn_ivf") { (s, d) =>
+    val e = emb(s, d)
+    // 1. train: deterministic k-means on a bounded sample, driver-side
+    val cents = trainCentroids(e)
     // 2. assign: inverted-list id = argmax centroid sim (map-only)
     val centSims = centSimsFor(cents)
     val corpus = e
@@ -373,6 +381,44 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Unsupervised corpus clustering: assign every embedding to one of the
+    * K=32 k-means clusters and report per-cluster size, cohesion (mean
+    * cosine to the centroid) and label purity — the semantic-dedup /
+    * domain-discovery step of an embedding pipeline (cluster then sample
+    * per cluster, or route clusters to different mixture weights).
+    *
+    * Same scale shape as the IVF index it shares its trainer with:
+    * training reads a bounded SampleCap sample on the driver, assignment
+    * is a map-only argmax against centroid literals (zero shuffle, zero
+    * join — at ingest this is a stored column), and the only shuffled work
+    * is two aggregations keyed by the K-valued cluster id whose partials
+    * collapse map-side. Purity's argmax label breaks ties (count desc,
+    * label asc) so the output is deterministic. Approximate → no SQL
+    * oracle; SimilaritySpec pins determinism, the partition law and
+    * cohesion bounds. */
+  val qEmbeddingClusters: Q = Q.noOracle("q_embedding_clusters") { (s, d) =>
+    val e = emb(s, d)
+    val centSims = centSimsFor(trainCentroids(e))
+    val corpus = e
+      .withColumn("cluster_id", array_position(centSims, array_max(centSims)))
+      .withColumn("csim", array_max(centSims))
+    val stats = corpus.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_vectors"),
+      round(avg(col("csim")), 6).as("avg_sim"))
+    val wl = Window.partitionBy("cluster_id")
+      .orderBy(col("cnt").desc, col("label").asc)
+    val topLabel = corpus.groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("label").as("top_label"), col("cnt"))
+    stats.join(topLabel, "cluster_id")
+      .select(col("cluster_id"), col("n_vectors"), col("avg_sim"),
+        col("top_label"),
+        round(col("cnt") / col("n_vectors"), 4).as("top_label_share"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
-    qKnnQuantized)
+    qKnnQuantized, qEmbeddingClusters)
 }

@@ -68,4 +68,22 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.qKnnExact.fn(spark, sf).collect()
     assert(a.sameElements(b))
   }
+
+  test("embedding clusters partition the corpus with sane cohesion/purity") {
+    val total = Tables.embeddings(spark, sf).count()
+    val out = Similarity.qEmbeddingClusters.fn(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 32)
+    // partition law: every vector lands in exactly one cluster
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0,
+        s"cohesion out of range: $r")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0,
+        s"purity out of range: $r")
+    }
+    // deterministic: trainer sample, argmax assignment and tie-breaks are
+    // all fixed → byte-identical output across runs
+    val again = Similarity.qEmbeddingClusters.fn(spark, sf).collect()
+    assert(out.sameElements(again))
+  }
 }
