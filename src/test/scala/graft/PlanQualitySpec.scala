@@ -130,6 +130,45 @@ class PlanQualitySpec extends SparkSpec {
       s"MOR delete anti-join shuffles the data side:\n$p")
   }
 
+  test("domain mixture keeps the weights dim broadcast and the corpus unshuffled") {
+    val p = plan("q_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights dim not broadcast:\n$p")
+    // corpus side must not shuffle for the join: the only Exchange allowed
+    // is the final ORDER BY's range partitioning
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture join shuffles the corpus:\n$p")
+  }
+
+  test("sequence packing sorts per source shard, not globally, before the window") {
+    val p = plan("q_sequence_pack")
+    // the running sum must be a hash repartition on source (shard-local
+    // sort), never a range/global sort feeding the Window
+    assert(p.contains("Window"), s"no window in packing plan:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(source.*Window.*") ||
+      p.matches("(?s).*Exchange hashpartitioning\\(source.*"),
+      s"window input not hash-partitioned by source:\n$p")
+  }
+
+  test("unigram LM scoring broadcasts the model and combines map-side") {
+    val df = SparkEntry.queries("q_unigram_logprob")(spark, sf)
+    df.collect() // AQE decides the model join at runtime — inspect final
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"vocabulary model not broadcast at this scale:\n$s")
+    assert(s.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
+      "per-doc aggregation lost map-side combine")
+  }
+
+  test("repetition profile is a pure map plan — no shuffle before the sort") {
+    val p = plan("q_repetition_profile")
+    // one per-row kernel pass: the only Exchange is the output ORDER BY's
+    // range partitioning — no hash shuffle (join/agg) may appear
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition profile shuffles mid-plan:\n$p")
+    assert(!p.contains("Generate"), s"kernel replaced by explode:\n$p")
+  }
+
   test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
     // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
     // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must
