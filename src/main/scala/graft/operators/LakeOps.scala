@@ -509,9 +509,60 @@ object LakeOps {
     df
   }
 
+  /** Incremental ingest dedup against a lake-resident fingerprint index —
+    * the cross-batch exact-dedup structure of a continuously-fed corpus
+    * (a new crawl batch must not re-admit documents any PAST batch already
+    * contains; per-batch self-dedup can't see history).
+    *
+    * The corpus partition (doc_id % 5 != 0) seeds the index table — 16 B
+    * of md5 + an id per document, persisted through the full lake write
+    * path; the batch partition (doc_id % 5 == 0) is checked against the
+    * index READ BACK from the table, so the oracle hash also covers the
+    * index roundtrip. Join shape is the one that scales: the huge index
+    * never shuffles — the batch's fingerprints broadcast to a semi-join
+    * that streams over the index scan, and the surviving duplicate fps
+    * (bounded by the batch size) join back to flag each batch document.
+    * At 100 TB the index table is fp-bucketed so re-checks are
+    * storage-partitioned; admitted fingerprints append as one more
+    * O(batch) commit. */
+  val qLakeIngestDedup: Q = Q(
+    "q_lake_ingest_dedup",
+    """WITH f AS (SELECT doc_id,
+                         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+                  FROM documents),
+            batch AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+            corpus AS (SELECT * FROM f WHERE doc_id % 5 <> 0)
+       SELECT b.doc_id, b.fp,
+              (NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)) AS is_new
+       FROM batch b ORDER BY b.doc_id""") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.fp_index")
+    s.sql(s"""CREATE TABLE $Cat.verify.fp_index
+              (fp STRING, doc_id BIGINT) USING graft""")
+    val fps = Tables.documents(s, d).select(
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary"))
+        .as("fp"),
+      col("doc_id"))
+    fps.filter(col("doc_id") % 5 =!= 0)
+      .writeTo(s"$Cat.verify.fp_index").append()
+    val index = s.table(s"$Cat.verify.fp_index")
+    val batch = fps.filter(col("doc_id") % 5 === 0)
+    // huge side streams, small side broadcasts: index ⋉ broadcast(batch)
+    val dupFps = index
+      .join(broadcast(batch.select("fp")), Seq("fp"), "left_semi")
+      .select("fp").distinct()
+    batch
+      .join(broadcast(dupFps.withColumn("__dup", lit(true))), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("__dup").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
-    qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg)
+    qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg,
+    qLakeIngestDedup)
 }

@@ -455,7 +455,58 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Data selection under a token budget: within each source, rank
+    * documents by quality (least-repetitive first — the N7 repetition
+    * kernel's duplicate-token ratio, rounded so both engines rank
+    * identically, doc_id tie-break) and keep documents until the source's
+    * 500-token budget is spent (a doc is kept iff the tokens accumulated
+    * BEFORE it are under budget — take-until-exceed, deterministic). This
+    * is the per-domain token-cap step of mixture construction: spend each
+    * domain's budget on its best documents instead of a random sample.
+    *
+    * Scale design: one per-row kernel pass for the score (no shuffle),
+    * then a running-sum window PARTITION BY source — shard-local sort
+    * exactly like q_sequence_pack, no global order; the budget compare is
+    * pure arithmetic on the cumulative count. */
+  val qTokenBudget: Q = Q(
+    "q_token_budget",
+    """WITH t AS (SELECT doc_id, source,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+            r AS (SELECT doc_id, source,
+                         CAST(len(toks) AS INTEGER) AS n_tokens,
+                         round(1.0 - len(list_distinct(toks))
+                                     / CAST(len(toks) AS DOUBLE), 4) AS dup_ratio
+                  FROM t),
+            c AS (SELECT doc_id, source, n_tokens, dup_ratio,
+                         coalesce(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY dup_ratio, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                  0) AS cum_before
+                  FROM r)
+       SELECT doc_id, source, n_tokens, dup_ratio,
+              CAST(cum_before AS BIGINT) AS cum_before
+       FROM c WHERE cum_before < 500
+       ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    val rep = ColumnBridge.column(
+      graft.functions.RepetitionProfile(ColumnBridge.expression(col("text"))))
+    val w = Window.partitionBy("source").orderBy("dup_ratio", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), rep.as("__r"))
+      .select(col("doc_id"), col("source"),
+        col("__r.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("__r.n_distinct") / col("__r.n_tokens").cast("double"), 4)
+          .as("dup_ratio"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < 500)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
     qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
-    qSequencePack)
+    qSequencePack, qTokenBudget)
 }

@@ -69,4 +69,39 @@ class PipelineMixSpec extends SparkSpec {
         .count() == 0)
     } finally out.unpersist()
   }
+
+  test("token budget keeps each source's least-repetitive prefix") {
+    val kept = Pipeline.qTokenBudget.fn(spark, sf).collect()
+      .groupBy(_.getString(1))
+    val full = graft.operators.TextOps.qRepetitionProfile.fn(spark, sf)
+      .select("doc_id", "dup_token_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sources = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    sources.foreach { case (src, ids) =>
+      val k = kept.getOrElse(src, Array.empty)
+      assert(k.nonEmpty, s"$src: the first doc is always within budget")
+      // the kept set is the PREFIX of the (dup_ratio, doc_id) ranking:
+      // every kept doc ranks before every dropped doc
+      val keptIds = k.map(_.getLong(0)).toSet
+      val rank = (id: Long) => (full(id), id)
+      val dropped = ids -- keptIds
+      if (dropped.nonEmpty && keptIds.nonEmpty) {
+        val worstKept = keptIds.map(rank).max
+        val bestDropped = dropped.map(rank).min
+        assert(Ordering[(Double, Long)].lt(worstKept, bestDropped),
+          s"$src: kept set is not a ranking prefix")
+      }
+      // take-until-exceed: tokens accumulated BEFORE each kept doc < 500,
+      // and the doc ranked right after the prefix would start >= 500
+      val prefixTokens = k.map(_.getInt(2).toLong).sum
+      val lastDocTokens = k.maxBy(r => rank(r.getLong(0))).getInt(2)
+      assert(prefixTokens - lastDocTokens < 500,
+        s"$src: a kept doc started at or past the budget")
+      if (dropped.nonEmpty)
+        assert(prefixTokens >= 500,
+          s"$src: dropped docs but the budget was never reached")
+    }
+  }
 }

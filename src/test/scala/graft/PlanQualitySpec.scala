@@ -169,6 +169,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Generate"), s"kernel replaced by explode:\n$p")
   }
 
+  test("ingest dedup streams the index scan — batch side broadcasts") {
+    val df = SparkEntry.queries("q_lake_ingest_dedup")(spark, sf)
+    df.collect() // runs the lake writes; AQE finalizes the join strategy
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"index ⋉ batch is not a broadcast semi-join:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"the fingerprint index shuffled for the dedup check:\n$s")
+  }
+
   test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
     // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
     // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must
