@@ -369,7 +369,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Source-distribution drift: KL divergence of each source's unigram
+    * distribution from the whole-corpus distribution — the monitoring
+    * statistic that catches a crawl source going off-distribution (spam
+    * floods, language shifts, template noise) before it pollutes a
+    * training mix. KL(p_source ‖ p_corpus) is finite by construction: the
+    * corpus distribution dominates every source (q > 0 wherever p > 0).
+    *
+    * Scale design: ONE corpus pass — the (source × token) hash aggregate —
+    * and everything else derives from that far smaller frame: per-source
+    * totals, the global token distribution (re-aggregated from the
+    * source×token counts, not the corpus) and the KL sum. The only join is
+    * source×token ⋈ token on the vocabulary key; AQE broadcasts the global
+    * side when it fits. Output is O(#sources). */
+  val qSourceDivergence: Q = Q(
+    "q_source_divergence",
+    """WITH u AS (SELECT source,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                  FROM documents),
+            sc AS (SELECT source, tok, count(*) AS c FROM u GROUP BY 1, 2),
+            st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+            g  AS (SELECT tok, sum(c) AS gc FROM sc GROUP BY 1),
+            gt AS (SELECT sum(gc) AS gn FROM g)
+       SELECT sc.source,
+              CAST(st.n AS BIGINT) AS n_tokens,
+              CAST(count(*) AS INTEGER) AS n_vocab,
+              round(sum((sc.c / CAST(st.n AS DOUBLE))
+                        * ln((sc.c / CAST(st.n AS DOUBLE))
+                             / (g.gc / CAST(gt.gn AS DOUBLE)))), 4)
+                AS kl_from_corpus
+       FROM sc JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
+       GROUP BY sc.source, st.n
+       ORDER BY sc.source""") { (s, d) =>
+    val sc = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val st = sc.groupBy("source").agg(sum("c").as("n"))
+    val g = sc.groupBy("tok").agg(sum("c").as("gc"))
+    val gt = g.agg(sum("gc").as("gn"))
+    val p = col("c") / col("n").cast("double")
+    val q = col("gc") / col("gn").cast("double")
+    sc.join(st, "source")
+      .join(g, "tok")
+      .crossJoin(broadcast(gt))
+      .groupBy("source", "n")
+      .agg(count(lit(1)).cast("int").as("n_vocab"),
+        round(sum(p * log(p / q)), 4).as("kl_from_corpus"))
+      .select(col("source"), col("n").as("n_tokens"), col("n_vocab"),
+        col("kl_from_corpus"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
-    qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob)
+    qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob,
+    qSourceDivergence)
 }

@@ -200,4 +200,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L)._1 < got.filter(_._1 != 3L).values.map(_._1).min)
     assert(got(3L)._2 > got.filter(_._1 != 3L).values.map(_._2).max)
   }
+
+  test("q_source_divergence: off-distribution sources diverge, twins agree") {
+    val dir = java.nio.file.Files.createTempDirectory("kl").toString
+    Seq(
+      (0L, "x y x y", "en", "A", 0L),
+      (1L, "x y x y", "en", "A", 0L),
+      (2L, "x y x y", "en", "B", 0L), // B's distribution == A's
+      (3L, "z z z z", "en", "C", 0L)) // C is pure off-corpus mass
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kl = operators.TextOps.qSourceDivergence.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl("A") == kl("B"), "identical distributions must score equal KL")
+    assert(kl.values.forall(_ >= 0.0), "KL is non-negative")
+    assert(kl("C") > kl("A"),
+      "a source disjoint from the rest must diverge hardest")
+    // hand value: p_C(z)=1, q(z)=4/16 → KL = ln(4) ≈ 1.3863
+    assert(math.abs(kl("C") - math.log(4.0)) < 1e-4)
+  }
 }
