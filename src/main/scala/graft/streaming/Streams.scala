@@ -284,4 +284,63 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming cross-batch exact dedup into a lake-resident fingerprint
+    * index — the continuous-ingestion twin of `q_lake_ingest_dedup`: each
+    * micro-batch admits only documents whose normalized-text fingerprint
+    * neither the seed corpus nor any PREVIOUS batch admitted (per-batch
+    * self-dedup cannot see history). Within a batch the lowest doc_id
+    * wins a fingerprint; admitted (fp, doc_id) rows land as one O(batch)
+    * append commit, which makes the index table itself the dedup state —
+    * restart-safe via the checkpoint + snapshot log, no state store.
+    *
+    * Join shape is the scalable one from the batch twin: the index scan
+    * streams while the micro-batch's fingerprints broadcast into a
+    * semi-join, so a 100 TB index absorbs batches at the stream's rate
+    * (at that scale the index is fp-bucketed and the probe is
+    * storage-partitioned). */
+  def dedupIngestIntoLakeTable(
+      spark: SparkSession,
+      stream: DataFrame, // needs doc_id + text columns
+      store: graft.lake.SnapshotStore,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fps = batch.select(
+            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+              .cast("binary")).as("fp"),
+            col("doc_id"))
+          val w = Window.partitionBy("fp").orderBy("doc_id")
+          val firstPerFp = fps.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val head = store.head().get
+          val admitted =
+            if (head.files.isEmpty) firstPerFp
+            else {
+              val index = graft.lake.PositionDeletes.applySnapshotDeletes(
+                spark, store,
+                graft.lake.SchemaNames.readLogicalWithProvenance(spark,
+                  head.schema,
+                  head.files.map(f => store.tableDir.resolve(f.path).toString)),
+                head)
+              val dup = index
+                .join(broadcast(firstPerFp.select("fp")), Seq("fp"), "left_semi")
+                .select("fp").distinct()
+              firstPerFp.join(broadcast(dup), Seq("fp"), "left_anti")
+            }
+          if (!admitted.isEmpty)
+            graft.lake.GraftWriter.insert(spark, store,
+              admitted.select("fp", "doc_id"), overwrite = false)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

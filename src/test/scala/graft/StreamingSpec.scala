@@ -181,6 +181,48 @@ class StreamingSpec extends SparkSpec {
     assert(store.head().get.deleteFiles.isEmpty)
     assert(readAll() == Map(1L -> (2L, 1.5), 2L -> (5L, 2.5), 3L -> (1L, 3.0)))
   }
+
+  test("streaming ingest dedup admits each fingerprint exactly once across batches") {
+    val dir = Files.createTempDirectory("graft-stream-dedup-ingest")
+    val store = new SnapshotStore(dir.resolve("t"))
+    store.init()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    store.commit(_ => graft.lake.Snapshot(1, None, 1L, "create",
+      schema.json, Nil, Map.empty, Nil, Map.empty))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ck = Files.createTempDirectory("graft-ck-dedup-ingest").toString
+    val input = MemoryStream[(Long, String)]
+    def indexDocs(): Set[Long] = {
+      val head = store.head().get
+      graft.lake.SchemaNames.readLogicalWithProvenance(spark, head.schema,
+        head.files.map(f => store.tableDir.resolve(f.path).toString))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val stream = input.toDF().toDF("doc_id", "text")
+    // batch 1: doc 2 duplicates doc 1 modulo case/whitespace (same
+    // fingerprint — lowest doc_id wins); doc 3 is distinct
+    input.addData((1L, "the cat sat"), (2L, "The  CAT   sat"), (3L, "dogs"))
+    Streams.dedupIngestIntoLakeTable(spark, stream, store, ck)
+    assert(indexDocs() == Set(1L, 3L))
+    val v1 = store.head().get.version
+    // batch 2: doc 4 re-sends batch-1 content (cross-batch dup, must not
+    // re-admit), doc 5 is new
+    input.addData((4L, "the cat sat"), (5L, "birds"))
+    Streams.dedupIngestIntoLakeTable(spark, stream, store, ck)
+    assert(indexDocs() == Set(1L, 3L, 5L))
+    assert(store.head().get.version == v1 + 1, "one commit per batch")
+    // batch 3: all duplicates — nothing admitted, NO empty commit
+    input.addData((6L, "dogs"), (7L, "birds"))
+    Streams.dedupIngestIntoLakeTable(spark, stream, store, ck)
+    assert(indexDocs() == Set(1L, 3L, 5L))
+    assert(store.head().get.version == v1 + 1,
+      "an all-duplicate batch must not commit")
+  }
 }
 
 /** Small accessor so the spec reuses the exact driver-facing query. */
