@@ -401,9 +401,15 @@ object TextOps {
        FROM sc JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
        GROUP BY sc.source, st.n
        ORDER BY sc.source""") { (s, d) =>
+    // materialize the source×token aggregate ONCE: three consumers hang
+    // off it (per-source totals, global distribution, the KL join) and
+    // exchange reuse alone re-scans the corpus for some of them (measured:
+    // 6 scans without the cut, 1 with). The checkpointed frame is
+    // vocabulary-sized, not corpus-sized.
     val sc = Tables.documents(s, d)
       .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val st = sc.groupBy("source").agg(sum("c").as("n"))
     val g = sc.groupBy("tok").agg(sum("c").as("gc"))
     val gt = g.agg(sum("gc").as("gn"))
