@@ -221,6 +221,25 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   *  - s_en/de/es/fr = stopword hits over tokens of trim+split on
   *    lower(text) (UTF8String.toLowerCase — same as Spark's lower())
   */
+/** Tokenization helpers shared by the per-row text kernels. The contract
+  * ("matches the DuckDB oracle's trim + \s+ split of the lowered text")
+  * must live in ONE place — TextProfile and RepetitionProfile previously
+  * carried byte-identical private copies that could drift independently. */
+private[functions] object TextKernels {
+  /** Spark/DuckDB `trim` strips the SPACE character only. */
+  def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Whitespace tokens of trim(lower(text)) with Spark's keep-empty split
+    * semantics — the tokenization every oracle twin reproduces. */
+  def lowerTokens(u: UTF8String): Array[String] =
+    trimSpaces(u.toLowerCase.toString).split("\\s+", -1)
+}
+
 case class TextProfile(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
@@ -262,7 +281,7 @@ case class TextProfile(child: Expression)
     // tokens of trim(' ') + split("\s+") on the lowered text; token count
     // is whitespace-determined, so it equals the raw-text token count.
     // limit -1: Spark's split KEEPS trailing empty tokens (Java drops them)
-    val toks = trimSpaces(lowered).split("\\s+", -1)
+    val toks = TextKernels.trimSpaces(lowered).split("\\s+", -1)
     var sEn = 0; var sDe = 0; var sEs = 0; var sFr = 0
     i = 0
     while (i < toks.length) {
@@ -299,14 +318,6 @@ object TextProfile {
 
   private def isAsciiSpace(cp: Int): Boolean = // Java regex \s
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
-
-  /** Spark/DuckDB `trim` strips the SPACE character only. */
-  private def trimSpaces(s: String): String = {
-    var a = 0; var b = s.length
-    while (a < b && s.charAt(a) == ' ') a += 1
-    while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    if (a == 0 && b == s.length) s else s.substring(a, b)
-  }
 
   private def set(ws: String*): java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -515,8 +526,7 @@ case class RepetitionProfile(child: Expression)
   override def dataType: DataType = Schema
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = trimSpaces(v.asInstanceOf[UTF8String].toLowerCase.toString)
-      .split("\\s+", -1)
+    val toks = TextKernels.lowerTokens(v.asInstanceOf[UTF8String])
     val tokCounts = new java.util.HashMap[String, Int](toks.length * 2)
     var i = 0
     while (i < toks.length) {
@@ -555,12 +565,4 @@ object RepetitionProfile {
       .add("top_token", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("n_bigrams", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("top_bigram", org.apache.spark.sql.types.IntegerType, nullable = false)
-
-  /** Spark/DuckDB `trim` strips the SPACE character only. */
-  private def trimSpaces(s: String): String = {
-    var a = 0; var b = s.length
-    while (a < b && s.charAt(a) == ' ') a += 1
-    while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    if (a == 0 && b == s.length) s else s.substring(a, b)
-  }
 }

@@ -528,7 +528,8 @@ object LakeOps {
   val qLakeIngestDedup: Q = Q(
     "q_lake_ingest_dedup",
     """WITH f AS (SELECT doc_id,
-                         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+                         coalesce(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
+                                  '__null__') AS fp
                   FROM documents),
             batch AS (SELECT * FROM f WHERE doc_id % 5 = 0),
             corpus AS (SELECT * FROM f WHERE doc_id % 5 <> 0)
@@ -542,8 +543,7 @@ object LakeOps {
     s.sql(s"""CREATE TABLE $Cat.verify.fp_index
               (fp STRING, doc_id BIGINT) USING graft""")
     val fps = Tables.documents(s, d).select(
-      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ").cast("binary"))
-        .as("fp"),
+      TextOps.normalizedFp(col("text")).as("fp"),
       col("doc_id"))
     fps.filter(col("doc_id") % 5 =!= 0)
       .writeTo(s"$Cat.verify.fp_index").append()

@@ -480,7 +480,7 @@ object Pipeline {
                   FROM t),
             c AS (SELECT doc_id, source, n_tokens, dup_ratio,
                          coalesce(sum(n_tokens) OVER (PARTITION BY source
-                                  ORDER BY dup_ratio, doc_id
+                                  ORDER BY dup_ratio NULLS LAST, doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                                   0) AS cum_before
                   FROM r)
@@ -492,7 +492,11 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val rep = ColumnBridge.column(
       graft.functions.RepetitionProfile(ColumnBridge.expression(col("text"))))
-    val w = Window.partitionBy("source").orderBy("dup_ratio", "doc_id")
+    // NULLS LAST pinned on both sides: Spark defaults NULLS FIRST for asc,
+    // DuckDB NULLS LAST — a NULL score (NULL text) would otherwise rank
+    // first here and last in the oracle
+    val w = Window.partitionBy("source")
+      .orderBy(col("dup_ratio").asc_nulls_last, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), rep.as("__r"))

@@ -399,9 +399,15 @@ object Similarity {
   val qEmbeddingClusters: Q = Q.noOracle("q_embedding_clusters") { (s, d) =>
     val e = emb(s, d)
     val centSims = centSimsFor(trainCentroids(e))
+    // materialize the assignment once: both aggregations below consume it,
+    // and without the cut Spark recomputes the 32-centroid cosine array
+    // per row for each (the repeated-scan shape q_source_divergence fixed
+    // the same way). The checkpointed frame is 3 narrow columns per row.
     val corpus = e
-      .withColumn("cluster_id", array_position(centSims, array_max(centSims)))
-      .withColumn("csim", array_max(centSims))
+      .select(col("label"),
+        array_position(centSims, array_max(centSims)).as("cluster_id"),
+        array_max(centSims).as("csim"))
+      .localCheckpoint()
     val stats = corpus.groupBy("cluster_id").agg(
       count(lit(1)).as("n_vectors"),
       round(avg(col("csim")), 6).as("avg_sim"))

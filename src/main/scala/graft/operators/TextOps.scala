@@ -27,6 +27,23 @@ object TextOps {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** NULL-guarded normalized-text fingerprint for JOIN-keyed dedup: md5 of
+    * the whitespace-collapsed lowercase text, with NULL text mapped to a
+    * sentinel class (md5(NULL) is NULL, and equi-joins DROP NULL keys — a
+    * NULL-text doc would silently pass every index check and be
+    * re-admitted forever; same hazard [[Dedup.dupClasses]] guards). The
+    * sentinel cannot collide with a real fingerprint (8 chars vs 32 hex).
+    * The batch and streaming ingest-dedup twins MUST share this exact
+    * expression — diverging normalizations would fingerprint the same
+    * text differently across the two paths. Group-by-keyed fingerprints
+    * (q_fingerprint, q_dedup_fingerprint) stay unguarded: GROUP BY treats
+    * NULLs as equal in both engines, and their oracles hash the raw
+    * md5-or-NULL value. */
+  private[graft] def normalizedFp(c: Column): Column =
+    coalesce(
+      md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary")),
+      lit("__null__"))
+
   /** One-pass per-row counters (tokens, BPE tokens, punct/digit/CJK chars,
     * per-language stopword hits) — graft.functions.TextProfile. The
     * three profile-backed queries each replaced ~10 regex scans and

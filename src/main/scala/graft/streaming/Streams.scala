@@ -310,14 +310,16 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // the SAME null-guarded fingerprint as the batch twin
+          // (q_lake_ingest_dedup) — see TextOps.normalizedFp
           val fps = batch.select(
-            md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-              .cast("binary")).as("fp"),
+            graft.operators.TextOps.normalizedFp(col("text")).as("fp"),
             col("doc_id"))
           val w = Window.partitionBy("fp").orderBy("doc_id")
           val firstPerFp = fps.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          val head = store.head().get
+          val head = store.head().getOrElse(throw new IllegalStateException(
+            s"table not initialized: ${store.tableDir}"))
           val admitted =
             if (head.files.isEmpty) firstPerFp
             else {

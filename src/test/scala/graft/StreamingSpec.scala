@@ -223,6 +223,39 @@ class StreamingSpec extends SparkSpec {
     assert(store.head().get.version == v1 + 1,
       "an all-duplicate batch must not commit")
   }
+
+  test("streaming ingest dedup classes NULL-text docs once, not forever") {
+    val dir = Files.createTempDirectory("graft-stream-dedup-null")
+    val store = new SnapshotStore(dir.resolve("t"))
+    store.init()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    store.commit(_ => graft.lake.Snapshot(1, None, 1L, "create",
+      schema.json, Nil, Map.empty, Nil, Map.empty))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ck = Files.createTempDirectory("graft-ck-dedup-null").toString
+    val input = MemoryStream[(Long, Option[String])]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def index(): Map[String, Long] = {
+      val head = store.head().get
+      graft.lake.SchemaNames.readLogicalWithProvenance(spark, head.schema,
+        head.files.map(f => store.tableDir.resolve(f.path).toString))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // md5(NULL) is NULL and equi-joins drop NULL keys — without the
+    // sentinel a NULL-text doc would be re-admitted by EVERY batch
+    input.addData((1L, None), (2L, Some("real text")))
+    Streams.dedupIngestIntoLakeTable(spark, stream, store, ck)
+    assert(index().get("__null__") == Some(1L))
+    input.addData((3L, None)) // cross-batch NULL dup: must not re-admit
+    Streams.dedupIngestIntoLakeTable(spark, stream, store, ck)
+    assert(index().values.toSet == Set(1L, 2L),
+      "a later NULL-text doc must dedup against the sentinel class")
+  }
 }
 
 /** Small accessor so the spec reuses the exact driver-facing query. */
