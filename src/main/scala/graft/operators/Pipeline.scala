@@ -510,7 +510,59 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * GROUP id, not the document id, so a near-duplicate of a training
+    * document can never land in the eval set (the classic contamination
+    * path a per-document hash split leaves open — q_train_split is that
+    * baseline). Composes q_dedup_groups (connected components over the
+    * Jaccard ≥ 0.5 pair graph) with the same md5-bucket assignment:
+    * deterministic, repartition-stable, reproducible across runs.
+    *
+    * Scale: everything q_dedup_groups costs plus one hash projection —
+    * the split adds no shuffle of its own (the group id is already on
+    * every row). */
+  val qGroupSplit: Q = Q(
+    "q_group_split",
+    """WITH RECURSIVE
+       sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b FROM inter
+                 JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       grp AS (SELECT id AS doc_id, min(root) AS group_id
+               FROM reach GROUP BY id)
+       SELECT doc_id, group_id,
+              CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM grp ORDER BY doc_id""") { (s, d) =>
+    val bucket = substring(
+      md5(col("group_id").cast("string").cast("binary")), 1, 1)
+    qDedupGroups.fn(s, d)
+      .withColumn("split",
+        when(bucket <= "b", "train").when(bucket <= "d", "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
     qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
-    qSequencePack, qTokenBudget)
+    qSequencePack, qTokenBudget, qGroupSplit)
 }

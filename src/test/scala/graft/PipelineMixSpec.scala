@@ -104,4 +104,28 @@ class PipelineMixSpec extends SparkSpec {
           s"$src: dropped docs but the budget was never reached")
     }
   }
+
+  test("group split never lets a near-dup group straddle splits") {
+    val out = Pipeline.qGroupSplit.fn(spark, sf).cache()
+    try {
+      // the leakage invariant: every group maps to exactly one split
+      assert(out.groupBy("group_id")
+        .agg(countDistinct("split").as("n"))
+        .filter(col("n") > 1).count() == 0)
+      // covers every document exactly once
+      assert(out.count() == Tables.documents(spark, sf).count())
+      assert(out.select("doc_id").distinct().count() == out.count())
+      // all three splits materialize and agree with the group-key hash
+      val splits = out.select("split").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(splits == Set("train", "val", "test"))
+      val byHash = out
+        .withColumn("b",
+          substring(md5(col("group_id").cast("string").cast("binary")), 1, 1))
+        .filter((col("b") <= "b" && col("split") =!= "train") ||
+          (col("b") > "b" && col("b") <= "d" && col("split") =!= "val") ||
+          (col("b") > "d" && col("split") =!= "test"))
+      assert(byHash.count() == 0)
+    } finally out.unpersist()
+  }
 }
