@@ -164,7 +164,7 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  private val NProbe = 20
+  private val NProbe = 24
   private val NLists = 32
   private val LloydIters = 3
   private val SampleCap = 8192
@@ -229,7 +229,7 @@ object Similarity {
     *     no join); at ingest time this would be a stored column.
     *  3. PROBE: each query scores the same K centroids and probes the
     *     `NProbe` best lists (recall/fan-out trade-off — nprobe=K is
-    *     exact). nprobe=20/32 (~62% scan) is what ≥0.9 recall costs on
+    *     exact). nprobe=24/32 (75% scan) is what ≥0.9 recall costs — at sf0.001 AND sf0.1 (RecallProbe: 0.96) — on
     *     THIS corpus, and the cost is the data's fault, not the index's:
     *     the synthetic embeddings are noise-dominated (measured: 44/50
     *     exact top-10 neighbor pairs are CROSS-label), so list membership

@@ -35,11 +35,11 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
-  // Measured 0.66 on the synthetic embeddings (weak cluster structure:
-  // ~1/3 of true neighbors live outside the query's 5 best of 10 lists);
-  // the bound pins that probing half the lists beats the uniform-data
-  // floor of nprobe/K = 0.5, i.e. the quantizer carries real signal.
-  test("IVF kNN recall@10 >= 0.9 vs exact kNN (k-means 32 lists, nprobe=20)") {
+  // The synthetic embeddings are noise-dominated (most true neighbors are
+  // cross-label), so ≥0.9 recall costs nprobe=24/32 here; RecallProbe
+  // measures 0.96 at sf0.1 with the same setting. On clusterable real
+  // embeddings the identical structure reaches this recall far cheaper.
+  test("IVF kNN recall@10 >= 0.9 vs exact kNN (k-means 32 lists, nprobe=24)") {
     val exact = Similarity.qKnnExact.fn(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.qKnnIvf.fn(spark, sf)
