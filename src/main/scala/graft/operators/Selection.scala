@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Model-based data-selection operators (SURVEY.md §2.9 N16-N17): the
+  * importance-resampling and perplexity-bucketing steps that sit between
+  * raw-corpus cleaning (TextOps / Dedup) and mixture construction
+  * (Pipeline.qDomainMixture / qTokenBudget) in a pretraining pipeline.
+  *
+  * Both follow published recipes re-expressed Spark-first:
+  *  - DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+  *    Language Models via Importance Resampling"): hashed n-gram bucket
+  *    distributions for a target set vs the raw corpus; each raw document
+  *    scores by the mean log-likelihood ratio of its feature buckets.
+  *  - CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+  *    document with a corpus LM and split each language into head /
+  *    middle / tail terciles — the classic "train on head+middle" filter.
+  */
+object Selection {
+
+  /** 256 hashed feature buckets: the first two hex chars of md5(feature).
+    * String-keyed so Spark and DuckDB hash identically (md5 is bitwise
+    * identical on both; no engine-specific integer hash is involved). */
+  private def bucketOf(feat: org.apache.spark.sql.Column) =
+    substring(md5(feat.cast("binary")), 1, 2)
+
+  /** Word bigrams of a token array (1-based pairs (i, i+1)), empty below
+    * two tokens — mirrors DuckDB's `range(1, len(toks))` exactly, and the
+    * guard keeps ANSI mode from faulting on a descending sequence. */
+  private def wordBigrams(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DSIR-style importance weights: features are word unigrams + bigrams
+    * hashed into 256 buckets; the TARGET distribution comes from the
+    * held-out exemplar docs (doc_id % 20 = 0 — the same eval convention
+    * q_decontaminate uses), the RAW distribution from everything else;
+    * both are Laplace-smoothed (+1 over 256 buckets) so no bucket has
+    * zero mass. Every raw document then scores by the mean
+    * log(p_target/p_raw) of its features — rank by this and resample to
+    * shift the corpus toward the target domain.
+    *
+    * Scale design (100 TB): ONE corpus pass builds the per-(doc, bucket)
+    * feature counts — a hash aggregate whose key space is ≤256 buckets per
+    * document — and that checkpointed frame feeds everything else. The two
+    * histograms are 256-row aggregates of it; the weight table (256 rows)
+    * joins back with an explicit broadcast, so the corpus never shuffles
+    * for the scoring join. The eval exemplar set is corpus-resident here;
+    * in production it is a separate small table whose histogram is a
+    * driver-sized aggregate — the shape does not change. */
+  val qImportanceWeights: Q = Q(
+    "q_importance_weights",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       f AS (SELECT doc_id, substr(md5(feat), 1, 2) AS bucket FROM (
+               SELECT doc_id,
+                      unnest(list_concat(toks,
+                             list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+               FROM t)),
+       g AS (SELECT doc_id, bucket, count(*) AS k, (doc_id % 20 = 0) AS is_tgt
+             FROM f GROUP BY 1, 2, 4),
+       tgt AS (SELECT bucket, sum(k) AS tc FROM g WHERE is_tgt GROUP BY 1),
+       raw AS (SELECT bucket, sum(k) AS rc FROM g WHERE NOT is_tgt GROUP BY 1),
+       h AS (SELECT coalesce(t.bucket, r.bucket) AS bucket, t.tc, r.rc
+             FROM tgt t FULL JOIN raw r ON t.bucket = r.bucket),
+       tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tn,
+                      CAST(sum(rc) AS DOUBLE) AS rn FROM h),
+       w AS (SELECT bucket,
+                    ln((coalesce(tc, 0) + 1) / (tn + 256.0))
+                  - ln((coalesce(rc, 0) + 1) / (rn + 256.0)) AS lw
+             FROM h CROSS JOIN tot)
+       SELECT g.doc_id,
+              CAST(sum(g.k) AS INTEGER) AS n_features,
+              round(sum(g.k * w.lw) / sum(g.k), 4) AS avg_log_ratio
+       FROM g JOIN w USING (bucket)
+       WHERE NOT g.is_tgt
+       GROUP BY g.doc_id
+       ORDER BY g.doc_id""") { (s, d) =>
+    val toks = TextOps.tokens(lower(col("text")))
+    // per-(doc, bucket) feature counts: the one corpus-sized pass. Cut it
+    // eagerly — three consumers hang off it (two histograms + the scoring
+    // join) and would each re-scan the corpus otherwise (the shape
+    // q_source_divergence measured: 6 scans without the cut, 1 with).
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(concat(col("toks"), wordBigrams(col("toks")))).as("feat"))
+      .select(col("doc_id"), bucketOf(col("feat")).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
+      .withColumn("is_tgt", col("doc_id") % 20 === 0)
+      .localCheckpoint()
+    val tgt = g.filter(col("is_tgt")).groupBy("bucket").agg(sum("k").as("tc"))
+    val raw = g.filter(!col("is_tgt")).groupBy("bucket").agg(sum("k").as("rc"))
+    val hist = tgt.join(raw, Seq("bucket"), "full")
+    val tot = hist.agg(sum("tc").cast("double").as("tn"),
+      sum("rc").cast("double").as("rn"))
+    val weights = hist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
+              (col("tn") + lit(256.0)))
+       - log((coalesce(col("rc"), lit(0L)) + lit(1)).cast("double") /
+              (col("rn") + lit(256.0)))).as("lw"))
+    g.filter(!col("is_tgt"))
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("k").cast("int").as("n_features"),
+        round(sum(col("k") * col("lw")) / sum("k"), 4).as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus unigram LM (exactly q_unigram_logprob's model — same
+    * tokenization, same rounding) and split each LANGUAGE into head /
+    * middle / tail perplexity terciles. Rank-based (ntile), so the bucket
+    * boundary is an integer row count, not a floating threshold — both
+    * engines agree bit-for-bit given the (rounded perplexity, doc_id)
+    * total order.
+    *
+    * Scale design: the LM join is the q_unigram_logprob shape (model
+    * broadcast under AQE, map-side combine). ntile per language is a
+    * per-language sort — one reducer per language, the deliberate
+    * test-scale choice so the oracle can check exact terciles; at 100 TB
+    * the production variant computes the two per-language thresholds from
+    * approx_percentile on a sample (a driver-sized broadcast) and buckets
+    * map-only, trading exact boundaries for no sort, same as CCNet. */
+  val qPerplexityBuckets: Q = Q(
+    "q_perplexity_buckets",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+       n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
+       p AS (SELECT u.doc_id, round(exp(-avg(ln(f.c / n.n))), 2) AS perplexity
+             FROM u JOIN f USING (tok) CROSS JOIN n
+             GROUP BY u.doc_id),
+       l AS (SELECT d.doc_id, d.lang, p.perplexity,
+                    ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY p.perplexity, d.doc_id) AS nt
+             FROM documents d JOIN p ON d.doc_id = p.doc_id)
+       SELECT doc_id, lang, perplexity,
+              CAST(nt AS INTEGER) AS tercile,
+              CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS ppl_bucket
+       FROM l ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = model.agg(sum("c").cast("double").as("n"))
+    val lp = log(col("c") / col("n"))
+    val ppl = toks.join(model, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(exp(-avg(lp)), 2).as("perplexity"))
+    val nt = ntile(3).over(
+      Window.partitionBy("lang").orderBy(col("perplexity"), col("doc_id")))
+    docs.select(col("doc_id"), col("lang"))
+      .join(ppl, "doc_id")
+      .withColumn("tercile", nt)
+      .select(col("doc_id"), col("lang"), col("perplexity"), col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qImportanceWeights, qPerplexityBuckets)
+}

@@ -425,6 +425,49 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding corpus with the shared k-means quantizer, then drop, WITHIN
+    * each cluster, every vector that has a lower-id cluster-mate with
+    * cosine ≥ 0.35 (the q_embedding_neardup threshold). The kept set is,
+    * per cluster, a deterministic independent set under the threshold —
+    * no two kept vectors in a cluster are near-dups of each other
+    * (SimilaritySpec pins this and the brute-force witness law).
+    *
+    * This is the scale answer to q_embedding_neardup's all-pairs join:
+    * pair work is confined to clusters (Σ|cluster|² ≪ n² for balanced
+    * clusters — the SemDeDup trick), the join key IS the cluster id, and
+    * like the paper's recipe it deliberately accepts missing cross-cluster
+    * near-dups in exchange for never comparing across clusters. The
+    * assignment is the same map-only argmax as q_embedding_clusters;
+    * training reads a bounded driver-side sample. */
+  val qSemanticDedup: Q = Q.noOracle("q_semantic_dedup") { (s, d) =>
+    val e = emb(s, d)
+    val centSims = centSimsFor(trainCentroids(e))
+    // one assignment pass, cut eagerly: both join sides and the final
+    // keep projection consume it (same repeated-scan shape
+    // q_embedding_clusters fixed the same way)
+    val corpus = e
+      .select(col("vec_id"),
+        array_position(centSims, array_max(centSims)).as("cluster_id"),
+        col("v"), col("nv"))
+      .localCheckpoint()
+    val a = corpus.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = corpus.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    // a zero vector's sim is NaN — the >= comparison is false, so it can
+    // never witness a drop (matches q_embedding_neardup's threshold filter)
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b") &&
+        dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("__dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
-    qKnnQuantized, qEmbeddingClusters)
+    qKnnQuantized, qEmbeddingClusters, qSemanticDedup)
 }

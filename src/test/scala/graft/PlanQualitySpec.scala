@@ -179,6 +179,36 @@ class PlanQualitySpec extends SparkSpec {
       s"the fingerprint index shuffled for the dedup check:\n$s")
   }
 
+  test("importance weights broadcast the 256-bucket table — corpus unshuffled for scoring") {
+    val df = SparkEntry.queries("q_importance_weights")(spark, sf)
+    df.collect() // AQE finalizes the weight join; inspect the final plan
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin [bucket"),
+      s"bucket-weight table not broadcast into the scoring join:\n$s")
+    // the 256-row histogram full-outer join may sort-merge (full outer
+    // can't broadcast; it's bucket-sized) — what must never shuffle is the
+    // corpus-keyed side
+    assert(!s.contains("SortMergeJoin [doc_id"),
+      s"the corpus was sort-merge joined:\n$s")
+  }
+
+  test("perplexity buckets sort per language shard, not globally, for ntile") {
+    val p = plan("q_perplexity_buckets")
+    assert(p.contains("Window"), s"no window in bucket plan:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(lang.*") ||
+      p.matches("(?s).*Exchange hashpartitioning\\(lang.*"),
+      s"ntile input not hash-partitioned by lang:\n$p")
+  }
+
+  test("semantic dedup pairs join on the cluster key — no cartesian product") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup fell back to an all-pairs join:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(cluster_id.*") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair join not keyed by cluster_id:\n$p")
+  }
+
   test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
     // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
     // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must

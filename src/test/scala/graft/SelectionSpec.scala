@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Selection, TextOps}
+
+/** Behavioral laws for the data-selection pack (SURVEY.md §2.9 N16-N17).
+  * The DuckDB oracles own the arithmetic; these pin the semantic contracts
+  * the oracle can't express: set membership, feature accounting against an
+  * independent computation, ntile balance/monotonicity, and composition
+  * with the unigram-LM operator the bucketing reuses.
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("importance weights score exactly the raw set, with exact feature accounting") {
+    val out = Selection.qImportanceWeights.fn(spark, sf)
+      .select("doc_id", "n_features", "avg_log_ratio")
+      .as[(Long, Int, Double)].collect()
+    // the target exemplars are never scored
+    assert(out.forall(_._1 % 20 != 0))
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite),
+      "Laplace smoothing must keep every log-ratio finite")
+    // n_features = unigrams + bigrams = 2n-1, checked against an
+    // independent per-doc token count (NULL-text docs emit no features
+    // and must be absent)
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        coalesce(size(TextOps.tokens(lower(col("text")))), lit(-1)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val rawWithText = nToks.count { case (id, n) => id % 20 != 0 && n >= 1 }
+    assert(out.length == rawWithText, "one scored row per raw non-NULL doc")
+    out.foreach { case (id, nf, _) =>
+      assert(nf == 2 * nToks(id) - 1, s"doc $id: $nf features for ${nToks(id)} tokens")
+    }
+  }
+
+  test("importance weights are deterministic") {
+    val a = Selection.qImportanceWeights.fn(spark, sf).collect()
+    val b = Selection.qImportanceWeights.fn(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("perplexity terciles are balanced, monotone, and reuse the unigram LM") {
+    val out = Selection.qPerplexityBuckets.fn(spark, sf)
+      .select("doc_id", "lang", "perplexity", "tercile", "ppl_bucket")
+      .as[(Long, String, Double, Int, String)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).values.foreach { docs =>
+      // ntile balance: tile sizes differ by at most 1
+      val sizes = docs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)))
+      if (docs.length >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+      // monotone: head ≤ middle ≤ tail on the rounded perplexity
+      def vals(t: Int) = docs.filter(_._4 == t).map(_._3)
+      for (t <- 1 to 2 if vals(t).nonEmpty && vals(t + 1).nonEmpty)
+        assert(vals(t).max <= vals(t + 1).min, s"tercile $t overlaps ${t + 1}")
+    }
+    assert(out.forall { r =>
+      r._5 == (r._4 match { case 1 => "head"; case 2 => "middle"; case _ => "tail" })
+    })
+    // composition: the perplexity column IS q_unigram_logprob's
+    val lm = TextOps.qUnigramLogprob.fn(spark, sf)
+      .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    out.foreach { case (id, _, p, _, _) => assert(lm(id) == p, s"doc $id ppl drift") }
+  }
+}

@@ -86,4 +86,45 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.qEmbeddingClusters.fn(spark, sf).collect()
     assert(out.sameElements(again))
   }
+
+  test("semantic dedup obeys the within-cluster witness law vs brute force") {
+    val out = Similarity.qSemanticDedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.length == total, "every vector must get a keep decision")
+    // brute-force reference: cosine over the raw vectors, clusters as
+    // reported by the operator itself (the assignment is pinned
+    // deterministic by the clusters test above)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_._2)
+    byCluster.values.foreach { members =>
+      val sorted = members.sortBy(_._1)
+      sorted.foreach { case (id, _, keep) =>
+        val hasWitness = sorted.exists { case (lo, _, _) =>
+          lo < id && cos(vecs(lo), vecs(id)) >= 0.35
+        }
+        // dropped ⇔ some lower-id cluster-mate is a near-dup
+        assert(keep == !hasWitness, s"vec $id keep=$keep witness=$hasWitness")
+      }
+      // the kept set is an independent set: no two kept cluster-mates are
+      // near-dups of each other (follows from the rule; pin it anyway)
+      val kept = sorted.filter(_._3).map(_._1)
+      for (i <- kept.indices; j <- i + 1 until kept.length)
+        assert(cos(vecs(kept(i)), vecs(kept(j))) < 0.35,
+          s"kept near-dup pair ${kept(i)}, ${kept(j)}")
+    }
+    // deterministic across runs
+    val again = Similarity.qSemanticDedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.sameElements(again))
+  }
 }
