@@ -259,6 +259,95 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowing fingerprint set of the text — the q_winnow_fingerprint
+    * kernel (k=8-char grams over the normalized text, window 16). */
+  private[operators] def winnowFps(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.WinnowFingerprints(
+      ColumnBridge.expression(text), 8, 16))
+  }
+
+  /** Substring-overlap pairs under exact-duplicate pre-collapse — the
+    * engine behind q_substring_overlap, factored out so DupCollapseSpec
+    * can check it against the naive all-member fingerprint join. */
+  private[operators] def substringOverlapPairs(docs: DataFrame): DataFrame = {
+    val members = dupClasses(docs)
+    val repDocs = repDocsOf(docs, members)
+    val fpsDf = repDocs.select(col("doc_id"), winnowFps(col("text")).as("fps"))
+    val sh = fpsDf.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val repPairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= 2)
+    // intra-class pairs share their WHOLE fingerprint set (fingerprints
+    // are a pure function of the text), so the pair value is the rep's
+    // set size; classes under the 2-fingerprint floor are excluded
+    // exactly like the naive join's HAVING
+    val intraReps = fpsDf
+      .select(col("doc_id"), size(col("fps")).cast("long").as("__nfps"))
+      .filter(col("__nfps") >= 2)
+    expandDupPairs(members, repPairs, intraReps,
+      valueCol = "n_shared_fps", intraValue = col("__nfps"))
+  }
+
+  /** Exact substring-overlap near-dup pairs: documents sharing ≥ 2 winnow
+    * fingerprints, each of which certifies a shared ≥ 23-char run of
+    * normalized text (k=8 grams winnowed over 16-gram windows — the
+    * q_winnow_fingerprint kernel). This is the substring-level dedup pass
+    * of a training pipeline (Lee et al. 2022 style): boilerplate
+    * templates and quoted passages pair here even when word-level Jaccard
+    * stays low, and the guarantee is exact, not probabilistic.
+    *
+    * Scale design: fingerprints are one per-row codegen pass (no
+    * shuffle); candidates come from an equi-join on the fingerprint key —
+    * a banded join exactly like the shingle and LSH paths, never
+    * all-pairs; and the exact-duplicate pre-collapse runs the join on one
+    * representative per distinct text, reconstructing member pairs by
+    * join (the same O(distinct work + output) guard the sf1 probe forced
+    * on the shingle join). */
+  val qSubstringOverlap: Q = Q(
+    "q_substring_overlap",
+    """WITH norm AS (
+         SELECT doc_id, regexp_replace(lower(text), '[^\p{L}\p{Nd}]', '', 'g') AS s
+         FROM documents),
+       chars AS (
+         SELECT doc_id, u.i AS pos, unicode(substr(s, u.i, 1))::HUGEINT AS cp
+         FROM norm, unnest(range(1, length(s) + 1)) AS u(i)),
+       pw AS (
+         SELECT * FROM (VALUES
+           (0, 12924618581234127435::HUGEINT),
+           (1, 10923514805226455897::HUGEINT),
+           (2, 14453212906556403763::HUGEINT),
+           (3, 14003818205314896721::HUGEINT),
+           (4, 1000009000027000027::HUGEINT),
+           (5, 1000006000009::HUGEINT),
+           (6, 1000003::HUGEINT),
+           (7, 1::HUGEINT)) AS v(j, p)),
+       grams AS (
+         SELECT doc_id, start,
+                CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE h::BIGINT END AS hs
+         FROM (
+           SELECT c.doc_id, c.pos - pw.j AS start,
+                  (sum(c.cp * pw.p) % 18446744073709551616::HUGEINT) AS h
+           FROM chars c JOIN pw ON c.pos - pw.j >= 1
+           GROUP BY 1, 2 HAVING count(*) = 8)),
+       wins AS (
+         SELECT doc_id, (start - 1) // 16 AS widx, min(hs) AS mh
+         FROM grams GROUP BY 1, 2),
+       fps AS (
+         SELECT DISTINCT doc_id, mh AS fp FROM wins)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fps
+       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+       HAVING count(*) >= 2
+       ORDER BY id_a, id_b""") { (s, d) =>
+    substringOverlapPairs(Tables.documents(s, d)).orderBy("id_a", "id_b")
+  }
+
   /** Exact word-3-gram Jaccard over all pairs sharing ≥1 shingle, filtered
     * to `threshold`. Shared by q_ngram_jaccard and the dedup-group
     * (connected-components) operator in Pipeline.
@@ -416,5 +505,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
-    qSimhash, qSimhashPairs, qNgramJaccard, qEmbeddingNearDup)
+    qSimhash, qSimhashPairs, qNgramJaccard, qSubstringOverlap,
+    qEmbeddingNearDup)
 }

@@ -209,6 +209,14 @@ class PlanQualitySpec extends SparkSpec {
       s"pair join not keyed by cluster_id:\n$p")
   }
 
+  test("substring overlap joins on the fingerprint key — banded, never all-pairs") {
+    val p = plan("q_substring_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint pairing fell back to an all-pairs join:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(fp.*"),
+      s"candidate join not keyed by fingerprint:\n$p")
+  }
+
   test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
     // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
     // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must

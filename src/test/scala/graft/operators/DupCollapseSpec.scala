@@ -60,6 +60,39 @@ class DupCollapseSpec extends AnyFunSuite {
       "shingle-less duplicates must not pair")
   }
 
+  test("collapsed substring-overlap pairs equal the naive fingerprint join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // duplicates + a shared-prefix near-dup + short and NULL texts — the
+    // same classes of edge the jaccard test exercises, at fingerprint
+    // granularity (the 2-token texts normalize to one 8-gram → 1
+    // fingerprint → under the ≥2 floor)
+    val docs = (corpus ++ Seq(30L -> (null: String)))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive all-member join on the SAME kernel: the spec checks the
+    // collapse/reconstruction, the kernel itself is oracle-pinned by
+    // q_winnow_fingerprint
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.winnowFps(col("text"))).as("fp"))
+    val naive = sh.as("x")
+      .join(sh.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive,
+      s"\ngot:      ${got.toSeq.sorted}\nexpected: ${naive.toSeq.sorted}")
+    // the interesting cases occurred: intra-class pairs at full set size,
+    // and the single-fingerprint duplicates (20, 21) stayed unpaired
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2L),
+      "intra-class substring pair missing")
+    assert(!got.exists(p => p._1 == 20L || p._2 == 21L),
+      "sub-floor duplicates must not pair")
+  }
+
   test("NULL-text docs survive the collapse as singletons") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
