@@ -443,8 +443,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** BPE merge-candidate statistics — the first iteration of tokenizer
+    * training: adjacent character-pair frequencies over the corpus, each
+    * pair weighted by how often its word occurs. The top pair is the
+    * first merge a BPE trainer would make; re-running after applying a
+    * merge iterates the algorithm.
+    *
+    * Scale design — the trick every real BPE trainer uses, expressed
+    * relationally: aggregate the corpus to its WORD HISTOGRAM first (one
+    * hash-agg pass whose map-side combine collapses each partition to its
+    * vocabulary), then explode character pairs over the histogram only —
+    * the expensive per-character explode runs over |vocab| rows, not
+    * corpus tokens, and each pair row carries the word's count as its
+    * weight. At 100 TB the histogram is millions of rows where the corpus
+    * is trillions of tokens; the pair aggregate is map-side combined and
+    * top-50 is a TakeOrdered, not a global sort. */
+  val qBpeMerges: Q = Q(
+    "q_bpe_merges",
+    """WITH w AS (SELECT tok, count(*) AS c
+                  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                        FROM documents)
+                  WHERE tok <> ''
+                  GROUP BY tok),
+       p AS (SELECT substr(tok, u.i, 2) AS pair, c
+             FROM w, unnest(range(1, length(tok))) AS u(i)
+             WHERE length(tok) >= 2)
+       SELECT pair, CAST(sum(c) AS BIGINT) AS n
+       FROM p GROUP BY pair
+       ORDER BY n DESC, pair
+       LIMIT 50""") { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("c"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
     qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob,
-    qSourceDivergence)
+    qSourceDivergence, qBpeMerges)
 }

@@ -217,6 +217,17 @@ class PlanQualitySpec extends SparkSpec {
       s"candidate join not keyed by fingerprint:\n$p")
   }
 
+  test("BPE merges explode over the word histogram, not the corpus; top-50 is top-K") {
+    val p = plan("q_bpe_merges")
+    // top-down tree: pair-count agg, then the explode, then the VOCAB agg
+    // below it — proving the per-character Generate consumes the
+    // histogram, not raw corpus tokens
+    assert(p.matches("(?s).*HashAggregate.*Generate.*HashAggregate.*"),
+      s"pair explode not fed by the word histogram:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 planned as a global sort:\n$p")
+  }
+
   test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
     // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
     // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must
