@@ -468,6 +468,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced diversity sampling: keep at most 8 vectors per
+    * k-means cluster, preferring those closest to their centroid (highest
+    * assignment cosine; vec_id tie-break on the ROUNDED similarity so the
+    * output is self-consistent). The corpus-diversification step of
+    * embedding-curated pipelines — cap each semantic region instead of
+    * sampling uniformly, so rare regions survive and dominant ones stop
+    * swamping the mix. Every vector is reported with its keep decision;
+    * kept rows carry their within-cluster rank.
+    *
+    * Scale design: top-M per cluster is computed in TWO window stages —
+    * first per (cluster, 64-way id-hash salt), which shuffles the corpus
+    * once on a well-spread composite key and bounds every reducer-side
+    * sort to its salt slice, then a final window over the ≤ M×64 per-
+    * cluster survivors. A single window per cluster would funnel each
+    * cluster's full population (billions of rows at 100 TB for K=32)
+    * through one reducer sort; the salted pre-prune is the standard
+    * top-K-per-group fix and is exactly equivalent (each global top-M row
+    * is in its salt slice's top-M). */
+  val qClusterSample: Q = Q.noOracle("q_cluster_sample") { (s, d) =>
+    val e = emb(s, d)
+    val centSims = centSimsFor(trainCentroids(e))
+    // assignment pass, cut eagerly: the pre-prune and the final keep join
+    // both consume it
+    val corpus = e
+      .select(col("vec_id"),
+        array_position(centSims, array_max(centSims)).as("cluster_id"),
+        round(array_max(centSims), 6).as("csim"))
+      .localCheckpoint()
+    val order = Seq(col("csim").desc, col("vec_id"))
+    val pre = corpus
+      .withColumn("__salt", pmod(hash(col("vec_id")), lit(64)))
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy(col("cluster_id"), col("__salt")).orderBy(order: _*)))
+      .filter(col("__prn") <= 8)
+    val topM = pre
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(order: _*)))
+      .filter(col("rn") <= 8)
+      .select(col("vec_id"), col("rn"))
+    corpus.join(topM, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("csim"),
+        col("rn").cast("int").as("rank_in_cluster"),
+        col("rn").isNotNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
-    qKnnQuantized, qEmbeddingClusters, qSemanticDedup)
+    qKnnQuantized, qEmbeddingClusters, qSemanticDedup, qClusterSample)
 }

@@ -228,6 +228,18 @@ class PlanQualitySpec extends SparkSpec {
       s"top-50 planned as a global sort:\n$p")
   }
 
+  test("cluster sampling pre-prunes per salt slice before the per-cluster window") {
+    val p = plan("q_cluster_sample")
+    // two window stages: the corpus-sized one partitions on the SALTED
+    // composite key (bounded reducer sorts), the cluster-keyed one only
+    // sees the pre-pruned survivors
+    assert(p.matches("(?s).*hashpartitioning\\(cluster_id[^)]*__salt.*"),
+      s"pre-prune window not salted:\n$p")
+    assert(p.matches("(?s).*Window.*Window.*"),
+      s"expected two window stages:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("CBO sees connector row counts + NDV and builds on the dims (3-way join)") {
     // q5 shape: fact ⋈ dimA ⋈ dimB. The connector's estimateStatistics
     // (snapshot-resident rows/bytes) + columnStats (merged HLL NDV) must

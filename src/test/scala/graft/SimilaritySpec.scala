@@ -127,4 +127,30 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.sameElements(again))
   }
+
+  test("cluster sampling keeps exactly the per-cluster top-8 by centroid cosine") {
+    val rows = Similarity.qClusterSample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.length == total, "every vector must get a keep decision")
+    rows.groupBy(_._2).values.foreach { members =>
+      // the self-consistent order the operator ranks by
+      val ordered = members.sortBy(m => (-m._3, m._1))
+      val m = math.min(8, ordered.length)
+      ordered.zipWithIndex.foreach { case ((id, _, _, rank, kept), idx) =>
+        if (idx < m) {
+          assert(kept && rank == idx + 1, s"vec $id: expected rank ${idx + 1}, got $rank")
+        } else {
+          assert(!kept && rank == -1, s"vec $id past top-$m must be dropped")
+        }
+      }
+    }
+    // the salted two-stage pre-prune must be invisible: identical output
+    // across runs (and, by the laws above, identical to a single window)
+    val again = Similarity.qClusterSample.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
+    assert(rows.sameElements(again))
+  }
 }
