@@ -95,9 +95,13 @@ object Selection {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
       .withColumn("is_tgt", col("doc_id") % 20 === 0)
       .localCheckpoint()
-    val tgt = g.filter(col("is_tgt")).groupBy("bucket").agg(sum("k").as("tc"))
-    val raw = g.filter(!col("is_tgt")).groupBy("bucket").agg(sum("k").as("rc"))
-    val hist = tgt.join(raw, Seq("bucket"), "full")
+    // both histograms in ONE scan of g (conditional sums) — the separate
+    // tgt/raw aggregates + full-outer join this replaces scanned g twice
+    // and sort-merged the result; a bucket absent from one side yields a
+    // NULL sum exactly like the outer join did
+    val hist = g.groupBy("bucket").agg(
+      sum(when(col("is_tgt"), col("k"))).as("tc"),
+      sum(when(!col("is_tgt"), col("k"))).as("rc"))
     val tot = hist.agg(sum("tc").cast("double").as("tn"),
       sum("rc").cast("double").as("rn"))
     val weights = hist.crossJoin(broadcast(tot))
