@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   * that was not admitted. [[rebuildIndex]] restores the index from the
   * corpus table and is the idempotent recovery step (IngestSpec pins
   * that rebuild-after-partial-ingest converges to the same state).
+  *
+  * Concurrency contract: every append is an optimistic lake commit, so
+  * concurrent ingests NEVER lose rows or corrupt the version chain
+  * (IngestSpec races disjoint batches to pin this). The check-then-append
+  * window is not transactional across callers, though: two ingests
+  * racing the SAME text can both admit it — the same benign-duplicate
+  * class as the crash case, resolved by offline dedup or by serializing
+  * ingest per corpus (one writer per crawl stream is the normal
+  * deployment).
   */
 object Ingest {
 

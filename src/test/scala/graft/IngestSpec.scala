@@ -66,6 +66,25 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("concurrent ingests of disjoint batches both land — no lost commits") {
+    setup()
+    val b1 = Seq(1L -> textA, 2L -> textB).toDF("doc_id", "text")
+    val b2 = Seq(11L -> textC, 12L -> textD).toDF("doc_id", "text")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(Ingest.ingestBatch(spark, b1, corpusT, indexT))
+    val f2 = Future(Ingest.ingestBatch(spark, b2, corpusT, indexT))
+    val (r1, r2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    // disjoint texts: the optimistic-commit retries must land all four
+    // docs in both tables regardless of interleaving
+    assert(r1.admitted == 2 && r2.admitted == 2, s"$r1 / $r2")
+    assert(spark.table(corpusT).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 11L, 12L)))
+    assert(spark.table(indexT).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 11L, 12L)))
+  }
+
   test("rebuildIndex recovers from a crash between the two appends") {
     setup()
     Ingest.ingestBatch(spark, Seq(1L -> textA, 2L -> textB).toDF("doc_id", "text"),
