@@ -43,13 +43,17 @@ import org.apache.spark.sql.functions._
 object Ingest {
 
   /** Per-batch accounting: `batchRows` = `qualityRejected` +
-    * `intraBatchDups` + `alreadyIndexed` + `admitted`. */
+    * `intraBatchDups` + `alreadyIndexed` + `admitted`. `corpusVersion` is
+    * the corpus table's snapshot id after this ingest — pin it in a
+    * training run (`VERSION AS OF`) and the exact corpus this batch
+    * produced is reproducible forever, independent of later ingests. */
   final case class IngestReport(
       batchRows: Long,
       qualityRejected: Long,
       intraBatchDups: Long,
       alreadyIndexed: Long,
-      admitted: Long)
+      admitted: Long,
+      corpusVersion: Long)
 
   /** The q_text_quality/q_corpus_prep keep rule: 10 ≤ tokens ≤ 100000 and
     * punctuation ratio < 0.1, one TextProfile kernel pass. NULL text
@@ -101,12 +105,19 @@ object Ingest {
     admitted.drop("__fp").writeTo(corpusTable).append()
     admitted.select(col("__fp").as("fp"), col("doc_id"))
       .writeTo(indexTable).append()
+    // the snapshot the training run pins: current corpus head (this
+    // ingest's commit when it admitted anything; under a concurrent
+    // ingest the head may already include a later commit — still a valid,
+    // superset pin of this batch)
+    val version = spark.table(s"$corpusTable.history")
+      .agg(max("snapshot_id")).head().getLong(0)
     IngestReport(
       batchRows = batchRows,
       qualityRejected = batchRows - gatedRows,
       intraBatchDups = gatedRows - firstRows,
       alreadyIndexed = firstRows - admittedRows,
-      admitted = admittedRows)
+      admitted = admittedRows,
+      corpusVersion = version)
   }
 
   /** Recovery / bootstrap: rebuild the fingerprint index from the corpus

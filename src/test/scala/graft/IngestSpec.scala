@@ -43,16 +43,26 @@ class IngestSpec extends SparkSpec {
       5L -> (null: String) // quality reject: NULL text
     ).toDF("doc_id", "text")
     val r1 = Ingest.ingestBatch(spark, batch1, corpusT, indexT)
-    assert(r1 == Ingest.IngestReport(5, 2, 1, 0, 2), s"got $r1")
+    assert(r1.copy(corpusVersion = 0) ==
+      Ingest.IngestReport(5, 2, 1, 0, 2, 0), s"got $r1")
     assert(spark.table(corpusT).select("doc_id").as[Long].collect().sorted
       .sameElements(Array(1L, 3L)))
     assert(spark.table(indexT).count() == 2)
 
     val batch2 = Seq(6L -> textA, 7L -> textC).toDF("doc_id", "text")
     val r2 = Ingest.ingestBatch(spark, batch2, corpusT, indexT)
-    assert(r2 == Ingest.IngestReport(2, 0, 0, 1, 1), s"got $r2")
+    assert(r2.copy(corpusVersion = 0) ==
+      Ingest.IngestReport(2, 0, 0, 1, 1, 0), s"got $r2")
     assert(spark.table(corpusT).select("doc_id").as[Long].collect().sorted
       .sameElements(Array(1L, 3L, 7L)))
+    // reproducibility pin: the version r1 reported still reads EXACTLY
+    // batch1's corpus, even though batch2 has since committed
+    assert(r2.corpusVersion > r1.corpusVersion)
+    val pinned = spark.sql(
+      s"SELECT doc_id FROM $corpusT VERSION AS OF ${r1.corpusVersion}")
+      .as[Long].collect().sorted
+    assert(pinned.sameElements(Array(1L, 3L)),
+      s"VERSION AS OF ${r1.corpusVersion} read ${pinned.mkString(",")}")
 
     // idempotence: replaying a batch admits nothing and commits no rows
     val vBefore = spark.table(corpusT).count()
