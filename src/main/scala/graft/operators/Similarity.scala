@@ -441,31 +441,62 @@ object Similarity {
     * assignment is the same map-only argmax as q_embedding_clusters;
     * training reads a bounded driver-side sample. */
   val qSemanticDedup: Q = Q.noOracle("q_semantic_dedup") { (s, d) =>
-    val e = emb(s, d)
-    val centSims = centSimsFor(trainCentroids(e))
-    // one assignment pass, cut eagerly: both join sides and the final
-    // keep projection consume it (same repeated-scan shape
-    // q_embedding_clusters fixed the same way)
-    val corpus = e
+    semanticDedup(emb(s, d)).orderBy("vec_id")
+  }
+
+  /** The engine behind q_semantic_dedup, factored over the prepared
+    * embedding frame (`vec_id`, `v`, `nv`) so SimilaritySpec can feed it
+    * synthetic duplicate-heavy corpora.
+    *
+    * EXACT-duplicate pre-collapse (the same scale guard every pair-graph
+    * operator here carries): identical vectors land in the same cluster
+    * and witness each other at sim 1.0, so the pair join runs on one
+    * REPRESENTATIVE per distinct vector — a duplicate-heavy corpus
+    * shrinks the quadratic intra-cluster work by the copy count instead
+    * of exploding with it. Member decisions reconstruct exactly:
+    * a non-rep copy of a nonzero vector is always dropped (its rep is a
+    * lower-id witness at self-sim 1.0); a rep keeps iff no lower-id rep
+    * in its cluster is a near-dup (a member witness c of class W implies
+    * the rep witness min(W) ≤ c, so rep-level witnessing is equivalent);
+    * and a zero vector's cosine is UNDEFINED — under ANSI Spark the
+    * division would even throw — so zero vectors bypass training,
+    * assignment and pairing entirely and report kept with a NULL cluster
+    * (the semantics a NaN-propagating engine's threshold filter would
+    * produce: they can neither witness nor be witnessed). */
+  private[graft] def semanticDedup(e: org.apache.spark.sql.DataFrame) = {
+    val nonzero = e.filter(col("nv") > 0)
+    val zeros = e.filter(!(col("nv") > 0))
+      .select(col("vec_id"), lit(null).cast("long").as("cluster_id"),
+        lit(true).as("keep"))
+    val repIds = nonzero.groupBy("v").agg(min("vec_id").as("__rep"))
+    val members = nonzero.select(col("vec_id"), col("v")).join(repIds, "v")
+    val centSims = centSimsFor(trainCentroids(nonzero))
+    // rep-level assignment pass, cut eagerly: both pair-join sides and
+    // the member reconstruction consume it
+    val repC = members.filter(col("vec_id") === col("__rep"))
+      .join(nonzero.select(col("vec_id"), col("nv")), "vec_id")
       .select(col("vec_id"),
         array_position(centSims, array_max(centSims)).as("cluster_id"),
         col("v"), col("nv"))
       .localCheckpoint()
-    val a = corpus.select(col("cluster_id"), col("vec_id").as("id_a"),
+    val a = repC.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nv").as("na"))
-    val b = corpus.select(col("cluster_id"), col("vec_id").as("id_b"),
+    val b = repC.select(col("cluster_id"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("nv").as("nb"))
-    // a zero vector's sim is NaN — the >= comparison is false, so it can
-    // never witness a drop (matches q_embedding_neardup's threshold filter)
-    val dups = a.join(b, Seq("cluster_id"))
+    val droppedReps = a.join(b, Seq("cluster_id"))
       .filter(col("id_a") < col("id_b") &&
         dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
-      .select(col("id_b").as("vec_id")).distinct()
-    corpus
-      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("id_b").as("__droppedrep")).distinct()
+    members
+      .join(repC.select(col("vec_id").as("__rep"), col("cluster_id")), "__rep")
+      .join(droppedReps, // rep-count-bounded; AQE broadcasts when it fits
+        col("__rep") === col("__droppedrep"), "left")
       .select(col("vec_id"), col("cluster_id"),
-        col("__dup").isNull.as("keep"))
-      .orderBy("vec_id")
+        // nonzero self-sim is identically 1 ≥ τ: every non-rep copy has
+        // its rep as a lower-id witness, so only an undropped rep keeps
+        (col("__droppedrep").isNull && col("vec_id") === col("__rep"))
+          .as("keep"))
+      .unionByName(zeros)
   }
 
   /** Cluster-balanced diversity sampling: keep at most 8 vectors per

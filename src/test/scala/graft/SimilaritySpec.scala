@@ -128,6 +128,53 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("semantic dedup pre-collapse reconstructs member decisions on duplicates") {
+    // duplicate classes + a near-dup pair + an orthogonal vector + a
+    // duplicated ZERO class (NaN sims: can neither witness nor be
+    // witnessed — its whole class must stay kept)
+    val va = Seq(1.0, 0.0, 0.0, 0.0)
+    val vb = Seq(0.9, 0.1, 0.0, 0.0) // cos(A,B) ≈ 0.994 ≥ 0.35
+    val vc = Seq(0.0, 0.0, 1.0, 0.0) // cos with A/B = 0 < 0.35
+    val vz = Seq(0.0, 0.0, 0.0, 0.0)
+    val e = Seq(
+      1L -> va, 2L -> va, 5L -> va,
+      3L -> vb, 4L -> vb,
+      6L -> vc,
+      7L -> vz, 8L -> vz
+    ).toDF("vec_id", "v").withColumn("nv", Vectors.norm(col("v")))
+    val vecs = Map(1L -> va, 2L -> va, 5L -> va, 3L -> vb, 4L -> vb,
+      6L -> vc, 7L -> vz, 8L -> vz)
+    val out = Similarity.semanticDedup(e).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    assert(out.map(_._1).toSet == (1L to 8L).toSet, "every vector gets a decision")
+    // zero vectors: NULL cluster, always kept (cosine is undefined)
+    out.filter(r => Seq(7L, 8L).contains(r._1)).foreach { r =>
+      assert(r._2.isEmpty && r._3, s"zero vector mishandled: $r")
+    }
+    // member-level witness law against the operator's OWN clusters
+    // (clustering granularity is the algorithm's business; the collapse
+    // must reconstruct exactly what the naive member join would say)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.filter(_._2.isDefined).groupBy(_._2).values.foreach { ms =>
+      val sorted = ms.sortBy(_._1)
+      sorted.foreach { case (id, _, keep) =>
+        val witness = sorted.exists { case (lo, _, _) =>
+          lo < id && cos(vecs(lo), vecs(id)) >= 0.35
+        }
+        assert(keep == !witness, s"vec $id keep=$keep witness=$witness")
+      }
+    }
+    // and regardless of clustering: exact copies always collapse onto
+    // their lowest-id representative
+    val keepOf = out.map(r => r._1 -> r._3).toMap
+    assert(keepOf(1L) && !keepOf(2L) && !keepOf(5L), "A-class copies must drop")
+    assert(!keepOf(4L), "B-class copy must drop")
+  }
+
   test("cluster sampling keeps exactly the per-cluster top-8 by centroid cosine") {
     val rows = Similarity.qClusterSample.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
