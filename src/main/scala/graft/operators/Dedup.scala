@@ -450,7 +450,9 @@ object Dedup {
     * bucketing of Similarity.qKnnLsh is the 100 TB candidate generator. */
   val qEmbeddingNearDup: Q = Q(
     "q_embedding_neardup",
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
               CASE WHEN a.label = b.label THEN true ELSE false END AS same_label
@@ -472,6 +474,11 @@ object Dedup {
     val repE = members.filter(col("vec_id") === col("__rep"))
       .select(col("vec_id"), col("v"))
       .withColumn("nv", norm(col("v")))
+      // zero-norm guard: cosine against a zero vector THROWS under ANSI
+      // (not NaN); the oracle's e CTE carries the twin filter, and a
+      // zero class simply never pairs — same outcome the NaN threshold
+      // would have produced
+      .filter(col("nv") > 0)
     val ra = repE.select(col("vec_id").as("ra"), col("v").as("va"),
       col("nv").as("na"))
     val rb = repE.select(col("vec_id").as("rb"), col("v").as("vb"),
@@ -488,8 +495,8 @@ object Dedup {
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("sim"),
         (col("la") === col("lb")).as("same_label"))
-    // intra-class pairs: sim is the rep's self-similarity (≈1.0; NaN for a
-    // zero vector, which the threshold drops exactly like the naive join)
+    // intra-class pairs: sim is the rep's self-similarity (≈1.0; zero
+    // vectors were excluded above, so no class can reach here undefined)
     val selfSim = repE
       .withColumn("rawsim", dot(col("v"), col("v")) / (col("nv") * col("nv")))
       .filter(col("rawsim") >= 0.35)

@@ -43,18 +43,26 @@ object Similarity {
 
   /** Embeddings with the vector cast to double ONCE and its L2 norm
     * precomputed ONCE per vector — every pair then costs a single
-    * codegen'd dot product instead of dot + 2 norms (3× the flops). */
+    * codegen'd dot product instead of dot + 2 norms (3× the flops).
+    * Zero-norm vectors are excluded: their cosine is undefined, and under
+    * ANSI Spark the division THROWS instead of yielding NaN — a corpus
+    * with one corrupt all-zeros embedding would kill every similarity
+    * query. The oracles carry the same `list_dot_product(v, v) > 0`
+    * guard, so parity holds by construction, not by fixture luck. */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nv", norm(col("v")))
+      .filter(col("nv") > 0)
 
   /** Exact top-50 most-similar pairs across the corpus (brute force over
     * the i<j triangle). The small-corpus baseline an ANN variant is judged
     * against. */
   val qCosineTopPairs: Q = Q(
     "q_cosine_top_pairs",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                     round(list_cosine_similarity(a.v, b.v), 6) AS sim
              FROM e a JOIN e b ON a.vec_id < b.vec_id)
@@ -75,7 +83,9 @@ object Similarity {
     * corpus side streams — the shape that scales to a huge corpus. */
   val qKnnExact: Q = Q(
     "q_knn_exact",
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) > 0),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e
               WHERE vec_id IN (${queryIds.mkString(", ")})),
         s AS (SELECT query_id, vec_id AS neighbor_id,
@@ -348,7 +358,8 @@ object Similarity {
                      127.0 / greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) AS sc
               FROM e),
         qz AS (SELECT vec_id, list_transform(v, x -> floor(x * sc + 0.5)) AS q FROM s),
-        n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nq FROM qz),
+        n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nq FROM qz
+              WHERE list_dot_product(q, q) > 0),
         qr AS (SELECT vec_id AS query_id, q AS qq, nq AS qn FROM n
                WHERE vec_id IN (${queryIds.mkString(", ")})),
         sc2 AS (SELECT query_id, vec_id AS neighbor_id,
@@ -368,6 +379,8 @@ object Similarity {
         transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("double"))
           .as("q"))
       .withColumn("nq", norm(col("q")))
+      // zero-norm guard, same contract as [[emb]] (oracle has the twin)
+      .filter(col("nq") > 0)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
     val sim = round(dot(col("qq"), col("q")) / (col("qn") * col("nq")), 6)

@@ -128,6 +128,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("a corrupt all-zeros embedding cannot kill the similarity queries") {
+    // cosine against a zero norm THROWS under ANSI (DIVIDE_BY_ZERO), it
+    // does not NaN out — one corrupt row must not fail corpus-wide jobs
+    val dir = java.nio.file.Files.createTempDirectory("graft-zero-emb").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (0L to 400L).map { i =>
+      val v: Seq[Float] =
+        if (i == 42L) Seq.fill(8)(0.0f)
+        else Seq.fill(8)(rnd.nextGaussian().toFloat)
+      (i, v, (i % 10).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val knn = Similarity.qKnnExact.fn(spark, dir).collect()
+    assert(knn.nonEmpty && !knn.exists(_.getLong(1) == 42L),
+      "zero vector must be excluded, not scored")
+    val pairs = Similarity.qCosineTopPairs.fn(spark, dir).collect()
+    assert(pairs.nonEmpty &&
+      !pairs.exists(r => r.getLong(0) == 42L || r.getLong(1) == 42L))
+    val quant = Similarity.qKnnQuantized.fn(spark, dir).collect()
+    assert(quant.nonEmpty && !quant.exists(_.getLong(1) == 42L))
+  }
+
   test("semantic dedup pre-collapse reconstructs member decisions on duplicates") {
     // duplicate classes + a near-dup pair + an orthogonal vector + a
     // duplicated ZERO class (NaN sims: can neither witness nor be
