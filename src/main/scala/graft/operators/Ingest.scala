@@ -64,7 +64,7 @@ object Ingest {
       graft.functions.TextProfile(ColumnBridge.expression(col("text"))))
     batch.withColumn("__p", prof)
       .filter(col("__p.n_tokens").between(10, 100000) &&
-        (col("__p.n_punct").cast("double") / length(col("text"))) < 0.1)
+        TextOps.perCharRatio(col("__p.n_punct")) < 0.1)
       .drop("__p")
   }
 

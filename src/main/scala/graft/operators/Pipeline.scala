@@ -290,7 +290,7 @@ object Pipeline {
       .select(col("doc_id"), col("text"), prof.as("p"))
       .select(col("doc_id"), col("text"),
         col("p.n_tokens").as("n_toks"),
-        (col("p.n_punct").cast("double") / length(col("text"))).as("punct"))
+        TextOps.perCharRatio(col("p.n_punct")).as("punct"))
       .filter(col("n_toks").between(10, 100000) && col("punct") < 0.1)
       .groupBy(fp.as("fp"))
       .agg(min("doc_id").as("doc_id"), min("n_toks").as("n_toks"))

@@ -79,6 +79,13 @@ object TextOps {
   /** Quality scoring: stopword ratio, punctuation ratio, digit ratio, and a
     * composite keep/drop signal — the usual cheap pre-filters of a training
     * data pipeline. */
+  /** `num / length(text)` that yields NULL on an empty string like
+    * DuckDB's division does — under ANSI Spark the raw division THROWS
+    * (DIVIDE_BY_ZERO), so one empty document would kill a corpus job and
+    * break oracle parity at once. */
+  private[graft] def perCharRatio(num: Column): Column =
+    when(length(col("text")) > 0, num.cast("double") / length(col("text")))
+
   val qTextQuality: Q = Q(
     "q_text_quality",
     """WITH t AS (SELECT doc_id, text,
@@ -97,15 +104,14 @@ object TextOps {
                    THEN true ELSE false END AS keep
        FROM t
        ORDER BY doc_id""") { (s, d) =>
-    val punctRatio = col("__p.n_punct").cast("double") / length(col("text"))
+    val punctRatio = perCharRatio(col("__p.n_punct"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), profile(col("text")).as("__p"))
       .select(col("doc_id"),
         round(col("__p.s_en").cast("double") / col("__p.n_tokens"), 4)
           .as("stopword_ratio"),
         round(punctRatio, 4).as("punct_ratio"),
-        round(col("__p.n_digit").cast("double") / length(col("text")), 4)
-          .as("digit_ratio"),
+        round(perCharRatio(col("__p.n_digit")), 4).as("digit_ratio"),
         (col("__p.n_tokens").between(10, 100000) && punctRatio < 0.1).as("keep"))
       .orderBy("doc_id")
   }

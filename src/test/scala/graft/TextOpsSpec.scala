@@ -220,6 +220,26 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(kl("C") - math.log(4.0)) < 1e-4)
   }
 
+  test("an empty-text document cannot kill the quality queries") {
+    // x / length('') throws DIVIDE_BY_ZERO under ANSI; DuckDB yields NULL.
+    // The per-char ratios must be NULL-safe so one empty document neither
+    // fails the job nor diverges from the oracle.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-doc").toString
+    Seq(
+      (1L, "a perfectly ordinary document with at least ten whitespace tokens inside", "en", "src0", 70L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "another normal document that also has more than ten little tokens here", "en", "src1", 70L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = TextOps.qTextQuality.fn(spark, dir).collect()
+    assert(q.length == 3)
+    val empty = q.find(_.getLong(0) == 2L).get
+    assert(empty.isNullAt(2) && !empty.getBoolean(4),
+      s"empty doc must get NULL punct_ratio and keep=false: $empty")
+    // the composed filter paths share the ratio — they must survive too
+    graft.operators.Pipeline.qCorpusPrep.fn(spark, dir).collect()
+  }
+
   test("q_bpe_merges: histogram-weighted pairs equal the naive corpus explode") {
     // the operator explodes pairs over the WORD HISTOGRAM (vocab-sized);
     // the naive reference explodes every corpus token — results must be
