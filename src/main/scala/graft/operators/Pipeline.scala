@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -562,7 +563,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic epoch shuffle + shard manifest (N23): the dataloader
+    * step after curation — give every document a pseudo-random but
+    * REPRODUCIBLE position for this epoch, sharded so N loader workers
+    * each read one contiguous, pre-shuffled stream. Shuffle key =
+    * md5(epoch_salt ‖ doc_id): changing the salt reshuffles the corpus,
+    * same salt replays the identical order on any engine, any
+    * partitioning, any run (the q_train_split md5 determinism argument).
+    *
+    * Scale design (100 TB): ONE hash shuffle on `shard` (8 here; in
+    * production = the loader-worker count, thousands), then each shard
+    * sorts ITS OWN rows by the md5 key — a spillable per-partition
+    * external sort, never a global one. No driver state, no RNG: the
+    * order is a pure function of (salt, doc_id). */
+  val qEpochShuffle: Q = Q(
+    "q_epoch_shuffle",
+    """WITH k AS (SELECT doc_id,
+                         md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents),
+       sh AS (SELECT doc_id, h,
+                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+                          AS INTEGER) AS shard
+              FROM k)
+       SELECT doc_id, shard,
+              CAST(row_number() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id) AS INTEGER) AS pos
+       FROM sh ORDER BY shard, pos""") { (s, d) =>
+    val h = md5(concat(lit("epoch7:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    // first hex nibble of the digest → shard 0..7 (conv == strpos-1 on
+    // the hex alphabet; both engines see the same digest string)
+    val shard = (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 8)
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
     qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
-    qSequencePack, qTokenBudget, qGroupSplit)
+    qSequencePack, qTokenBudget, qGroupSplit, qEpochShuffle)
 }

@@ -175,5 +175,99 @@ object Selection {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qImportanceWeights, qPerplexityBuckets)
+  /** fastText-style quality classifier (N22), the Naive-Bayes form every
+    * big pretraining corpus uses as its "looks like the curated reference"
+    * gate (GPT-3 / LLaMA / CCNet all filter web text with a linear
+    * classifier over token counts): TRAIN a binary model on the corpus
+    * itself — positive class = the curated sources (src0-src3), negative =
+    * the rest, train split doc_id % 5 != 0 — then SCORE the held-out docs
+    * with the class-posterior log-odds. Laplace-smoothed unigram
+    * likelihoods; unknown-token mass folds into a per-token constant, so
+    * the scoring join only touches model-known tokens.
+    *
+    * Scale design (100 TB): ONE corpus pass builds per-(doc, token) counts
+    * (`g`, checkpointed — the model aggregate, the doc-length aggregate
+    * and the scoring join all hang off it). The model is a vocab-sized
+    * aggregate of g; the class totals and doc priors are single-row
+    * aggregates broadcast into the scorer. The scoring join shuffles the
+    * vocab-sized model, never the corpus (AQE broadcasts it below the
+    * threshold, exactly the q_unigram_logprob shape). */
+  val qQualityClassifier: Q = Q(
+    "q_quality_classifier",
+    """WITH t AS (SELECT doc_id, source,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       lab AS (SELECT doc_id, toks, len(toks) AS n_toks,
+                      (source IN ('src0', 'src1', 'src2', 'src3')) AS pos,
+                      (doc_id % 5 <> 0) AS is_train FROM t),
+       u AS (SELECT doc_id, pos, is_train, unnest(toks) AS tok FROM lab),
+       g AS (SELECT doc_id, pos, is_train, tok, count(*) AS k
+             FROM u GROUP BY 1, 2, 3, 4),
+       m AS (SELECT tok,
+                    sum(CASE WHEN pos THEN k ELSE 0 END) AS cp,
+                    sum(CASE WHEN NOT pos THEN k ELSE 0 END) AS cn
+             FROM g WHERE is_train GROUP BY tok),
+       c AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp, CAST(sum(cn) AS DOUBLE) AS tn,
+                    CAST(count(*) AS DOUBLE) AS v FROM m),
+       d AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+                    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS dn
+             FROM lab WHERE is_train),
+       -- identical arithmetic FORM to the engine (k * (ln(cp+1) - ln(cn+1))),
+       -- so the two sides differ only in summation order, not term values
+       s AS (SELECT g.doc_id,
+                    sum(g.k * (ln(CAST(m.cp + 1 AS DOUBLE))
+                             - ln(CAST(m.cn + 1 AS DOUBLE)))) AS known
+             FROM g JOIN m USING (tok) WHERE NOT g.is_train
+             GROUP BY g.doc_id)
+       SELECT l.doc_id, CAST(l.n_toks AS INTEGER) AS n_tokens,
+              round(ln(d.dp / d.dn) + coalesce(s.known, 0)
+                    + l.n_toks * ln((c.tn + c.v) / (c.tp + c.v)), 2) AS logit
+       FROM lab l LEFT JOIN s ON l.doc_id = s.doc_id
+       CROSS JOIN c CROSS JOIN d
+       WHERE NOT l.is_train AND l.n_toks >= 1
+       ORDER BY l.doc_id""") { (s, d) =>
+    // one corpus pass: per-(doc, token) multiplicities with the labels
+    // carried along; checkpointed because the model aggregate, the token
+    // totals and the scoring join would each re-scan the corpus otherwise
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2", "src3").as("pos"),
+        (col("doc_id") % 5 =!= 0).as("is_train"),
+        explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "pos", "is_train", "tok")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    // the model IS this vocab-sized aggregate
+    val m = g.filter(col("is_train")).groupBy("tok").agg(
+      sum(when(col("pos"), col("k")).otherwise(lit(0L))).as("cp"),
+      sum(when(!col("pos"), col("k")).otherwise(lit(0L))).as("cn"))
+    val c = m.agg(sum("cp").cast("double").as("tp"),
+      sum("cn").cast("double").as("tn"),
+      count(lit(1)).cast("double").as("v"))
+    // class priors over train DOCUMENTS (one row per doc from g)
+    val dd = g.select(col("doc_id"), col("pos"), col("is_train")).distinct()
+      .filter(col("is_train"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).cast("double").as("dp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).cast("double").as("dn"))
+    val test = g.filter(!col("is_train"))
+    // full token count per held-out doc (unknown tokens still weigh in the
+    // smoothing denominators — the model join below would drop them)
+    val ntk = test.groupBy("doc_id").agg(sum("k").as("n_toks"))
+    val known = test.join(m, "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("k") *
+        (log((col("cp") + lit(1)).cast("double")) -
+         log((col("cn") + lit(1)).cast("double")))).as("known"))
+    ntk.join(known, Seq("doc_id"), "left")
+      .crossJoin(broadcast(c)).crossJoin(broadcast(dd))
+      .select(col("doc_id"), col("n_toks").cast("int").as("n_tokens"),
+        round(log(col("dp") / col("dn")) +
+          coalesce(col("known"), lit(0.0)) +
+          col("n_toks") * log((col("tn") + col("v")) / (col("tp") + col("v"))),
+          2).as("logit"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qImportanceWeights, qPerplexityBuckets,
+    qQualityClassifier)
 }

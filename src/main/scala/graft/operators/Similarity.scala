@@ -558,6 +558,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding-space decontamination (N24): the semantic twin of
+    * q_decontaminate's n-gram check — for every corpus vector, the nearest
+    * EVAL-set vector (vec_id % 20 = 0, the fixture-wide eval convention)
+    * and its cosine; a paraphrased benchmark item that shares no 8-gram
+    * still lands near its source in embedding space. Emits the nearest
+    * eval id + similarity per vector and the drop verdict at τ = 0.45.
+    *
+    * Scale design (100 TB): the eval side is small BY DEFINITION (it is a
+    * benchmark suite) — broadcast it; the corpus streams map-only through
+    * a codegen dot product. The argmax is `max(struct(sim, -eval_id))`,
+    * not a window: partial aggregation collapses each vector's |eval|
+    * candidate rows to one BEFORE the exchange, so only |corpus| rows ever
+    * shuffle (a window over the pair frame would shuffle |corpus|·|eval|).
+    * At extreme eval sizes the candidate generator flips to the IVF/LSH
+    * index (q_knn_ivf) exactly as the kNN family documents; the verdict
+    * logic is unchanged. Zero-norm vectors are excluded on both sides
+    * (cosine undefined; ANSI division would throw) — emb()'s standing
+    * guard. */
+  val qSemanticDecontaminate: Q = Q(
+    "q_semantic_decontaminate",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
+       q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+       s AS (SELECT e.vec_id, q.eval_id,
+                    round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+             FROM e JOIN q ON e.vec_id % 20 <> 0),
+       r AS (SELECT vec_id, eval_id, sim,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, eval_id) AS rn
+             FROM s)
+       SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_sim,
+              (sim >= 0.45) AS contaminated
+       FROM r WHERE rn = 1 ORDER BY vec_id""") { (s, d) =>
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+        col("nv").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6)
+    // argmax as a plain aggregate: struct compares (sim, -eval_id)
+    // lexicographically, so max == highest sim, ties to the LOWEST eval id
+    // — the oracle's (sim DESC, eval_id) order — and partial aggregation
+    // keeps the |corpus|·|eval| pair frame out of the exchange
+    e.filter(col("vec_id") % 20 =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("eval_id"), sim.as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_id"))).as("top"))
+      .select(col("vec_id"), (-col("top.neg_id")).as("nearest_eval_id"),
+        col("top.sim").as("max_sim"),
+        (col("top.sim") >= 0.45).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
-    qKnnQuantized, qEmbeddingClusters, qSemanticDedup, qClusterSample)
+    qKnnQuantized, qEmbeddingClusters, qSemanticDedup, qClusterSample,
+    qSemanticDecontaminate)
 }

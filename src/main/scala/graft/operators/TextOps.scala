@@ -492,8 +492,91 @@ object TextOps {
       .limit(50)
   }
 
+  /** BM25 keyword retrieval (N25): top-20 documents for the fixed query
+    * {vector, join, stream} under Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's
+    * +1 idf form) — the curation-side retrieval primitive: "pull the
+    * documents most relevant to this topic" for targeted corpus
+    * construction or contamination triage.
+    *
+    * Scale design (100 TB): NO inverted index and NO explode — per-doc
+    * term frequencies for the (tiny) query come from a codegen
+    * `size(filter(...))` over the token array, so the corpus is read
+    * exactly once, map-only, into a |docs| × (1 + |query|) frame
+    * (checkpointed: the corpus-wide df/avgdl stats and the scorer both
+    * read it). The stats are a single-row aggregate broadcast back; the
+    * final top-20 is a TakeOrdered, no global sort materialized. */
+  val qBm25Search: Q = Q(
+    "q_bm25_search",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dlen,
+                       CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS f_vector,
+                       CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS f_join,
+                       CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS f_stream
+                FROM t),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS ad,
+                     sum(CASE WHEN f_vector > 0 THEN 1.0 ELSE 0.0 END) AS df_vector,
+                     sum(CASE WHEN f_join > 0 THEN 1.0 ELSE 0.0 END) AS df_join,
+                     sum(CASE WHEN f_stream > 0 THEN 1.0 ELSE 0.0 END) AS df_stream
+              FROM base),
+       sc AS (SELECT b.doc_id,
+                     (CASE WHEN b.f_vector > 0 THEN
+                        ln((st.n - st.df_vector + 0.5) / (st.df_vector + 0.5) + 1)
+                        * b.f_vector * 2.2
+                        / (b.f_vector + 1.2 * (0.25 + 0.75 * b.dlen / st.ad))
+                      ELSE 0 END
+                    + CASE WHEN b.f_join > 0 THEN
+                        ln((st.n - st.df_join + 0.5) / (st.df_join + 0.5) + 1)
+                        * b.f_join * 2.2
+                        / (b.f_join + 1.2 * (0.25 + 0.75 * b.dlen / st.ad))
+                      ELSE 0 END
+                    + CASE WHEN b.f_stream > 0 THEN
+                        ln((st.n - st.df_stream + 0.5) / (st.df_stream + 0.5) + 1)
+                        * b.f_stream * 2.2
+                        / (b.f_stream + 1.2 * (0.25 + 0.75 * b.dlen / st.ad))
+                      ELSE 0 END) AS score,
+                     (b.f_vector + b.f_join + b.f_stream) AS hits
+              FROM base b CROSS JOIN st)
+       SELECT doc_id, round(score, 4) AS bm25
+       FROM sc WHERE hits > 0
+       ORDER BY round(score, 4) DESC, doc_id LIMIT 20""") { (s, d) =>
+    val queryTerms = Seq("vector", "join", "stream")
+    val toks = tokens(lower(col("text")))
+    // one corpus pass → per-doc length + per-term tf, all map-only codegen;
+    // checkpointed because the stats aggregate and the scorer both read it
+    val base = Tables.documents(s, d)
+      .select(Seq(col("doc_id"),
+        size(toks).cast("double").as("dlen")) ++
+        queryTerms.map(tm =>
+          size(filter(toks, x => x === lit(tm))).cast("double").as(s"f_$tm")): _*)
+      .localCheckpoint()
+    val stCols = Seq(
+      count(lit(1)).cast("double").as("n"),
+      avg("dlen").as("ad")) ++
+      queryTerms.map(tm =>
+        sum(when(col(s"f_$tm") > 0, lit(1.0)).otherwise(lit(0.0)))
+          .as(s"df_$tm"))
+    val st = base.agg(stCols.head, stCols.tail: _*)
+    // same arithmetic form as the oracle: Lucene idf, the (k1+1)=2.2
+    // numerator, (1 - b + b·dlen/avgdl) length normalization
+    def term(tm: String) = when(col(s"f_$tm") > 0,
+      log((col("n") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))
+        + lit(1.0))
+        * col(s"f_$tm") * lit(2.2)
+        / (col(s"f_$tm") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dlen") / col("ad"))))
+      .otherwise(lit(0.0))
+    base.crossJoin(broadcast(st))
+      .filter(queryTerms.map(tm => col(s"f_$tm") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(queryTerms.map(term).reduce(_ + _), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
     qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob,
-    qSourceDivergence, qBpeMerges)
+    qSourceDivergence, qBpeMerges, qBm25Search)
 }

@@ -9,6 +9,7 @@ import graft.operators.Pipeline
   * repartitioning, exact rate semantics, and chunk-geometry laws the SQL
   * twin can't state directly. */
 class PipelineMixSpec extends SparkSpec {
+  import spark.implicits._
 
   test("domain mixture keeps every doc of a rate-1.0 source and is " +
     "deterministic under repartitioning") {
@@ -127,5 +128,40 @@ class PipelineMixSpec extends SparkSpec {
           (col("b") > "d" && col("split") =!= "test"))
       assert(byHash.count() == 0)
     } finally out.unpersist()
+  }
+
+  test("epoch shuffle is a sharded permutation keyed by the salted md5") {
+    val out = Pipeline.qEpochShuffle.fn(spark, sf)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .as[Long].collect().toSet
+    // a permutation: every document exactly once
+    assert(out.map(_._1).toSet == ids && out.length == ids.size)
+    // per-shard positions are contiguous 1..n — a loader can stream each
+    // shard by position with no gaps
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // shard and order both derive from md5("epoch7:" + doc_id) — witness
+    // with the JDK digest, independent of both engines
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch7:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    out.foreach { case (id, shard, _) =>
+      assert(shard == Integer.parseInt(h(id).substring(0, 1), 16) % 8,
+        s"doc $id shard")
+    }
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3).map(_._1)
+      val byKey = rows.map(_._1).sortBy(id => (h(id), id))
+      assert(byPos.sameElements(byKey), "within-shard order must follow the key")
+    }
+    // reproducible: same salt, same order, any run
+    val again = Pipeline.qEpochShuffle.fn(spark, sf)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.sameElements(again))
   }
 }

@@ -358,4 +358,52 @@ class PlanQualitySpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
   }
+
+  test("quality classifier broadcasts the vocab model — corpus unshuffled for scoring") {
+    val df = SparkEntry.queries("q_quality_classifier")(spark, sf)
+    df.collect() // AQE finalizes the model join; inspect the final plan
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin [tok"),
+      s"vocab model not broadcast into the scoring join:\n$s")
+    assert(!s.contains("SortMergeJoin [doc_id"),
+      s"the per-doc side was sort-merge joined:\n$s")
+  }
+
+  test("epoch shuffle moves the corpus exactly once — one hash exchange on shard") {
+    val p = plan("q_epoch_shuffle")
+    // formatted mode lists the partitioning under Arguments:, so count the
+    // partitioning expressions themselves
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(shard.*"),
+      s"the one exchange is not the shard shuffle:\n$p")
+    assert(!p.contains("Generate"), s"explode crept into the shuffle:\n$p")
+  }
+
+  test("bm25 never explodes and never hash-shuffles — top-K over a map-only score") {
+    val df = SparkEntry.queries("q_bm25_search")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"bm25 top-20 did not plan as top-K:\n$s")
+    assert(!s.contains("Generate"),
+      s"per-term tf fell back to explode:\n$s")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"bm25 scoring shuffled the corpus:\n$s")
+  }
+
+  test("semantic decontamination aggregates the argmax partial+final — pair frame stays out of the exchange") {
+    val df = SparkEntry.queries("q_semantic_decontaminate")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"eval set not broadcast under the corpus:\n$s")
+    // struct-valued max buffers plan as SortAggregate, but the partial
+    // half must still run BEFORE the exchange — that is what keeps the
+    // |corpus|·|eval| pair frame out of the shuffle
+    assert(s.contains("partial_max"),
+      s"argmax lost map-side partial aggregation:\n$s")
+    assert(!s.contains("Window"),
+      s"argmax planned as a window over the pair frame:\n$s")
+  }
 }

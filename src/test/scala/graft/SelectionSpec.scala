@@ -64,4 +64,51 @@ class SelectionSpec extends SparkSpec {
       .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
     out.foreach { case (id, _, p, _, _) => assert(lm(id) == p, s"doc $id ppl drift") }
   }
+
+  test("quality classifier matches a naive Naive-Bayes reimplementation") {
+    val out = Selection.qQualityClassifier.fn(spark, sf)
+      .select("doc_id", "n_tokens", "logit")
+      .as[(Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    // scores exactly the held-out split, finite everywhere
+    assert(out.forall(_._1 % 5 == 0))
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite),
+      "Laplace smoothing must keep every logit finite")
+    // independent witness: the whole model recomputed with plain Scala maps
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val curated = Set("src0", "src1", "src2", "src3")
+    val train = docs.filter(_._1 % 5 != 0)
+    val cp = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cn = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    train.foreach { case (_, src, tx) =>
+      val m = if (curated(src)) cp else cn
+      toks(tx).foreach(w => m(w) += 1)
+    }
+    val vocab = cp.keySet ++ cn.keySet
+    val (tp, tn, v) = (cp.values.sum.toDouble, cn.values.sum.toDouble,
+      vocab.size.toDouble)
+    val dp = train.count(d => curated(d._2)).toDouble
+    val dn = train.length - dp
+    val got = out.map(r => r._1 -> (r._2, r._3)).toMap
+    val test = docs.filter(_._1 % 5 == 0)
+    assert(got.size == test.length, "one row per held-out doc")
+    test.foreach { case (id, _, tx) =>
+      val ts = toks(tx)
+      val want = math.log(dp / dn) +
+        ts.map(w => math.log(cp(w) + 1.0) - math.log(cn(w) + 1.0)).sum +
+        ts.size * math.log((tn + v) / (tp + v))
+      val (n, logit) = got(id)
+      assert(n == ts.size, s"doc $id token count $n vs ${ts.size}")
+      assert(math.abs(logit - want) < 0.011, s"doc $id logit $logit vs $want")
+    }
+  }
+
+  test("quality classifier is deterministic") {
+    val a = Selection.qQualityClassifier.fn(spark, sf).collect()
+    val b = Selection.qQualityClassifier.fn(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
 }

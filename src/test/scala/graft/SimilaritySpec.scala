@@ -223,4 +223,39 @@ class SimilaritySpec extends SparkSpec {
         if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
     assert(rows.sameElements(again))
   }
+
+  test("semantic decontamination finds each vector's true nearest eval item") {
+    val out = Similarity.qSemanticDecontaminate.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def norm2(a: Array[Double]): Double = a.map(x => x * x).sum
+    val live = vecs.filter { case (_, v) => norm2(v) > 0 }
+    val evalIds = live.keySet.filter(_ % 20 == 0)
+    val corpusIds = live.keySet.filter(_ % 20 != 0)
+    // one verdict per non-eval vector; eval items are never scored; the
+    // nearest neighbor always comes from the eval set
+    assert(out.map(_._1).toSet == corpusIds && out.length == corpusIds.size)
+    assert(out.forall(r => evalIds.contains(r._2)))
+    // brute-force witness at the operator's own 6-dp granularity,
+    // including the (sim desc, eval_id) tie-break
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d / (math.sqrt(norm2(a)) * math.sqrt(norm2(b)))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (id, nearest, sim, flagged) =>
+      val best = evalIds.toSeq
+        .map(e => (r6(cos(vecs(id), vecs(e))), e))
+        .minBy { case (s, e) => (-s, e) }
+      assert((best._2, best._1) == ((nearest, sim)),
+        s"vec $id nearest $nearest@$sim vs witness $best")
+      assert(flagged == (sim >= 0.45), s"vec $id verdict")
+    }
+  }
 }

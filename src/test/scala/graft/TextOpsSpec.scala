@@ -262,4 +262,45 @@ class TextOpsSpec extends SparkSpec {
       case Seq(a, b) => a >= b; case _ => true
     }, "top-50 must be sorted by weight")
   }
+
+  test("q_bm25_search matches a naive BM25 reimplementation") {
+    val out = TextOps.qBm25Search.fn(spark, sf)
+      .select("doc_id", "bm25").as[(Long, Double)].collect()
+    assert(out.length == 20)
+    val terms = Seq("vector", "join", "stream")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = terms.map { t =>
+      val f = toks.count(_ == t).toDouble
+      if (f == 0) 0.0
+      else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) *
+        f * 2.2 / (f + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+    }.sum
+    // rank at the operator's own 4-dp granularity (ties broken by doc_id
+    // there, so the witness must round before sorting too)
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docs
+      .map { case (id, toks) => (id, score(toks)) }
+      .filter(_._2 > 0)
+      .map { case (id, s) => (id, r4(s)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(20)
+    out.zip(want).foreach { case ((gid, gs), (wid, ws)) =>
+      assert(gid == wid, s"ranking drift: got $gid want $wid")
+      assert(math.abs(gs - ws) < 0.00011, s"doc $gid score $gs vs $ws")
+    }
+    // the ranking is usable: strictly ordered, every hit contains a term
+    assert(out.map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    })
+    val hitIds = out.map(_._1).toSet
+    docs.filter(d => hitIds(d._1)).foreach { case (id, toks) =>
+      assert(terms.exists(toks.contains), s"doc $id has no query term")
+    }
+  }
 }
