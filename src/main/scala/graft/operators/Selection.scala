@@ -209,9 +209,12 @@ object Selection {
              FROM g WHERE is_train GROUP BY tok),
        c AS (SELECT CAST(sum(cp) AS DOUBLE) AS tp, CAST(sum(cn) AS DOUBLE) AS tn,
                     CAST(count(*) AS DOUBLE) AS v FROM m),
+       -- priors over TOKEN-BEARING train docs only, mirroring the engine
+       -- side, whose doc frame derives from the exploded tokens (a
+       -- NULL-text doc emits no rows there and must not count here either)
        d AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
                     CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS dn
-             FROM lab WHERE is_train),
+             FROM lab WHERE is_train AND n_toks >= 1),
        -- identical arithmetic FORM to the engine (k * (ln(cp+1) - ln(cn+1))),
        -- so the two sides differ only in summation order, not term values
        s AS (SELECT g.doc_id,

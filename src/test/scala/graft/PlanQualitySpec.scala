@@ -19,6 +19,14 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  /** The FINAL adaptive plan: AQE only fixes join strategies (and codegen
+    * spans only materialize) at runtime, so execute first, then inspect. */
+  private def executedPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("filter+projection push down to the parquet scan (q_filter_project)") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters:") &&
@@ -48,11 +56,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("hot relational path stays inside whole-stage codegen (q1)") {
-    // codegen spans ('*(n)' markers) only materialize in the FINAL
-    // adaptive plan, so execute first, then inspect
-    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
-    df.collect()
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q1_pricing_summary")
     assert(s.contains("*("), s"q1 fell out of whole-stage codegen:\n$s")
   }
 
@@ -151,9 +155,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("unigram LM scoring broadcasts the model and combines map-side") {
-    val df = SparkEntry.queries("q_unigram_logprob")(spark, sf)
-    df.collect() // AQE decides the model join at runtime — inspect final
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q_unigram_logprob")
     assert(s.contains("BroadcastHashJoin"),
       s"vocabulary model not broadcast at this scale:\n$s")
     assert(s.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
@@ -170,9 +172,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("ingest dedup streams the index scan — batch side broadcasts") {
-    val df = SparkEntry.queries("q_lake_ingest_dedup")(spark, sf)
-    df.collect() // runs the lake writes; AQE finalizes the join strategy
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q_lake_ingest_dedup")
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
       s"index ⋉ batch is not a broadcast semi-join:\n$s")
     assert(!s.contains("SortMergeJoin"),
@@ -180,9 +180,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("importance weights broadcast the 256-bucket table — corpus unshuffled for scoring") {
-    val df = SparkEntry.queries("q_importance_weights")(spark, sf)
-    df.collect() // AQE finalizes the weight join; inspect the final plan
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q_importance_weights")
     assert(s.contains("BroadcastHashJoin [bucket"),
       s"bucket-weight table not broadcast into the scoring join:\n$s")
     // the 256-row histogram full-outer join may sort-merge (full outer
@@ -360,9 +358,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("quality classifier broadcasts the vocab model — corpus unshuffled for scoring") {
-    val df = SparkEntry.queries("q_quality_classifier")(spark, sf)
-    df.collect() // AQE finalizes the model join; inspect the final plan
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q_quality_classifier")
     assert(s.contains("BroadcastHashJoin [tok"),
       s"vocab model not broadcast into the scoring join:\n$s")
     assert(!s.contains("SortMergeJoin [doc_id"),
@@ -381,9 +377,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("bm25 never explodes and never hash-shuffles — top-K over a map-only score") {
-    val df = SparkEntry.queries("q_bm25_search")(spark, sf)
-    df.collect()
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q_bm25_search")
     assert(s.contains("TakeOrderedAndProject"),
       s"bm25 top-20 did not plan as top-K:\n$s")
     assert(!s.contains("Generate"),
@@ -393,9 +387,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("semantic decontamination aggregates the argmax partial+final — pair frame stays out of the exchange") {
-    val df = SparkEntry.queries("q_semantic_decontaminate")(spark, sf)
-    df.collect()
-    val s = df.queryExecution.executedPlan.toString
+    val s = executedPlan("q_semantic_decontaminate")
     assert(s.contains("BroadcastNestedLoopJoin"),
       s"eval set not broadcast under the corpus:\n$s")
     // struct-valued max buffers plan as SortAggregate, but the partial
