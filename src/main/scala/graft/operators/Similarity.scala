@@ -560,10 +560,15 @@ object Similarity {
 
   /** Embedding-space decontamination (N24): the semantic twin of
     * q_decontaminate's n-gram check — for every corpus vector, the nearest
-    * EVAL-set vector (vec_id % 20 = 0, the fixture-wide eval convention)
-    * and its cosine; a paraphrased benchmark item that shares no 8-gram
-    * still lands near its source in embedding space. Emits the nearest
-    * eval id + similarity per vector and the drop verdict at τ = 0.45.
+    * EVAL-set vector and its cosine; a paraphrased benchmark item that
+    * shares no 8-gram still lands near its source in embedding space.
+    * Emits the nearest eval id + similarity per vector and the drop
+    * verdict at τ = 0.45. The eval suite is `vec_id % 20 = 0 AND
+    * vec_id < 5000`: the %-20 part is the fixture-wide eval convention,
+    * the cap encodes that a benchmark suite is FIXED-size — growing the
+    * corpus 10× must not grow the per-vector candidate work (the sf1
+    * probe measured 26× growth without the cap: the pair frame was
+    * O(corpus²/20)).
     *
     * Scale design (100 TB): the eval side is small BY DEFINITION (it is a
     * benchmark suite) — broadcast it; the corpus streams map-only through
@@ -581,10 +586,11 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[])) > 0),
-       q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+       q AS (SELECT vec_id AS eval_id, v AS qv FROM e
+             WHERE vec_id % 20 = 0 AND vec_id < 5000),
        s AS (SELECT e.vec_id, q.eval_id,
                     round(list_cosine_similarity(q.qv, e.v), 6) AS sim
-             FROM e JOIN q ON e.vec_id % 20 <> 0),
+             FROM e JOIN q ON (e.vec_id % 20 <> 0 OR e.vec_id >= 5000)),
        r AS (SELECT vec_id, eval_id, sim,
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY sim DESC, eval_id) AS rn
@@ -593,7 +599,8 @@ object Similarity {
               (sim >= 0.45) AS contaminated
        FROM r WHERE rn = 1 ORDER BY vec_id""") { (s, d) =>
     val e = emb(s, d)
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val isEval = col("vec_id") % 20 === 0 && col("vec_id") < 5000
+    val q = e.filter(isEval)
       .select(col("vec_id").as("eval_id"), col("v").as("qv"),
         col("nv").as("qn"))
     val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6)
@@ -601,7 +608,7 @@ object Similarity {
     // lexicographically, so max == highest sim, ties to the LOWEST eval id
     // — the oracle's (sim DESC, eval_id) order — and partial aggregation
     // keeps the |corpus|·|eval| pair frame out of the exchange
-    e.filter(col("vec_id") % 20 =!= 0)
+    e.filter(!isEval)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("eval_id"), sim.as("sim"))
       .groupBy("vec_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -575,8 +575,112 @@ object TextOps {
       .limit(20)
   }
 
+  /** Adjacent symbol pairs of a symbol array, weighted later by word
+    * count — `sequence` guarded against the <2-symbol case (ANSI would
+    * fault on a descending sequence). */
+  private def symPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"),
+          element_at(syms, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** One BPE merge (a, b) → ab applied left-to-right over a symbol array:
+    * a higher-order fold — append each symbol unless the accumulator ends
+    * in `a` and the symbol is `b`, in which case replace that tail with
+    * the merged symbol. `try_element_at` keeps the empty-accumulator probe
+    * NULL-safe under ANSI (no short-circuit in SQL boolean AND). */
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `k` BPE merges over a (tok, c) word histogram: each round
+    * aggregates adjacent-pair frequencies weighted by word count, takes
+    * the single most frequent pair (ties to the lexically first — fully
+    * deterministic), and folds the merge into every word's symbol array.
+    * Returns the learned merges and the final encode table (tok → syms).
+    *
+    * Every round runs over the VOCAB histogram, never the corpus — the
+    * same reduction real BPE trainers use; the driver holds only the k
+    * merge pairs (and coordinates k vocab-sized jobs). localCheckpoint
+    * keeps the per-round lineage flat so round k doesn't replay rounds
+    * 1..k-1. */
+  private[graft] def trainBpe(vocab: DataFrame, k: Int)
+      : (Seq[(String, String)], DataFrame) = {
+    // explicit per-char split (regex-split of "" has version-dependent
+    // trailing-empty behavior); tok is never empty here
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var syms = vocab
+      .select(col("tok"), col("c"), chars.as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < k && !exhausted) {
+      val top = syms
+        .select(col("c"), explode(symPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val prev = syms
+        syms = syms
+          .select(col("tok"), col("c"),
+            applyMerge(col("syms"), a, b).as("syms"))
+          .localCheckpoint() // eager — prev's blocks are now superseded
+        prev.unpersist()
+        round += 1
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** BPE tokenizer application (N26): the step after q_bpe_merges — TRAIN
+    * 8 merges on the corpus' own word histogram, then ENCODE every
+    * document with them and report words / chars / BPE tokens per doc.
+    * This is the real token-counting a budget or packing stage needs once
+    * a tokenizer exists, and the compression ratio is itself a quality
+    * signal (gibberish compresses badly under corpus-trained merges).
+    *
+    * Scale design (100 TB): training touches only the vocab histogram
+    * (see trainBpe); encoding never re-runs BPE per token — the corpus
+    * joins the vocab-sized encode table (broadcast under AQE) keyed by
+    * word, so the per-doc pass is explode + count + one broadcast join,
+    * with all BPE arithmetic pre-computed per DISTINCT word. Iterative
+    * training is not ANSI-SQL-expressible — no DuckDB twin; the law suite
+    * pins it against an independent Scala reimplementation instead. */
+  val qBpeEncode: Q = Q.noOracle("q_bpe_encode") { (s, d) =>
+    val corpusToks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = corpusToks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val (_, encodeTable) = trainBpe(vocab, 8)
+    val enc = encodeTable
+      .select(col("tok"), size(col("syms")).cast("long").as("bpe_len"),
+        length(col("tok")).cast("long").as("n_chars"))
+    corpusToks
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+      .join(enc, "tok")
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_words"),
+        sum(col("k") * col("n_chars")).as("n_chars"),
+        sum(col("k") * col("bpe_len")).as("n_bpe"),
+        round(sum(col("k") * col("n_chars")).cast("double") /
+          sum(col("k") * col("bpe_len")), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
     qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob,
-    qSourceDivergence, qBpeMerges, qBm25Search)
+    qSourceDivergence, qBpeMerges, qBm25Search, qBpeEncode)
 }

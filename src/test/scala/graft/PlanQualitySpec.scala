@@ -386,6 +386,14 @@ class PlanQualitySpec extends SparkSpec {
       s"bm25 scoring shuffled the corpus:\n$s")
   }
 
+  test("bpe encode joins the corpus to a broadcast encode table keyed by word") {
+    val s = executedPlan("q_bpe_encode")
+    assert(s.contains("BroadcastHashJoin [tok"),
+      s"encode table not broadcast — the corpus would shuffle on tok:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"encode join shuffled:\n$s")
+  }
+
   test("semantic decontamination aggregates the argmax partial+final — pair frame stays out of the exchange") {
     val s = executedPlan("q_semantic_decontaminate")
     assert(s.contains("BroadcastNestedLoopJoin"),

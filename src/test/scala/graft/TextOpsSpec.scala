@@ -303,4 +303,57 @@ class TextOpsSpec extends SparkSpec {
       assert(terms.exists(toks.contains), s"doc $id has no query term")
     }
   }
+
+  test("q_bpe_encode matches an independent BPE train+encode reimplementation") {
+    val out = TextOps.qBpeEncode.fn(spark, sf)
+      .select("doc_id", "n_words", "n_chars", "n_bpe", "chars_per_token")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def words(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val hist = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, t) => words(t).foreach(w => hist(w) += 1) }
+    // independent trainer: same spec — most frequent adjacent pair, ties
+    // to the lexically first, merges applied left-to-right
+    def apply1(v: Vector[String], a: String, b: String): Vector[String] =
+      v.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    var syms: Map[String, Vector[String]] =
+      hist.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to 8) {
+      val pc = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      syms.foreach { case (w, ss) =>
+        ss.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) += hist(w)
+          case _ =>
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), _) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        syms = syms.map { case (w, ss) => w -> apply1(ss, a, b) }
+      }
+    }
+    val got = out.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, t) =>
+      val ws = words(t)
+      if (ws.isEmpty) assert(!got.contains(id))
+      else {
+        val r = got(id)
+        assert(r._2 == ws.size, s"doc $id words")
+        assert(r._3 == ws.map(_.length).sum.toLong, s"doc $id chars")
+        assert(r._4 == ws.map(w => syms(w).size).sum.toLong,
+          s"doc $id bpe ${r._4} vs ${ws.map(w => syms(w).size).sum}")
+        assert(math.abs(r._5 - r._3.toDouble / r._4) < 0.0001, s"doc $id ratio")
+      }
+    }
+    // the trained merges genuinely compress: fewer BPE tokens than chars
+    assert(out.exists(r => r._4 < r._3), "8 merges compressed nothing")
+    // deterministic end-to-end (training included)
+    val again = TextOps.qBpeEncode.fn(spark, sf).collect()
+    assert(TextOps.qBpeEncode.fn(spark, sf).collect().sameElements(again))
+  }
 }
