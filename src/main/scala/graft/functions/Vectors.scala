@@ -26,6 +26,10 @@ object Vectors {
   /** Codegen'd L2 norm. */
   def norm(a: Column): Column = column(VecNorm(expression(a)))
 
+  /** One-pass symmetric int8 quantization → struct<q, nq> (see
+    * [[Int8Quantize]] for why this is an expression, not HOFs). */
+  def int8Quantize(a: Column): Column = column(Int8Quantize(expression(a)))
+
   /** Cosine similarity of two array<double> columns. Prefer
     * `dot(a,b) / (normA * normB)` with norms precomputed per side when the
     * same vector participates in many pairs. */

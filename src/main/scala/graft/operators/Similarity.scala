@@ -371,14 +371,14 @@ object Similarity {
         SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
         FROM sc2 WHERE rn <= 10
         ORDER BY query_id, rn""") { (s, d) =>
+    // one-pass quantize kernel (q + its norm) — the declarative
+    // transform/array_max chain collapsed the scale factor into the
+    // per-element lambda, re-evaluating the max per element: 35× slower
+    // at sf10 (see Int8Quantize's scaladoc for the measurement)
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("sc", lit(127.0) /
-        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)))
       .select(col("vec_id"),
-        transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("double"))
-          .as("q"))
-      .withColumn("nq", norm(col("q")))
+        int8Quantize(toDouble(col("embedding"))).as("qz"))
+      .select(col("vec_id"), col("qz.q").as("q"), col("qz.nq").as("nq"))
       // zero-norm guard, same contract as [[emb]] (oracle has the twin)
       .filter(col("nq") > 0)
     val q = e.filter(col("vec_id").isin(queryIds: _*))

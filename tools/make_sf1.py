@@ -8,14 +8,18 @@ are copied as-is; texts/embeddings are replicated VERBATIM, producing the
 duplicate-heavy corpus that stresses the dedup/ANN pair operators the way
 web-scale data does.
 
-Usage: python3 tools/make_sf1.py [/root/testdata/sf0.1] [/tmp/sf1]
+Usage: python3 tools/make_sf1.py [/root/testdata/sf0.1] [/tmp/sf1] [replicas]
+
+An optional third argument sets the replica count (default 10) — e.g.
+100 builds the sf10 probe corpus directly from sf0.1 (bands stay
+disjoint: max replica stride 99e9 plus sf0.1 keys << 1e9).
 """
 import sys, os
 import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 G = 1_000_000_000  # key stride per replica; >> any sf0.1 key
 
 # per-table key columns that get the replica stride (FKs move together)
