@@ -306,7 +306,17 @@ object Dedup {
     * all-pairs; and the exact-duplicate pre-collapse runs the join on one
     * representative per distinct text, reconstructing member pairs by
     * join (the same O(distinct work + output) guard the sf1 probe forced
-    * on the shingle join). */
+    * on the shingle join).
+    *
+    * The cost IS the output: member-PAIR listing is inherently quadratic
+    * in the duplication factor (d copies of a text → C(d,2) intra-class
+    * pairs), so the 100×-verbatim sf10 probe — d=100 — measured 1215 s,
+    * ~all of it materializing + ordering the ~25M expanded pairs while
+    * the distinct-text work stayed constant. That is the contract, not a
+    * plan defect: at corpus scale the production form of this analysis is
+    * the CLASS-level one — q_dedup_groups / q_group_split consume the
+    * same candidate graph and stay linear — and pair listing is a
+    * bounded-scope reporting query. */
   val qSubstringOverlap: Q = Q(
     "q_substring_overlap",
     """WITH norm AS (
