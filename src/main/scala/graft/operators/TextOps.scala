@@ -632,12 +632,15 @@ object TextOps {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val prev = syms
         syms = syms
           .select(col("tok"), col("c"),
             applyMerge(col("syms"), a, b).as("syms"))
-          .localCheckpoint() // eager — prev's blocks are now superseded
-        prev.unpersist()
+          .localCheckpoint()
+        // superseded generations are NOT explicitly freed:
+        // Dataset.unpersist is a no-op for localCheckpoint blocks (they
+        // live outside the CacheManager; ContextCleaner reclaims them on
+        // GC). The residue is bounded — ≤ k+1 vocab-sized generations —
+        // and the vocab histogram is the smallest frame in this operator.
         round += 1
       }
     }

@@ -310,10 +310,19 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .as[(Long, String)].collect()
+    // NULL-text docs emit no tokens on the engine side; mirror that
     def words(t: String): Seq[String] =
-      t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (t == null) Nil
+      else t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     val hist = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     docs.foreach { case (_, t) => words(t).foreach(w => hist(w) += 1) }
+    // this simple witness splits by UTF-16 char and tie-breaks in Java
+    // String order — valid exactly on ASCII, where both coincide with the
+    // engine's code-point split and UTF-8 binary order. Make the validity
+    // domain explicit instead of silently pinning wrong semantics if the
+    // fixture ever gains non-ASCII tokens.
+    assert(hist.keys.forall(_.forall(_ < 128)),
+      "BPE witness assumes an ASCII token fixture")
     // independent trainer: same spec — most frequent adjacent pair, ties
     // to the lexically first, merges applied left-to-right
     def apply1(v: Vector[String], a: String, b: String): Vector[String] =
@@ -323,6 +332,7 @@ class TextOpsSpec extends SparkSpec {
       }
     var syms: Map[String, Vector[String]] =
       hist.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val witnessMerges = collection.mutable.Buffer.empty[(String, String)]
     for (_ <- 1 to 8) {
       val pc = collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
@@ -334,9 +344,20 @@ class TextOpsSpec extends SparkSpec {
       }
       if (pc.nonEmpty) {
         val ((a, b), _) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        witnessMerges += ((a, b))
         syms = syms.map { case (w, ss) => w -> apply1(ss, a, b) }
       }
     }
+    // pin the learned merge SEQUENCE itself, not just the encode output —
+    // a tie-break regression could alter the merges while coincidentally
+    // preserving per-doc symbol counts on this fixture
+    val vocabDf = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val (engineMerges, _) = TextOps.trainBpe(vocabDf, 8)
+    assert(engineMerges == witnessMerges.toSeq,
+      s"merge sequence drift:\nengine:  $engineMerges\nwitness: $witnessMerges")
     val got = out.map(r => r._1 -> r).toMap
     docs.foreach { case (id, t) =>
       val ws = words(t)
