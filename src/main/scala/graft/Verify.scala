@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition count defaults to the core count but can be varied
+    // independently (SPARK_GRAFT_SHUFFLE) — the determinism fuzz gate runs
+    // the whole suite under several (cores, partitions) pairs and asserts
+    // byte-identical dumps, so partial-aggregate merge order can't hide in
+    // a fixed configuration.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -417,13 +417,18 @@ case class CharEntropy(child: Expression)
       i += Character.charCount(cp)
       n += 1
     }
-    var ent = 0.0
+    // ExactSum-style quantized accumulation: each term p·log2(p) is
+    // floored to integer 1e-9 units and the LONGS are summed, so the
+    // result is independent of histogram iteration order and equal to the
+    // oracle's literal integer-sum form (ln(p)/ln(2), not a libm log2 —
+    // both engines take the same ln then divide by the same constant).
+    var acc = 0L
     val it = counts.values().iterator()
     while (it.hasNext) {
       val p = it.next().toDouble / n
-      ent -= p * (math.log(p) / Log2)
+      acc += math.floor(p * (math.log(p) / Log2) * 1e9 + 0.5).toLong
     }
-    java.lang.Double.valueOf(ent)
+    java.lang.Double.valueOf(-(acc.toDouble / 1e9))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -218,58 +219,79 @@ object Analytics {
       .orderBy("event_type", "day", "hr")
   }
 
-  /** Exact percentiles (median/p90) per group — linear interpolation,
-    * matching DuckDB's quantile_cont, computed by RANK rather than by
-    * materializing each group's values: `percentile()` holds every value
-    * of a group in one aggregation buffer (OOM at 100 TB); here the heavy
-    * pass is a map-side-combinable count per (group, value), the ordered
+  /** Exact percentiles (median/p90) per group — quantile_cont's linear
+    * interpolation computed by RANK rather than by materializing each
+    * group's values: `percentile()` holds every value of a group in one
+    * aggregation buffer (OOM at 100 TB); here the heavy pass is a
+    * map-side-combinable count per (group, value), the ordered
     * cumulative-rank window runs over DISTINCT values only (externally
     * sorted, spillable), and the interpolation endpoints fall out of a
-    * rank-range test. The interpolation is computed in the same
-    * `lo + frac*(hi-lo)` form DuckDB's quantile_cont uses, so the two sides
-    * agree in floating point, not just algebraically. No O(group) driver or
-    * buffer state. The t-digest twin below stays the one-pass sketch
-    * alternative when even the distinct-value sort is unwanted. */
+    * rank-range test.
+    *
+    * Determinism (ADVICE r5 #4 — one sf0.001 p50 sat on a .005 rounding
+    * boundary and the float `lo + frac·(hi-lo)` form disagreed across
+    * engines by an ulp): prices are 2-decimal money, so both sides now
+    * recover exact integer CENTS with floor(x·100 + 0.5) and interpolate
+    * as integers — p50 in half-cents (lo+hi, round-half-up = +1 div 2),
+    * p90 in deci-cents (frac = (9n+1) mod 10 exactly; round-half-up = +5
+    * div 10). No floating arithmetic touches the value until one final
+    * identical CAST/100, so the result is bit-equal on any engine at any
+    * scale factor. Agrees with round(quantile_cont(·), 2) except exactly
+    * on those ambiguous half-ulp boundaries, where float evaluation order
+    * is undefined anyway. */
   val qPercentiles: Q = Q(
     "q_percentiles",
-    """SELECT l_returnflag,
-              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
-       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    """WITH v AS (SELECT l_returnflag AS flag,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+                  FROM lineitem),
+       b AS (SELECT flag, c, count(*) AS cnt FROM v GROUP BY 1, 2),
+       r AS (SELECT flag, c, cnt,
+                    sum(cnt) OVER (PARTITION BY flag ORDER BY c) AS hi_rk
+             FROM b),
+       r2 AS (SELECT flag, c, hi_rk, hi_rk - cnt + 1 AS lo_rk FROM r),
+       t AS (SELECT flag, sum(cnt) AS n FROM b GROUP BY flag),
+       e AS (SELECT r2.flag,
+                    sum(CASE WHEN lo_rk <= (t.n + 1) // 2
+                              AND (t.n + 1) // 2 <= hi_rk THEN c ELSE 0 END) AS lo50,
+                    sum(CASE WHEN lo_rk <= (t.n + 2) // 2
+                              AND (t.n + 2) // 2 <= hi_rk THEN c ELSE 0 END) AS hi50,
+                    sum(CASE WHEN lo_rk <= (9 * t.n + 1) // 10
+                              AND (9 * t.n + 1) // 10 <= hi_rk THEN c ELSE 0 END) AS lo90,
+                    sum(CASE WHEN lo_rk <= (9 * t.n + 10) // 10
+                              AND (9 * t.n + 10) // 10 <= hi_rk THEN c ELSE 0 END) AS hi90,
+                    max(t.n) AS n
+             FROM r2 JOIN t USING (flag)
+             GROUP BY r2.flag)
+       SELECT flag AS l_returnflag,
+              CAST((lo50 + hi50 + 1) // 2 AS DOUBLE) / 100 AS p50,
+              CAST((10 * lo90 + ((9 * n + 1) % 10) * (hi90 - lo90) + 5) // 10
+                   AS DOUBLE) / 100 AS p90
+       FROM e ORDER BY l_returnflag""") { (s, d) =>
     val byVal = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).as("c"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("l_returnflag").orderBy("x")
+    val w = Window.partitionBy("l_returnflag").orderBy("c")
     val ranked = byVal
       .withColumn("hi_rk", sum("cnt").over(w))
       .withColumn("lo_rk", col("hi_rk") - col("cnt") + 1)
     val totals = byVal.groupBy("l_returnflag").agg(sum("cnt").as("n"))
-    // quantile_cont: 1-based position 1 + q(n-1); the row whose rank range
-    // covers floor(pos) is the lower endpoint, ceil(pos) the upper (one row
-    // may cover both). Sum isolates each endpoint value; the interpolation
-    // itself happens AFTER the aggregate, in DuckDB's own arithmetic form.
-    def endpoint(q: Double, upper: Boolean) = {
-      val pos = lit(1.0) + lit(q) * (col("n") - lit(1.0))
-      val rk = if (upper) ceil(pos) else floor(pos)
-      sum(when(col("lo_rk") <= rk && rk <= col("hi_rk"), col("x"))
-        .otherwise(lit(0.0)))
-    }
-    def interp(q: Double, lo: org.apache.spark.sql.Column,
-        hi: org.apache.spark.sql.Column) = {
-      val pos = lit(1.0) + lit(q) * (col("n") - lit(1.0))
-      val frac = pos - floor(pos)
-      round(lo + frac * (hi - lo), 2)
-    }
+    // quantile_cont endpoints as exact integer ranks: p50 at 1-based ranks
+    // floor/ceil of (n+1)/2, p90 at floor/ceil of (9n+1)/10
+    def endpoint(rk: Column, name: String) =
+      sum(when(col("lo_rk") <= rk && rk <= col("hi_rk"), col("c"))
+        .otherwise(lit(0L))).as(name)
     ranked.join(broadcast(totals), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(endpoint(0.5, upper = false).as("lo50"),
-        endpoint(0.5, upper = true).as("hi50"),
-        endpoint(0.9, upper = false).as("lo90"),
-        endpoint(0.9, upper = true).as("hi90"),
+      .agg(endpoint(expr("(n + 1) div 2"), "lo50"),
+        endpoint(expr("(n + 2) div 2"), "hi50"),
+        endpoint(expr("(9 * n + 1) div 10"), "lo90"),
+        endpoint(expr("(9 * n + 10) div 10"), "hi90"),
         max("n").as("n"))
       .select(col("l_returnflag"),
-        interp(0.5, col("lo50"), col("hi50")).as("p50"),
-        interp(0.9, col("lo90"), col("hi90")).as("p90"))
+        (expr("(lo50 + hi50 + 1) div 2").cast("double") / 100).as("p50"),
+        (expr("(10 * lo90 + ((9 * n + 1) % 10) * (hi90 - lo90) + 5) div 10")
+          .cast("double") / 100).as("p90"))
       .orderBy("l_returnflag")
   }
 

@@ -77,7 +77,8 @@ object Selection {
              FROM h CROSS JOIN tot)
        SELECT g.doc_id,
               CAST(sum(g.k) AS INTEGER) AS n_features,
-              round(sum(g.k * w.lw) / sum(g.k), 4) AS avg_log_ratio
+              round(CAST(sum(CAST(floor(g.k * w.lw * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1e9 / CAST(sum(g.k) AS INTEGER), 4) AS avg_log_ratio
        FROM g JOIN w USING (bucket)
        WHERE NOT g.is_tgt
        GROUP BY g.doc_id
@@ -110,11 +111,18 @@ object Selection {
               (col("tn") + lit(256.0)))
        - log((coalesce(col("rc"), lit(0L)) + lit(1)).cast("double") /
               (col("rn") + lit(256.0)))).as("lw"))
+    // ExactSum: the scoring reduction is an integer sum of quantized
+    // k·lw terms — bit-identical under any merge order and equal to the
+    // oracle's literal same form (the r5 driver flake was this sum
+    // merging in task-completion order and flipping round(·, 4))
     g.filter(!col("is_tgt"))
       .join(broadcast(weights), "bucket")
       .groupBy("doc_id")
       .agg(sum("k").cast("int").as("n_features"),
-        round(sum(col("k") * col("lw")) / sum("k"), 4).as("avg_log_ratio"))
+        ExactSum.qsum(col("k") * col("lw")).as("s"))
+      .select(col("doc_id"), col("n_features"),
+        round(ExactSum.value(col("s")) / col("n_features"), 4)
+          .as("avg_log_ratio"))
       .orderBy("doc_id")
   }
 
@@ -139,11 +147,15 @@ object Selection {
                          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                   FROM documents),
        u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-       f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+       g AS (SELECT doc_id, tok, count(*) AS k FROM u GROUP BY 1, 2),
+       f AS (SELECT tok, sum(k) AS c FROM g GROUP BY tok),
        n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
-       p AS (SELECT u.doc_id, round(exp(-avg(ln(f.c / n.n))), 2) AS perplexity
-             FROM u JOIN f USING (tok) CROSS JOIN n
-             GROUP BY u.doc_id),
+       p AS (SELECT g.doc_id,
+                    round(exp(-(CAST(sum(CAST(floor(g.k * ln(f.c / n.n) * 1e9 + 0.5)
+                                              AS BIGINT)) AS DOUBLE)
+                                / 1e9 / CAST(sum(g.k) AS INTEGER))), 2) AS perplexity
+             FROM g JOIN f USING (tok) CROSS JOIN n
+             GROUP BY g.doc_id),
        l AS (SELECT d.doc_id, d.lang, p.perplexity,
                     ntile(3) OVER (PARTITION BY d.lang
                                    ORDER BY p.perplexity, d.doc_id) AS nt
@@ -154,15 +166,24 @@ object Selection {
                       ELSE 'tail' END AS ppl_bucket
        FROM l ORDER BY doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
+    // (doc, tok) multiplicities first: the per-instance rows never reach
+    // the scoring aggregate, and the LM score becomes an ExactSum of
+    // k·ln(p) terms — order-independent (same form as the oracle, see
+    // ExactSum) where avg() over instances merged in task order
+    val g = docs.select(col("doc_id"),
       explode(TextOps.tokens(lower(col("text")))).as("tok"))
-    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val model = g.groupBy("tok").agg(sum("k").as("c"))
     val total = model.agg(sum("c").cast("double").as("n"))
     val lp = log(col("c") / col("n"))
-    val ppl = toks.join(model, "tok")
+    val ppl = g.join(model, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(round(exp(-avg(lp)), 2).as("perplexity"))
+      .agg(ExactSum.qsum(col("k") * lp).as("s"),
+        sum("k").cast("int").as("nk"))
+      .select(col("doc_id"),
+        round(exp(-(ExactSum.value(col("s")) / col("nk"))), 2)
+          .as("perplexity"))
     val nt = ntile(3).over(
       Window.partitionBy("lang").orderBy(col("perplexity"), col("doc_id")))
     docs.select(col("doc_id"), col("lang"))
@@ -216,10 +237,13 @@ object Selection {
                     CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS dn
              FROM lab WHERE is_train AND n_toks >= 1),
        -- identical arithmetic FORM to the engine (k * (ln(cp+1) - ln(cn+1))),
-       -- so the two sides differ only in summation order, not term values
+       -- quantized and summed as integers (ExactSum) so neither engine's
+       -- partial-aggregate merge order can move the rounded logit
        s AS (SELECT g.doc_id,
-                    sum(g.k * (ln(CAST(m.cp + 1 AS DOUBLE))
-                             - ln(CAST(m.cn + 1 AS DOUBLE)))) AS known
+                    CAST(sum(CAST(floor(g.k * (ln(CAST(m.cp + 1 AS DOUBLE))
+                                             - ln(CAST(m.cn + 1 AS DOUBLE)))
+                                        * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1e9 AS known
              FROM g JOIN m USING (tok) WHERE NOT g.is_train
              GROUP BY g.doc_id)
        SELECT l.doc_id, CAST(l.n_toks AS INTEGER) AS n_tokens,
@@ -258,9 +282,10 @@ object Selection {
     val ntk = test.groupBy("doc_id").agg(sum("k").as("n_toks"))
     val known = test.join(m, "tok")
       .groupBy("doc_id")
-      .agg(sum(col("k") *
+      .agg(ExactSum.qsum(col("k") *
         (log((col("cp") + lit(1)).cast("double")) -
-         log((col("cn") + lit(1)).cast("double")))).as("known"))
+         log((col("cn") + lit(1)).cast("double")))).as("ks"))
+      .select(col("doc_id"), ExactSum.value(col("ks")).as("known"))
     ntk.join(known, Seq("doc_id"), "left")
       .crossJoin(broadcast(c)).crossJoin(broadcast(dd))
       .select(col("doc_id"), col("n_toks").cast("int").as("n_tokens"),

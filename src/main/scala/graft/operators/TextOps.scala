@@ -275,7 +275,10 @@ object TextOps {
        f AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
        t AS (SELECT doc_id, sum(k) AS n FROM f GROUP BY 1)
        SELECT f.doc_id,
-              round(-sum((k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))), 6)
+              round(-(CAST(sum(CAST(floor((k / CAST(n AS DOUBLE))
+                                          * (ln(k / CAST(n AS DOUBLE)) / ln(2))
+                                          * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1e9), 6)
                 AS entropy
        FROM f JOIN t USING (doc_id)
        GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, d) =>
@@ -369,26 +372,38 @@ object TextOps {
                          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                   FROM documents),
             u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-            f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
-            n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f)
-       SELECT u.doc_id,
-              CAST(count(*) AS INTEGER) AS n_tokens,
-              round(avg(ln(f.c / n.n)), 4) AS avg_logprob,
-              round(exp(-avg(ln(f.c / n.n))), 2) AS perplexity
-       FROM u JOIN f USING (tok) CROSS JOIN n
-       GROUP BY u.doc_id ORDER BY u.doc_id""") { (s, d) =>
-    val toks = Tables.documents(s, d)
+            g AS (SELECT doc_id, tok, count(*) AS k FROM u GROUP BY 1, 2),
+            f AS (SELECT tok, sum(k) AS c FROM g GROUP BY tok),
+            n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
+            p AS (SELECT g.doc_id,
+                         CAST(sum(g.k) AS INTEGER) AS n_tokens,
+                         CAST(sum(CAST(floor(g.k * ln(f.c / n.n) * 1e9 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) / 1e9 AS lsum
+                  FROM g JOIN f USING (tok) CROSS JOIN n
+                  GROUP BY g.doc_id)
+       SELECT doc_id, n_tokens,
+              round(lsum / n_tokens, 4) AS avg_logprob,
+              round(exp(-(lsum / n_tokens)), 2) AS perplexity
+       FROM p ORDER BY doc_id""") { (s, d) =>
+    // (doc, tok) multiplicities first (exact integer counts), then the LM
+    // score is an ExactSum of k·ln(p) terms — order-independent where
+    // avg() over exploded instances merged partials in task order
+    val g = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(tokens(lower(col("text")))).as("tok"))
-    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val model = g.groupBy("tok").agg(sum("k").as("c"))
     val total = model.agg(sum("c").cast("double").as("n"))
     val lp = log(col("c") / col("n"))
-    toks.join(model, "tok")
+    g.join(model, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        round(avg(lp), 4).as("avg_logprob"),
-        round(exp(-avg(lp)), 2).as("perplexity"))
+      .agg(sum("k").cast("int").as("n_tokens"),
+        ExactSum.qsum(col("k") * lp).as("ls"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(ExactSum.value(col("ls")) / col("n_tokens"), 4).as("avg_logprob"),
+        round(exp(-(ExactSum.value(col("ls")) / col("n_tokens"))), 2)
+          .as("perplexity"))
       .orderBy("doc_id")
   }
 
@@ -417,9 +432,11 @@ object TextOps {
        SELECT sc.source,
               CAST(st.n AS BIGINT) AS n_tokens,
               CAST(count(*) AS INTEGER) AS n_vocab,
-              round(sum((sc.c / CAST(st.n AS DOUBLE))
-                        * ln((sc.c / CAST(st.n AS DOUBLE))
-                             / (g.gc / CAST(gt.gn AS DOUBLE)))), 4)
+              round(CAST(sum(CAST(floor((sc.c / CAST(st.n AS DOUBLE))
+                                        * ln((sc.c / CAST(st.n AS DOUBLE))
+                                             / (g.gc / CAST(gt.gn AS DOUBLE)))
+                                        * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1e9, 4)
                 AS kl_from_corpus
        FROM sc JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
        GROUP BY sc.source, st.n
@@ -443,7 +460,10 @@ object TextOps {
       .crossJoin(broadcast(gt))
       .groupBy("source", "n")
       .agg(count(lit(1)).cast("int").as("n_vocab"),
-        round(sum(p * log(p / q)), 4).as("kl_from_corpus"))
+        // ExactSum: the KL reduction over the vocabulary is an integer sum
+        // of quantized p·ln(p/q) terms, order-independent on both engines
+        round(ExactSum.value(ExactSum.qsum(p * log(p / q))), 4)
+          .as("kl_from_corpus"))
       .select(col("source"), col("n").as("n_tokens"), col("n_vocab"),
         col("kl_from_corpus"))
       .orderBy("source")

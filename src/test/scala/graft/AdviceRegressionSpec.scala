@@ -282,29 +282,38 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1)._2 > 0L && !out(1)._3, s"long doc row: ${out(1)}")
   }
 
-  test("q_percentiles interpolates in DuckDB's lo + frac*(hi-lo) form") {
+  test("q_percentiles interpolates quantile_cont in exact integer cents") {
+    // r6 rework (ADVICE r5 #4): the float lo + frac*(hi-lo) form sat on a
+    // .005 rounding boundary at sf0.001 and disagreed with DuckDB by an
+    // ulp. Both engines now interpolate 2-decimal money as exact integer
+    // cents; this witness recomputes that arithmetic driver-side from the
+    // sorted raw values.
     val sfDir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_percentiles")(spark, sfDir)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap
-    // independent reference: same arithmetic form, computed driver-side
     val byFlag = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_returnflag", "l_extendedprice")
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .collect().map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    def qc(xs: Array[Double], q: Double): Double = {
-      val pos = 1.0 + q * (xs.length - 1.0)
-      val lo = math.floor(pos).toInt
-      val frac = pos - math.floor(pos)
-      val loV = xs(lo - 1)
-      val hiV = xs(math.ceil(pos).toInt - 1)
-      BigDecimal(loV + frac * (hiV - loV))
-        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def p50(cs: Array[Long]): Double = {
+      val n = cs.length.toLong
+      val lo = cs(((n + 1) / 2).toInt - 1)
+      val hi = cs(((n + 2) / 2).toInt - 1)
+      ((lo + hi + 1) / 2).toDouble / 100
     }
-    byFlag.foreach { case (flag, xs) =>
-      val (p50, p90) = got(flag)
-      assert(p50 == qc(xs, 0.5), s"$flag p50: got $p50, want ${qc(xs, 0.5)}")
-      assert(p90 == qc(xs, 0.9), s"$flag p90: got $p90, want ${qc(xs, 0.9)}")
+    def p90(cs: Array[Long]): Double = {
+      val n = cs.length.toLong
+      val lo = cs(((9 * n + 1) / 10).toInt - 1)
+      val hi = cs(((9 * n + 10) / 10).toInt - 1)
+      val frac10 = (9 * n + 1) % 10
+      ((10 * lo + frac10 * (hi - lo) + 5) / 10).toDouble / 100
+    }
+    byFlag.foreach { case (flag, cs) =>
+      val (g50, g90) = got(flag)
+      assert(g50 == p50(cs), s"$flag p50: got $g50, want ${p50(cs)}")
+      assert(g90 == p90(cs), s"$flag p90: got $g90, want ${p90(cs)}")
     }
   }
 
