@@ -104,7 +104,20 @@ case class Int8Quantize(child: Expression)
   extends UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+  // ADVICE r5: fail at ANALYSIS time on a wrong-typed child (e.g. a raw
+  // array<float> that skipped toDouble) instead of a runtime
+  // ClassCastException deep in an executor. checkInputDataTypes rather
+  // than ExpectsInputTypes: AbstractDataType is private[sql], so the
+  // trait's signature can't be written outside Spark's package.
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"Int8Quantize requires array<double>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = StructType(Seq(
     StructField("q", ArrayType(DoubleType, containsNull = false),

@@ -101,10 +101,22 @@ final class ObjectStoreMetaIO(latencyMs: Long = 0L) extends MetaIO {
 
   override def createExclusive(p: Path, content: String): Unit = {
     op("PUT-if-none-match", p)
+    // The store serializes conditional PUTs SERVER-side; locally the
+    // kernel plays the server. An in-process lock only emulates that for
+    // one JVM — the cross-process chaos gate (ChaosGate) races separate
+    // JVMs against one table, so the claim must be kernel-atomic: write
+    // the full content to a temp object, then hard-link it to the key
+    // (atomic create-exclusive WITH content; EEXIST = precondition
+    // failed). This is the local stand-in for the server's atomicity of
+    // `If-None-Match: *`, not a protocol reliance on rename — the commit
+    // protocol still sees exactly conditional-PUT semantics.
     condLock.synchronized {
-      if (Files.exists(p))
-        throw new java.nio.file.FileAlreadyExistsException(p.toString)
-      put(p, content)
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, ".cput", ".tmp")
+      try {
+        Files.writeString(tmp, content, UTF_8)
+        Files.createLink(p, tmp) // FileAlreadyExistsException = 412
+      } finally Files.deleteIfExists(tmp)
     }
     afterOp("PUT-if-none-match", p)
   }

@@ -5,17 +5,24 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.Similarity
 
 /** Measures ANN recall@10 vs the exact baseline at an arbitrary SF dir
-  * (the SimilaritySpec pins run at sf0.001 only; BASELINE.md's recall
-  * claims at sf0.1 are kept honest with this probe):
+  * (the SimilaritySpec pins run at sf0.001 only; this probe keeps the
+  * recall claims honest at bench scale):
   *
   *   sbt "Test/runMain graft.RecallProbe /root/testdata/sf0.1"
-  */
+  *
+  * As a STANDING sf1 gate (VERDICT r5 #4 — the sf10 IVF probe-depth fix
+  * showed recall moves with scale, so spec-scale pins alone are not
+  * enough), tools/sf1_gate.sh runs it at sf1 and the probe EXITS 2 when
+  * any family drops below its pinned floor (the same floors
+  * SimilaritySpec pins at spec scale: LSH/IVF ≥ 0.9, int8-quantized
+  * ≥ 0.8). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -24,11 +31,19 @@ object RecallProbe {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(Similarity.qKnnExact)
-    for ((name, q) <- Seq("lsh" -> Similarity.qKnnLsh,
-        "ivf" -> Similarity.qKnnIvf, "quantized" -> Similarity.qKnnQuantized)) {
+    var allOk = true
+    val parts = for ((name, q, floor) <- Seq(
+        ("lsh", Similarity.qKnnLsh, 0.9),
+        ("ivf", Similarity.qKnnIvf, 0.9),
+        ("quantized", Similarity.qKnnQuantized, 0.8))) yield {
       val recall = (exact intersect pairs(q)).size.toDouble / exact.size
-      println(f"[recall] $name%-9s recall@10 = $recall%.3f ($dir)")
+      val ok = recall >= floor
+      allOk &= ok
+      println(f"[recall] $name%-9s recall@10 = $recall%.3f floor=$floor ($dir)")
+      s""""$name":$recall"""
     }
+    println(s"""{"probe":"ann_recall",${parts.mkString(",")},"pass":$allOk}""")
     spark.stop()
+    if (!allOk) sys.exit(2)
   }
 }

@@ -78,7 +78,16 @@ class SelectionSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text")
       .as[(Long, String, String)].collect()
-    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    // engine-faithful tokenizer (ADVICE r5): NULL-safe, and pins the
+    // no-exotic-whitespace assumption — the engine trims spaces only,
+    // Java's String.trim strips every char <= U+0020
+    def toks(t: String): Seq[String] = {
+      if (t == null) return Nil
+      val st = t.replaceAll("^ +| +$", "")
+      assert(st == st.trim,
+        "witness assumes no exotic-whitespace-bordered text")
+      st.toLowerCase.split("\\s+").toSeq
+    }
     val curated = Set("src0", "src1", "src2", "src3")
     val train = docs.filter(_._1 % 5 != 0)
     val cp = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)

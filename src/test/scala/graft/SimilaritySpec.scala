@@ -24,6 +24,19 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(Vectors.l2Distance(col("a"), col("b"))).as[Double].head() == 5.0)
   }
 
+  test("Int8Quantize rejects a non-double array at analysis time") {
+    // ADVICE r5: a raw array<float> child must fail analysis, not throw
+    // ClassCastException inside an executor
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val q = ColumnBridge.column(
+      graft.functions.Int8Quantize(ColumnBridge.expression(col("v"))))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(q).collect()
+    }
+    assert(e.getMessage.contains("array<double>"), e.getMessage)
+  }
+
   test("LSH kNN recall@10 >= 0.9 vs exact kNN (8 tables x 4 bits, multi-probe)") {
     val exact = Similarity.qKnnExact.fn(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -268,9 +268,20 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "bm25").as[(Long, Double)].collect()
     assert(out.length == 20)
     val terms = Seq("vector", "join", "stream")
+    // engine-faithful witness tokenizer (ADVICE r5): NULL text yields no
+    // tokens, and the fixture must not be exotic-whitespace-BORDERED —
+    // the engine trims spaces only, Java's String.trim strips every char
+    // <= U+0020, so a tab-bordered doc would silently diverge
+    def wtoks(t: String): Seq[String] = {
+      if (t == null) return Nil
+      val st = t.replaceAll("^ +| +$", "")
+      assert(st == st.trim,
+        "witness assumes no exotic-whitespace-bordered text")
+      st.toLowerCase.split("\\s+").toSeq
+    }
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .as[(Long, String)].collect()
-      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+      .map { case (id, t) => id -> wtoks(t) }
     val n = docs.length.toDouble
     val avgdl = docs.map(_._2.length).sum.toDouble / n
     val df = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
@@ -373,8 +384,12 @@ class TextOpsSpec extends SparkSpec {
     }
     // the trained merges genuinely compress: fewer BPE tokens than chars
     assert(out.exists(r => r._4 < r._3), "8 merges compressed nothing")
-    // deterministic end-to-end (training included)
-    val again = TextOps.qBpeEncode.fn(spark, sf).collect()
-    assert(TextOps.qBpeEncode.fn(spark, sf).collect().sameElements(again))
+    // deterministic end-to-end (training included): one re-run compared
+    // against THIS run's `out` (ADVICE r5: comparing run 2 to run 3 cost
+    // an extra full train+encode and missed run-1-only nondeterminism)
+    val again = TextOps.qBpeEncode.fn(spark, sf)
+      .select("doc_id", "n_words", "n_chars", "n_bpe", "chars_per_token")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(again.sameElements(out), "BPE train+encode not deterministic")
   }
 }
