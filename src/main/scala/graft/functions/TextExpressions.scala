@@ -418,17 +418,21 @@ case class CharEntropy(child: Expression)
       n += 1
     }
     // ExactSum-style quantized accumulation: each term p·log2(p) is
-    // floored to integer 1e-9 units and the LONGS are summed, so the
+    // floored to integer 2^-30 units and the LONGS are summed, so the
     // result is independent of histogram iteration order and equal to the
     // oracle's literal integer-sum form (ln(p)/ln(2), not a libm log2 —
     // both engines take the same ln then divide by the same constant).
+    // 2^30, not 1e9: a power-of-ten scale parked the sum on exact decimal
+    // round(·, 6) ties (~1/1000 docs at sf1), which Spark (decimal
+    // half-up) and DuckDB (binary) resolve differently; a power-of-two
+    // denominator cannot form such a tie (see ExactSum.Scale).
     var acc = 0L
     val it = counts.values().iterator()
     while (it.hasNext) {
       val p = it.next().toDouble / n
-      acc += math.floor(p * (math.log(p) / Log2) * 1e9 + 0.5).toLong
+      acc += math.floor(p * (math.log(p) / Log2) * 1073741824e0 + 0.5).toLong
     }
-    java.lang.Double.valueOf(-(acc.toDouble / 1e9))
+    java.lang.Double.valueOf(-(acc.toDouble / 1073741824e0))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -38,14 +38,21 @@ object Analytics {
   /** Top-k by aggregate: top 20 customers by spend. */
   val qTopkCustomers: Q = Q(
     "q_topk_customers",
-    """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n
+    """SELECT o_custkey,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS spend,
+              count(*) AS n
        FROM orders
        GROUP BY o_custkey
        ORDER BY spend DESC, o_custkey
        LIMIT 20""") { (s, d) =>
+    // money accumulates in DECIMAL (exact, order-independent) — the q1
+    // treatment, applied suite-wide in r6 so no rounded money hash can sit
+    // on a merge-order-dependent boundary at any scale factor
     Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 2).as("spend"), count(lit(1)).as("n"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double").as("spend"), count(lit(1)).as("n"))
       .orderBy(col("spend").desc, col("o_custkey"))
       .limit(20)
   }
@@ -182,7 +189,8 @@ object Analytics {
               CAST(year(o_orderdate) AS INTEGER) AS yr,
               CAST(month(o_orderdate) AS INTEGER) AS mo,
               count(*) AS n_orders,
-              round(sum(o_totalprice), 2) AS revenue
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS revenue
        FROM orders
        GROUP BY 1, 2, 3
        ORDER BY month""") { (s, d) =>
@@ -192,7 +200,8 @@ object Analytics {
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"))
+        round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+          .cast("double").as("revenue"))
       .orderBy("month")
   }
 
@@ -205,7 +214,8 @@ object Analytics {
               CAST(ts AS DATE) AS day,
               CAST(extract(hour FROM ts) AS INTEGER) AS hr,
               count(*) AS n,
-              round(sum(value), 2) AS total_value,
+              CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total_value,
               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
        FROM events
        GROUP BY 1, 2, 3
@@ -214,7 +224,8 @@ object Analytics {
       .groupBy(col("event_type"), col("ts").cast("date").as("day"),
         hour(col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 2).as("total_value"),
+        round(sum(col("value").cast("decimal(12,2)")), 2)
+          .cast("double").as("total_value"),
         sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
       .orderBy("event_type", "day", "hr")
   }
@@ -332,19 +343,25 @@ object Analytics {
     * collect. */
   val qRevenueShare: Q = Q(
     "q_revenue_share",
-    """WITH seg AS (SELECT c_mktsegment, sum(o_totalprice) AS rev
+    """WITH seg AS (SELECT c_mktsegment,
+                           sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
                     FROM orders JOIN customer ON o_custkey = c_custkey
                     GROUP BY c_mktsegment)
-       SELECT c_mktsegment, round(rev, 2) AS revenue,
-              round(rev / sum(rev) OVER (), 4) AS share
+       SELECT c_mktsegment, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+              round(CAST(rev AS DOUBLE)
+                    / CAST(sum(rev) OVER () AS DOUBLE), 4) AS share
        FROM seg ORDER BY c_mktsegment""") { (s, d) =>
+    // rev and its grand total accumulate in DECIMAL (exact); only the
+    // final share division happens in double, identically on both engines
     val seg = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(sum("o_totalprice").as("rev"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
     val wAll = Window.partitionBy()
-    seg.select(col("c_mktsegment"), round(col("rev"), 2).as("revenue"),
-        round(col("rev") / sum("rev").over(wAll), 4).as("share"))
+    seg.select(col("c_mktsegment"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum("rev").over(wAll).cast("double"), 4).as("share"))
       .orderBy("c_mktsegment")
   }
 

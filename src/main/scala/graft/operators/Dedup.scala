@@ -130,8 +130,9 @@ object Dedup {
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4).as("jaccard"))
+        ExactSum.intRatio(col("inter"),
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"), 4)
+          .as("jaccard"))
   }
 
   /** MinHash signature dump (deterministic, oracle-less: xxhash64 has no
@@ -249,7 +250,8 @@ object Dedup {
                  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
                  GROUP BY 1, 2)
        SELECT id_a, id_b,
-              round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+              CAST((20000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))
+                   AS DOUBLE) / 10000 AS jaccard
        FROM inter
        JOIN sizes sa ON sa.doc_id = id_a
        JOIN sizes sb ON sb.doc_id = id_b
@@ -440,7 +442,13 @@ object Dedup {
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(j >= threshold)
-      .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+      // integer half-up (ExactSum.intRatio): an integer Jaccard can land
+      // exactly on a decimal rounding tie, which round(double, 4)
+      // resolves differently across engines; the threshold filter above
+      // still compares the RAW ratio (same doubles both sides)
+      .select(col("id_a"), col("id_b"),
+        graft.operators.ExactSum.intRatio(col("i"),
+          col("sa.n") + col("sb.n") - col("i"), 4).as("jaccard"))
     (repPairs, sizes.filter(col("n") > 0).select("doc_id"))
   }
 

@@ -37,8 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object ExactSum {
 
-  /** 1e-9-unit quantization scale shared with every oracle twin. */
-  final val Scale = 1e9
+  /** Quantization scale shared with every oracle twin: 2^30 (≈ 1e9
+    * resolution), NOT a power of ten. Two reasons, both learned from an
+    * sf1 gate failure: (a) multiplying by a power of two is EXACT in
+    * binary floating point, so quantization adds no multiply-rounding
+    * step that could differ across engines; (b) a power-of-TEN scale made
+    * the dequantized sum a 9-decimal rational, which landed EXACTLY on
+    * `round(·, 6)` half-way ties about once per thousand documents — and
+    * Spark (BigDecimal shortest-repr, true decimal half-up) and DuckDB
+    * (binary-double rounding) resolve exact decimal ties DIFFERENTLY.
+    * With denominator 2^30 an exact k-decimal tie requires 5^(k+1) to
+    * divide an odd number — essentially impossible (probability 2^-23
+    * via the odd/128 corner), so both engines always see a value
+    * strictly off-tie and agree. */
+  final val Scale = 1073741824e0 // 2^30
 
   /** Quantize one double term to long 1e-9 units: floor(term*1e9 + 0.5).
     * Spark's `floor` on a double column already yields LongType. */
@@ -49,7 +61,29 @@ object ExactSum {
   def qsum(term: Column): Column = sum(quantize(term))
 
   /** De-quantize an aggregated sum back to double units — `CAST(s AS
-    * DOUBLE) / 1e9`, the literal form the oracle twins use, so any
+    * DOUBLE) / 2^30`, the literal form the oracle twins use, so any
     * further shared arithmetic stays bit-identical across engines. */
   def value(s: Column): Column = s.cast("double") / lit(Scale)
+
+  /** `round(num/den, decimals)` for POSITIVE integer-valued operands with
+    * the half-up tie resolved in PURE INTEGER arithmetic:
+    * floor((2·10^d·num + den) / (2·den)), computed with exact integer
+    * ops. An integer ratio lands exactly on a decimal rounding tie
+    * whenever `2·10^d·num / den` is an odd integer (e.g. 321/160 at
+    * d = 4), and `round(double, d)` resolves such ties DIFFERENTLY across
+    * engines — Spark rounds the shortest decimal repr half-up, DuckDB
+    * rounds the binary value, which sits on whichever side the nearest
+    * double fell. Oracle twin:
+    * `CAST((2*10^d*a + b) // (2*b) AS DOUBLE) / 10^d`.
+    *
+    * The `(x - pmod(x, y)) / y` form is floor division in exact integer
+    * arithmetic; the final double division is exact because the numerator
+    * is divisible and both operands are < 2^53. NULL den propagates NULL
+    * (callers keep their zero/empty guards). */
+  def intRatio(num: Column, den: Column, decimals: Int): Column = {
+    val p = math.pow(10, decimals).toLong
+    val n2 = num.cast("long") * lit(2L * p) + den.cast("long")
+    val d2 = den.cast("long") * lit(2L)
+    ((n2 - pmod(n2, d2)) / d2) / lit(p.toDouble)
+  }
 }

@@ -230,7 +230,7 @@ object LakeOps {
     * tuple write path, the anti-join read path, and their NULL semantics. */
   val qLakeMorDelete: Q = Q(
     "q_lake_mor_delete",
-    """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    """SELECT c_nationkey, count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal
        FROM customer
        WHERE NOT (c_mktsegment = 'BUILDING')
          AND NOT (c_custkey % 7 = 0)
@@ -250,7 +250,7 @@ object LakeOps {
     s.sql(s"DELETE FROM $Cat.verify.customer_mor WHERE c_mktsegment = 'BUILDING'")
     s.sql(s"DELETE FROM $Cat.verify.customer_mor WHERE c_custkey % 7 = 0")
     s.sql(s"""SELECT c_nationkey, count(*) AS n,
-                     round(sum(c_acctbal), 2) AS bal
+                     CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal
               FROM $Cat.verify.customer_mor
               GROUP BY c_nationkey ORDER BY c_nationkey""")
   }
@@ -328,7 +328,7 @@ object LakeOps {
   val qLakeGenerated: Q = Q(
     "q_lake_generated",
     """SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
-              count(*) AS n, round(sum(o_totalprice), 2) AS total
+              count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
        FROM orders
        GROUP BY 1 ORDER BY o_year""") { (s, d) =>
     ensureCatalog(s)
@@ -344,7 +344,7 @@ object LakeOps {
       .createOrReplaceTempView("graft_src_orders_gen")
     s.sql(s"""INSERT INTO $Cat.verify.orders_gen (o_orderkey, o_orderdate, o_totalprice)
               SELECT * FROM graft_src_orders_gen""")
-    s.sql(s"""SELECT o_year, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    s.sql(s"""SELECT o_year, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
               FROM $Cat.verify.orders_gen
               GROUP BY o_year ORDER BY o_year""")
   }
@@ -390,7 +390,7 @@ object LakeOps {
   val qSpjJoin: Q = Q(
     "q_spj_join",
     """SELECT c_custkey, CAST(count(*) AS BIGINT) AS order_cnt,
-              round(sum(o_totalprice), 2) AS total_price
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
        FROM customer JOIN orders ON c_custkey = o_custkey
        GROUP BY c_custkey ORDER BY c_custkey""") { (s, d) =>
     ensureCatalog(s)
@@ -416,7 +416,7 @@ object LakeOps {
     try {
       val df = s.sql(
         s"""SELECT c_custkey, count(*) AS order_cnt,
-                   round(sum(o_totalprice), 2) AS total_price
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
             FROM $Cat.verify.cust_b JOIN $Cat.verify.ord_b
               ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey""")

@@ -135,13 +135,16 @@ object Multimodal {
                    WHEN doc_id % 3 = 1 THEN 'png'
                    ELSE 'wav' END AS codec,
               count(*) AS n,
-              round(avg(((doc_id % 1280) * 2654435761) % 1280 + 64), 4) AS avg_width,
+              CAST((20000 * sum(((doc_id % 1280) * 2654435761) % 1280 + 64)
+                    + count(*)) // (2 * count(*)) AS DOUBLE) / 10000 AS avg_width,
               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
        FROM documents GROUP BY 1 ORDER BY codec""") { (s, d) =>
     mediaTable(s, d)
       .groupBy(col("meta.codec").as("codec"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("meta.width")), 4).as("avg_width"),
+        // integer mean, half-up in integer arithmetic (see ExactSum.intRatio)
+        (expr("(20000 * sum(CAST(meta.width AS BIGINT)) + count(1)) div " +
+          "(2 * count(1))").cast("double") / lit(1e4)).as("avg_width"),
         sum(length(col("payload"))).as("total_bytes"))
       .orderBy("codec")
   }

@@ -476,8 +476,9 @@ object Pipeline {
                   FROM documents),
             r AS (SELECT doc_id, source,
                          CAST(len(toks) AS INTEGER) AS n_tokens,
-                         round(1.0 - len(list_distinct(toks))
-                                     / CAST(len(toks) AS DOUBLE), 4) AS dup_ratio
+                         CAST((20000 * (len(toks) - len(list_distinct(toks)))
+                               + len(toks)) // (2 * len(toks)) AS DOUBLE) / 10000
+                           AS dup_ratio
                   FROM t),
             c AS (SELECT doc_id, source, n_tokens, dup_ratio,
                          coalesce(sum(n_tokens) OVER (PARTITION BY source
@@ -503,8 +504,8 @@ object Pipeline {
       .select(col("doc_id"), col("source"), rep.as("__r"))
       .select(col("doc_id"), col("source"),
         col("__r.n_tokens").as("n_tokens"),
-        round(lit(1.0) - col("__r.n_distinct") / col("__r.n_tokens").cast("double"), 4)
-          .as("dup_ratio"))
+        ExactSum.intRatio(col("__r.n_tokens") - col("__r.n_distinct"),
+          col("__r.n_tokens"), 4).as("dup_ratio"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < 500)

@@ -43,9 +43,12 @@ object Relational {
                            AS DECIMAL(14,4))
                       * CAST(1 + l_tax AS DECIMAL(8,6))), 2) AS DOUBLE)
                                                                     AS sum_charge,
-       round(avg(l_quantity), 4)                                    AS avg_qty,
-       round(avg(l_extendedprice), 4)                               AS avg_price,
-       round(avg(l_discount), 4)                                    AS avg_disc,
+       CAST((20000 * sum(CAST(l_quantity AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e4                      AS avg_qty,
+       CAST((200 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             + count(*)) // (2 * count(*)) AS DOUBLE) / 1e4         AS avg_price,
+       CAST((200 * sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+             + count(*)) // (2 * count(*)) AS DOUBLE) / 1e4         AS avg_disc,
        count(*)                                                     AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,9 +76,20 @@ object Relational {
           .as("sum_disc_price"),
         round(sum((price * disc1).cast("decimal(14,4)") * tax1), 2)
           .cast("double").as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        // means round half-up at 4dp in PURE INTEGER arithmetic
+        // ((2e4·S·k + n) div 2n): an integer-ratio mean can land exactly
+        // on a decimal rounding tie, and round(double, ·) resolves decimal
+        // ties differently across engines (Spark: shortest-repr half-up;
+        // DuckDB: binary). Quantity is integer-valued; money is exact
+        // cents via floor(x·100 + 0.5). All values positive.
+        (expr("(20000 * sum(CAST(l_quantity AS BIGINT)) + count(1)) div " +
+          "(2 * count(1))").cast("double") / lit(1e4)).as("avg_qty"),
+        (expr("(200 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))" +
+          " + count(1)) div (2 * count(1))").cast("double") / lit(1e4))
+          .as("avg_price"),
+        (expr("(200 * sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))" +
+          " + count(1)) div (2 * count(1))").cast("double") / lit(1e4))
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -86,7 +100,9 @@ object Relational {
   val q3ShippingPriority: Q = Q(
     "q3_shipping_priority",
     """SELECT l_orderkey,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(8,6))), 2)
+                   AS DOUBLE) AS revenue,
               CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
@@ -105,8 +121,11 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // revenue accumulates in DECIMAL (exact, order-independent) — the
+      // q1 money treatment, suite-wide since r6
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(8,6)")), 2)
+        .cast("double").as("revenue"))
       .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -116,7 +135,10 @@ object Relational {
     * whole dimension chain broadcast, grouped by nation. */
   val q5LocalSupplier: Q = Q(
     "q5_local_supplier_volume",
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(8,6))), 2)
+                   AS DOUBLE) AS revenue
        FROM customer
        JOIN orders   ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,8 +164,9 @@ object Relational {
       .join(dims, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(8,6)")), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -167,7 +190,8 @@ object Relational {
   val qJoinBroadcast: Q = Q(
     "q_join_broadcast",
     """SELECT c_mktsegment, count(*) AS n_orders,
-              round(sum(o_totalprice), 2) AS total_spend
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total_spend
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment
        ORDER BY c_mktsegment""") { (s, d) =>
@@ -175,7 +199,8 @@ object Relational {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total_spend"))
+        round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+          .cast("double").as("total_spend"))
       .orderBy("c_mktsegment")
   }
 
@@ -185,7 +210,8 @@ object Relational {
   val qJoinSortMerge: Q = Q(
     "q_join_sortmerge",
     """SELECT o_orderpriority, count(*) AS n_lines,
-              round(sum(l_extendedprice), 2) AS total_price
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total_price
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority""") { (s, d) =>
@@ -193,7 +219,8 @@ object Relational {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
-        round(sum("l_extendedprice"), 2).as("total_price"))
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+          .cast("double").as("total_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -237,7 +264,8 @@ object Relational {
   val qOuterJoin: Q = Q(
     "q_outer_join",
     """SELECT c_custkey, count(o_orderkey) AS n_orders,
-              round(coalesce(sum(o_totalprice), 0), 2) AS spend
+              CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2)
+                   AS DOUBLE) AS spend
        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        GROUP BY c_custkey
        ORDER BY c_custkey""") { (s, d) =>
@@ -245,7 +273,8 @@ object Relational {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum("o_totalprice"), lit(0)), 2).as("spend"))
+        round(coalesce(sum(col("o_totalprice").cast("decimal(12,2)")), lit(0)), 2)
+          .cast("double").as("spend"))
       .orderBy("c_custkey")
   }
 

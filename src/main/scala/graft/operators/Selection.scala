@@ -77,8 +77,8 @@ object Selection {
              FROM h CROSS JOIN tot)
        SELECT g.doc_id,
               CAST(sum(g.k) AS INTEGER) AS n_features,
-              round(CAST(sum(CAST(floor(g.k * w.lw * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / 1e9 / CAST(sum(g.k) AS INTEGER), 4) AS avg_log_ratio
+              round(CAST(sum(CAST(floor(g.k * w.lw * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1073741824 / CAST(sum(g.k) AS INTEGER), 4) AS avg_log_ratio
        FROM g JOIN w USING (bucket)
        WHERE NOT g.is_tgt
        GROUP BY g.doc_id
@@ -151,9 +151,9 @@ object Selection {
        f AS (SELECT tok, sum(k) AS c FROM g GROUP BY tok),
        n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
        p AS (SELECT g.doc_id,
-                    round(exp(-(CAST(sum(CAST(floor(g.k * ln(f.c / n.n) * 1e9 + 0.5)
+                    round(exp(-(CAST(sum(CAST(floor(g.k * ln(f.c / n.n) * 1073741824 + 0.5)
                                               AS BIGINT)) AS DOUBLE)
-                                / 1e9 / CAST(sum(g.k) AS INTEGER))), 2) AS perplexity
+                                / 1073741824 / CAST(sum(g.k) AS INTEGER))), 2) AS perplexity
              FROM g JOIN f USING (tok) CROSS JOIN n
              GROUP BY g.doc_id),
        l AS (SELECT d.doc_id, d.lang, p.perplexity,
@@ -242,8 +242,8 @@ object Selection {
        s AS (SELECT g.doc_id,
                     CAST(sum(CAST(floor(g.k * (ln(CAST(m.cp + 1 AS DOUBLE))
                                              - ln(CAST(m.cn + 1 AS DOUBLE)))
-                                        * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-                      / 1e9 AS known
+                                        * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1073741824 AS known
              FROM g JOIN m USING (tok) WHERE NOT g.is_train
              GROUP BY g.doc_id)
        SELECT l.doc_id, CAST(l.n_toks AS INTEGER) AS n_tokens,

@@ -96,14 +96,20 @@ object Skew {
 
   val qSaltedAgg: Q = Q(
     "q_salted_agg",
-    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    """SELECT o_orderpriority, count(*) AS n,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    // partial (salted) money sums accumulate in DECIMAL: exact at both
+    // levels, so the two-stage reduction is order-independent
     val salted = Tables.orders(s, d)
       .withColumn("__salt", pmod(xxhash64(col("o_orderkey")), lit(SaltBuckets)))
       .groupBy(col("o_orderpriority"), col("__salt"))
-      .agg(count(lit(1)).as("pn"), sum("o_totalprice").as("pt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("pt"))
     salted.groupBy("o_orderpriority")
-      .agg(sum("pn").as("n"), round(sum("pt"), 2).as("total"))
+      .agg(sum("pn").as("n"),
+        round(sum("pt"), 2).cast("double").as("total"))
       .orderBy("o_orderpriority")
   }
 

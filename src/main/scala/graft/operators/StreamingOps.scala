@@ -16,7 +16,8 @@ object StreamingOps {
     "q_stream_window",
     """SELECT CAST(ts AS DATE) AS day,
               CAST(extract(hour FROM ts) AS INTEGER) AS hr,
-              event_type, count(*) AS n, round(sum(value), 2) AS total_value
+              event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total_value
        FROM events
        GROUP BY 1, 2, 3
        ORDER BY day, hr, event_type""") { (s, d) =>
@@ -67,7 +68,8 @@ object StreamingOps {
               epoch_us(min(ts)) AS sess_start_us,
               epoch_us(max(ts)) + 1800000000 AS sess_end_us,
               CAST(count(*) AS BIGINT) AS n,
-              round(sum(value), 2) AS total_value
+              CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total_value
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, sess_start_us""") { (s, d) =>
     val result = Streams.runToMemory(
@@ -106,7 +108,8 @@ object StreamingOps {
     """SELECT CAST(ts AS DATE) AS day,
               CAST(extract(hour FROM ts) AS INTEGER) AS hr,
               c_mktsegment AS segment, count(*) AS n,
-              round(sum(value), 2) AS total_value
+              CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                AS total_value
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY 1, 2, 3
        ORDER BY day, hr, segment""") { (s, d) =>

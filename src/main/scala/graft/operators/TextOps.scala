@@ -61,17 +61,22 @@ object TextOps {
               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
               CAST(length(text) AS INTEGER) AS n_chars_measured,
-              round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
-                    / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+              CAST((20000 * length(replace(trim(text), ' ', ''))
+                    + len(regexp_split_to_array(trim(text), '\s+')))
+                   // (2 * len(regexp_split_to_array(trim(text), '\s+')))
+                   AS DOUBLE) / 10000 AS avg_token_len
        FROM documents
        ORDER BY doc_id""") { (s, d) =>
+    // integer ratios round half-up in pure integer arithmetic
+    // (ExactSum.intRatio): round(double, 4) resolves exact decimal ties
+    // differently across engines
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), profile(col("text")).as("__p"))
       .select(col("doc_id"),
         col("__p.n_tokens").as("n_tokens"),
         col("__p.n_bpe").as("n_bpe_tokens"),
         length(col("text")).as("n_chars_measured"),
-        round(col("__p.n_nonspace").cast("double") / col("__p.n_tokens"), 4)
+        ExactSum.intRatio(col("__p.n_nonspace"), col("__p.n_tokens"), 4)
           .as("avg_token_len"))
       .orderBy("doc_id")
   }
@@ -92,12 +97,17 @@ object TextOps {
                          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                   FROM documents)
        SELECT doc_id,
-              round(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
-                    / len(toks), 4) AS stopword_ratio,
-              round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
-                    / length(text), 4) AS punct_ratio,
-              round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                    / length(text), 4) AS digit_ratio,
+              CAST((20000 * len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+                    + len(toks)) // (2 * len(toks)) AS DOUBLE) / 10000
+                AS stopword_ratio,
+              CASE WHEN length(text) > 0 THEN
+                CAST((20000 * len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+                      + length(text)) // (2 * length(text)) AS DOUBLE) / 10000
+              END AS punct_ratio,
+              CASE WHEN length(text) > 0 THEN
+                CAST((20000 * len(regexp_extract_all(text, '[0-9]'))
+                      + length(text)) // (2 * length(text)) AS DOUBLE) / 10000
+              END AS digit_ratio,
               CASE WHEN len(toks) BETWEEN 10 AND 100000
                         AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
                             / length(text) < 0.1
@@ -105,13 +115,19 @@ object TextOps {
        FROM t
        ORDER BY doc_id""") { (s, d) =>
     val punctRatio = perCharRatio(col("__p.n_punct"))
+    // rounded ratios go through ExactSum.intRatio (integer half-up — see
+    // q_text_stats); the RAW punctRatio in `keep` compares identically on
+    // both engines (same doubles) and stays as is
+    def guarded(num: org.apache.spark.sql.Column) =
+      when(length(col("text")) > 0,
+        ExactSum.intRatio(num, length(col("text")), 4))
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), profile(col("text")).as("__p"))
       .select(col("doc_id"),
-        round(col("__p.s_en").cast("double") / col("__p.n_tokens"), 4)
+        ExactSum.intRatio(col("__p.s_en"), col("__p.n_tokens"), 4)
           .as("stopword_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(perCharRatio(col("__p.n_digit")), 4).as("digit_ratio"),
+        guarded(col("__p.n_punct")).as("punct_ratio"),
+        guarded(col("__p.n_digit")).as("digit_ratio"),
         (col("__p.n_tokens").between(10, 100000) && punctRatio < 0.1).as("keep"))
       .orderBy("doc_id")
   }
@@ -277,8 +293,8 @@ object TextOps {
        SELECT f.doc_id,
               round(-(CAST(sum(CAST(floor((k / CAST(n AS DOUBLE))
                                           * (ln(k / CAST(n AS DOUBLE)) / ln(2))
-                                          * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-                      / 1e9), 6)
+                                          * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1073741824), 6)
                 AS entropy
        FROM f JOIN t USING (doc_id)
        GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, d) =>
@@ -316,14 +332,18 @@ object TextOps {
                   FROM t),
             r AS (SELECT doc_id,
                          CAST(len(toks) AS INTEGER) AS n_tokens,
-                         round(1.0 - len(list_distinct(toks))
-                                     / CAST(len(toks) AS DOUBLE), 4) AS dup_token_ratio,
-                         round(len(list_filter(toks, x -> x = list_aggregate(toks, 'mode')))
-                               / CAST(len(toks) AS DOUBLE), 4) AS top_token_ratio,
+                         CAST((20000 * (len(toks) - len(list_distinct(toks)))
+                               + len(toks)) // (2 * len(toks)) AS DOUBLE) / 10000
+                           AS dup_token_ratio,
+                         CAST((20000 * len(list_filter(toks,
+                                             x -> x = list_aggregate(toks, 'mode')))
+                               + len(toks)) // (2 * len(toks)) AS DOUBLE) / 10000
+                           AS top_token_ratio,
                          CASE WHEN len(bigrams) = 0 THEN NULL
-                              ELSE round(len(list_filter(bigrams,
+                              ELSE CAST((20000 * len(list_filter(bigrams,
                                              x -> x = list_aggregate(bigrams, 'mode')))
-                                         / CAST(len(bigrams) AS DOUBLE), 4)
+                                         + len(bigrams)) // (2 * len(bigrams))
+                                        AS DOUBLE) / 10000
                               END AS top_bigram_ratio
                   FROM b)
        SELECT doc_id, n_tokens, dup_token_ratio, top_token_ratio, top_bigram_ratio,
@@ -337,12 +357,14 @@ object TextOps {
       .select(col("doc_id"), rep.as("__r"))
       .select(col("doc_id"),
         col("__r.n_tokens").as("n_tokens"),
-        round(lit(1.0) - col("__r.n_distinct") / col("__r.n_tokens").cast("double"), 4)
-          .as("dup_token_ratio"),
-        round(col("__r.top_token") / col("__r.n_tokens").cast("double"), 4)
+        // integer half-up ratios (ExactSum.intRatio): see q_text_stats
+        ExactSum.intRatio(col("__r.n_tokens") - col("__r.n_distinct"),
+          col("__r.n_tokens"), 4).as("dup_token_ratio"),
+        ExactSum.intRatio(col("__r.top_token"), col("__r.n_tokens"), 4)
           .as("top_token_ratio"),
         when(col("__r.n_bigrams") === 0, lit(null).cast("double"))
-          .otherwise(round(col("__r.top_bigram") / col("__r.n_bigrams").cast("double"), 4))
+          .otherwise(ExactSum.intRatio(col("__r.top_bigram"),
+            col("__r.n_bigrams"), 4))
           .as("top_bigram_ratio"))
       .withColumn("keep",
         col("top_token_ratio") <= 0.3 &&
@@ -377,8 +399,8 @@ object TextOps {
             n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM f),
             p AS (SELECT g.doc_id,
                          CAST(sum(g.k) AS INTEGER) AS n_tokens,
-                         CAST(sum(CAST(floor(g.k * ln(f.c / n.n) * 1e9 + 0.5)
-                                       AS BIGINT)) AS DOUBLE) / 1e9 AS lsum
+                         CAST(sum(CAST(floor(g.k * ln(f.c / n.n) * 1073741824 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) / 1073741824 AS lsum
                   FROM g JOIN f USING (tok) CROSS JOIN n
                   GROUP BY g.doc_id)
        SELECT doc_id, n_tokens,
@@ -435,8 +457,8 @@ object TextOps {
               round(CAST(sum(CAST(floor((sc.c / CAST(st.n AS DOUBLE))
                                         * ln((sc.c / CAST(st.n AS DOUBLE))
                                              / (g.gc / CAST(gt.gn AS DOUBLE)))
-                                        * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / 1e9, 4)
+                                        * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1073741824, 4)
                 AS kl_from_corpus
        FROM sc JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
        GROUP BY sc.source, st.n

@@ -27,25 +27,49 @@ object TypedOps {
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
+  /** Typed twin of [[ExactSum]] for money: each term is an exact 4-decimal
+    * value (2dp price × 2dp discount complement), quantized to a LONG in
+    * 1e-4 units and summed — bit-identical under any partial/merge order,
+    * equal to the oracle's literal integer-sum form. */
+  private def sumE4Of(f: LineItem => Double): Aggregator[LineItem, Long, Long] =
+    new Aggregator[LineItem, Long, Long] {
+      override def zero: Long = 0L
+      override def reduce(b: Long, a: LineItem): Long =
+        b + math.floor(f(a) * 1e4 + 0.5).toLong
+      override def merge(x: Long, y: Long): Long = x + y
+      override def finish(r: Long): Long = r
+      override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
   /** Typed grouped aggregation with custom Aggregators. */
   val qTypedAgg: Q = Q(
     "q_typed_agg",
     """SELECT l_returnflag,
               round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1e4 + 0.5) AS BIGINT)) + 50) // 100
+                   AS DOUBLE) / 100 AS revenue
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
     import s.implicits._
     val ds = Tables.lineitem(s, d)
       .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
       .as[LineItem]
+    // quantity sums integer-valued doubles (exact at any order); revenue
+    // sums exact 1e-4-unit longs (sumE4Of) and rounds to cents in pure
+    // INTEGER arithmetic ((S+50) div 100) — a 4-decimal sum sits on an
+    // exact .xx50 rounding tie about 1% of the time, and round(double, 2)
+    // resolves decimal ties differently across engines (revenue > 0 here,
+    // so half-up needs no sign handling)
     ds.groupByKey(_.l_returnflag)
       .agg(
         sumOf(_.l_quantity).toColumn.name("raw_qty"),
-        sumOf(li => li.l_extendedprice * (1 - li.l_discount)).toColumn.name("raw_rev"))
-      .toDF("l_returnflag", "raw_qty", "raw_rev")
+        sumE4Of(li => li.l_extendedprice * (1 - li.l_discount))
+          .toColumn.name("rev4"))
+      .toDF("l_returnflag", "raw_qty", "rev4")
       .select(col("l_returnflag"),
         round(col("raw_qty"), 2).as("sum_qty"),
-        round(col("raw_rev"), 2).as("revenue"))
+        (expr("(rev4 + 50) div 100").cast("double") / 100).as("revenue"))
       .orderBy("l_returnflag")
   }
 

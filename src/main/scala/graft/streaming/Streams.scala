@@ -93,7 +93,8 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(12,2)")), 2)
+        .cast("double").as("total_value"))
       .select(
         col("window.start").cast("date").as("day"),
         hour(col("window.start")).as("hr"),
@@ -118,7 +119,8 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(12,2)")), 2)
+        .cast("double").as("total_value"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("sess_start_us"),
         unix_micros(col("session_window.end")).as("sess_end_us"),
@@ -172,7 +174,8 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .join(broadcast(dim), events("user_id") === dim("c_custkey"))
       .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(12,2)")), 2)
+        .cast("double").as("total_value"))
       .select(
         col("window.start").cast("date").as("day"),
         hour(col("window.start")).as("hr"),
