@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -583,7 +583,17 @@ object TextOps {
        SELECT doc_id, round(score, 4) AS bm25
        FROM sc WHERE hits > 0
        ORDER BY round(score, 4) DESC, doc_id LIMIT 20""") { (s, d) =>
-    val queryTerms = Seq("vector", "join", "stream")
+    bm25Scores(s, d, Seq("vector", "join", "stream"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Per-document BM25 scores (rounded 4dp) for `queryTerms` — the scorer
+    * behind q_bm25_search, shared with the hybrid-retrieval fusion
+    * (Retrieval.qHybridSearch). One map-only corpus pass, single-row
+    * stats broadcast — see qBm25Search's scale note. */
+  private[operators] def bm25Scores(
+      s: SparkSession, d: String, queryTerms: Seq[String]): DataFrame = {
     val toks = tokens(lower(col("text")))
     // one corpus pass → per-doc length + per-term tf, all map-only codegen;
     // checkpointed because the stats aggregate and the scorer both read it
@@ -613,8 +623,6 @@ object TextOps {
       .filter(queryTerms.map(tm => col(s"f_$tm") > 0).reduce(_ || _))
       .select(col("doc_id"),
         round(queryTerms.map(term).reduce(_ + _), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** Adjacent symbol pairs of a symbol array, weighted later by word

@@ -406,4 +406,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!s.contains("Window"),
       s"argmax planned as a window over the pair frame:\n$s")
   }
+
+  test("hybrid search: both branches reach the fusion as bounded top-K lists") {
+    val s = executedPlan("q_hybrid_search")
+    // the sparse and dense candidate generators each cap via TakeOrdered
+    // (orderBy+limit) BEFORE their rank windows — the windows only ever
+    // see ≤100 rows, so the single-partition sort they imply is bounded
+    // by construction, not by corpus size
+    assert(s.contains("TakeOrderedAndProject"),
+      s"candidate branches did not plan as top-K:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"dense query vector not broadcast under the corpus scan:\n$s")
+  }
+
+  test("temperature mix never shuffles the corpus — histogram agg + broadcast thresholds") {
+    val s = executedPlan("q_temperature_mix")
+    assert(s.contains("BroadcastHashJoin [lang"),
+      s"per-lang thresholds not broadcast back onto the corpus:\n$s")
+    // the only hash exchanges allowed are the |langs|-row aggregations,
+    // never a corpus-wide repartition: every exchange must sit above an
+    // aggregate, which the partial_count marker pins
+    assert(s.contains("partial_count"),
+      s"lang histogram lost map-side combine:\n$s")
+  }
 }
