@@ -54,11 +54,12 @@ object Bench {
       val t1 = pass1(n)
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
-    // 3-decimal seconds keep the whole line ≈3.3 KB: the harness that
-    // records this output keeps only a ~4 KB tail, and nanosecond-precision
-    // doubles pushed the r5 line past it (recorded as unparseable).
+    // 2-decimal seconds keep the whole line ≈3.3 KB at 124 queries: the
+    // harness that records this output keeps only a ~4 KB tail, and
+    // nanosecond-precision doubles pushed the r5 line past it (recorded
+    // as unparseable).
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.all ++ Analytics.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ LakeOps.all ++ StreamingOps.all ++
       Sources.all ++ Skew.all ++ TypedOps.all ++ AsOf.all ++ Ranges.all ++
-      Pipeline.all ++ Selection.all ++ Retrieval.all
+      Pipeline.all ++ Selection.all ++ Retrieval.all ++ CorpusOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-shaped revenue/shipping-priority join-agg (SURVEY.md §7.1). */

@@ -56,14 +56,23 @@ object Pipeline {
          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
        SELECT id AS doc_id, min(root) AS group_id
        FROM reach GROUP BY id ORDER BY doc_id""") { (s, d) =>
-    // Components run on the REPRESENTATIVE graph (one node per distinct
-    // text): identical texts are J=1.0 near-dups of their rep and of
-    // everything it links to, so a member's component IS its rep's — and
-    // a duplicate-heavy corpus shrinks the propagation graph by the copy
-    // count instead of flooding it with intra-class cliques. Reps are the
-    // class-min doc_ids, so component labels (min rep id) equal the naive
-    // member-graph labels (min doc_id). Shingle-less duplicate classes
-    // never pair in the naive join — their members stay singletons.
+    dedupGroupsFrame(s, d).orderBy("doc_id")
+  }
+
+  /** (doc_id, group_id) near-dup component labels — the frame behind
+    * [[qDedupGroups]], shared with canonical-representative selection
+    * (CorpusOps.qDedupCanonical).
+    *
+    * Components run on the REPRESENTATIVE graph (one node per distinct
+    * text): identical texts are J=1.0 near-dups of their rep and of
+    * everything it links to, so a member's component IS its rep's — and
+    * a duplicate-heavy corpus shrinks the propagation graph by the copy
+    * count instead of flooding it with intra-class cliques. Reps are the
+    * class-min doc_ids, so component labels (min rep id) equal the naive
+    * member-graph labels (min doc_id). Shingle-less duplicate classes
+    * never pair in the naive join — their members stay singletons. */
+  private[operators] def dedupGroupsFrame(
+      s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val members = Dedup.dupClasses(docs)
     val (repPairs, shingledReps) = Dedup.repJaccardPairs(docs, members, 0.5)
@@ -82,7 +91,6 @@ object Pipeline {
       .select(col("doc_id"),
         when(col("__srep").isNotNull, coalesce(col("comp"), col("__rep")))
           .otherwise(col("doc_id")).as("group_id"))
-      .orderBy("doc_id")
   }
 
   /** Min-label propagation: comp(v) ← min(comp(v), min comp over v's

@@ -429,4 +429,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.contains("partial_count"),
       s"lang histogram lost map-side combine:\n$s")
   }
+
+  test("PMI bigrams: vocab sides broadcast, counts combine map-side, top-50 is top-K") {
+    val s = executedPlan("q_pmi_bigrams")
+    assert(s.contains("BroadcastHashJoin"),
+      s"unigram vocab not broadcast onto the bigram frame:\n$s")
+    assert(s.contains("partial_count"),
+      s"bigram counting lost map-side combine:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-50 planned as a global sort:\n$s")
+  }
+
+  test("heavy hitters: the recount aggregates only the candidate-filtered stream") {
+    val s = executedPlan("q_heavy_hitters")
+    // pass 2 must push the candidate membership below the aggregation —
+    // the exchange then carries candidate tokens only, never the vocab
+    assert(s.contains("partial_count"),
+      s"candidate recount lost map-side combine:\n$s")
+    assert(s.matches("(?s).*Filter.*w#\\d+ IN.*"),
+      s"candidate filter missing below the recount:\n$s")
+  }
 }
