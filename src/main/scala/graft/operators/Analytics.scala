@@ -490,9 +490,50 @@ object Analytics {
     a.unionAll(b).exceptAll(c).orderBy("n_nationkey")
   }
 
+  /** Time-RANGE window frame: each event's trailing-1-hour activity for
+    * its user — `RANGE BETWEEN 3600000000 µs PRECEDING AND CURRENT ROW`
+    * over integer epoch-micros, the sliding-window analytic ROWS frames
+    * can't express (the frame is defined by VALUE distance, not row
+    * count, so bursts widen it and gaps shrink it).
+    *
+    * Determinism: the frame key is exact integer micros on both engines
+    * (unix_micros ≡ epoch_us — Tables.events normalizes ns payloads the
+    * same way); RANGE includes all value-peers, so tie order within a
+    * timestamp cannot change the frame; and the framed sum is an
+    * ExactSum-quantized integer sum — order-independent inside the frame
+    * exactly as it is inside a groupBy.
+    *
+    * Scale design (100 TB): one hash exchange on user_id + a per-user
+    * spillable sort — the identical shape as every ROWS window here;
+    * Spark evaluates a trailing RANGE frame with two cursors over the
+    * sorted run (O(n) amortized, no per-row rescan). Skewed users would
+    * take the qSourceCap salting treatment; event time is naturally
+    * bounded per user so frames stay small. */
+  val qWindowRange: Q = Q(
+    "q_window_range",
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+              CAST(count(*) OVER w AS BIGINT) AS n_hour,
+              round(CAST(sum(CAST(floor(value * 1073741824 + 0.5) AS BIGINT))
+                         OVER w AS DOUBLE) / 1073741824, 2) AS hour_sum
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, ts_us, event_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_hour"),
+        round(ExactSum.value(sum(ExactSum.quantize(col("value"))).over(w)), 2)
+          .as("hour_sum"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     qOrderByLimit, qTopkCustomers, qWindowRank, qWindowRunning, qWindowLag,
     qSetOps, qRollup, qScalarFns, qDateFns, qJsonEvents, qPercentiles,
     qPercentilesTdigest, qPivot, qRevenueShare, qWindowDistribution, qFunnel,
-    qUnpivot, qSetOpsAll)
+    qUnpivot, qSetOpsAll, qWindowRange)
 }

@@ -285,6 +285,63 @@ object Retrieval {
       .orderBy("bucket")
   }
 
+  /** Inverted-index construction — the retrieval infrastructure BM25-at-
+    * scale runs on (q_bm25_search deliberately scores index-free in one
+    * pass; THIS op builds the index that makes point lookups cheap):
+    * per term, document frequency, corpus frequency, and the posting
+    * list of doc_ids — segmented by doc_id RANGE (width 128), the
+    * Lucene-style layout where each segment owns a contiguous id range.
+    *
+    * Range segmentation, not rank-chunking, is the scale decision: the
+    * segment key `doc_id div 128` is map-side computable, so posting
+    * lists build with ONE hash aggregate on (term, segment) and no
+    * per-term window — a rank-based chunking would funnel every posting
+    * of a term through one reducer sort, exactly the stop-word skew that
+    * kills index builds. Each aggregated list is bounded by the segment
+    * width regardless of how hot the term is; per-term totals (df/cf)
+    * re-aggregate from the vocabulary-sized frame. At 100 TB the same
+    * two aggregates run per partition-pruned segment group; a production
+    * build would also drop df-above-cap stop terms — the tiny synthetic
+    * vocabulary here keeps the full index oracle-checkable instead.
+    *
+    * Determinism: postings serialize as the comma-joined ASCENDING
+    * doc_id list (sort_array ≡ string_agg ORDER BY — exact strings,
+    * no floats anywhere in the query). */
+  val qInvertedIndex: Q = Q(
+    "q_inverted_index",
+    """WITH t AS (SELECT doc_id,
+                         unnest(list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '')) AS term
+                  FROM documents),
+       stats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+                 FROM t GROUP BY term),
+       p AS (SELECT DISTINCT term, doc_id FROM t)
+       SELECT p.term, CAST(doc_id // 128 AS INTEGER) AS segment,
+              CAST(min(s.df) AS BIGINT) AS df, CAST(min(s.cf) AS BIGINT) AS cf,
+              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       FROM p JOIN stats s USING (term)
+       GROUP BY 1, 2
+       ORDER BY term, segment""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(TextOps.tokens(lower(col("text"))), _ =!= lit("")))
+          .as("term"))
+    val stats = t.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+    t.select("term", "doc_id").distinct()
+      .withColumn("segment", (col("doc_id") / lit(128)).cast("int"))
+      .groupBy("term", "segment")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .join(broadcast(stats), "term")
+      .select(col("term"), col("segment"), col("df"), col("cf"),
+        col("postings"))
+      .orderBy("term", "segment")
+  }
+
   val all: Seq[Q] =
-    Seq(qHybridSearch, qTemperatureMix, qSourceCap, qLengthHistogram)
+    Seq(qHybridSearch, qTemperatureMix, qSourceCap, qLengthHistogram,
+      qInvertedIndex)
 }

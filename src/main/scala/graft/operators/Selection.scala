@@ -296,6 +296,55 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    * keep the 200 documents with the largest key u^(1/w) — equivalently
+    * the largest ln(u)/w, the monotone form computed here — where w is
+    * the document's weight (n_chars: prefer long documents) and u is a
+    * uniform draw. Each doc's inclusion probability is proportional to
+    * its weight among the not-yet-drawn rest, the exact semantics of
+    * sequential weighted draws — the curation step that downsamples a
+    * corpus while preserving its long-document mass.
+    *
+    * Determinism (no RNG): u is derived from the document identity —
+    * the first 48 bits of md5("ws:" ‖ doc_id) as a dyadic rational
+    * (v+1)/2^48 ∈ (0,1] — so the sample is a pure function of the corpus,
+    * reproducible across runs/engines/partitionings (the q_train_split
+    * argument). ln(u)/w is one fixed IEEE expression over exact inputs
+    * (the /2^48 is a power-of-two scale, exact in binary), so both
+    * engines compute the identical double and the top-200 cut is
+    * unambiguous — ln parity is the same pinned assumption BM25 carries.
+    *
+    * Scale design (100 TB): the key is map-only per row; top-200 is
+    * TakeOrdered (per-partition heaps → one 200-row driver merge), never
+    * a global sort. Changing the salt ("ws:") redraws the sample. */
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    """WITH k AS (SELECT doc_id, n_chars,
+                         ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                                  AS BIGINT) + 1) / 281474976710656.0) / n_chars AS raw
+                  FROM documents
+                  WHERE n_chars > 0)
+       SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+              round(raw, 6) AS es_key
+       FROM k ORDER BY raw DESC, doc_id LIMIT 200""") { (s, d) =>
+    // rank on the RAW key (bit-identical across engines), round only for
+    // display: a 6-dp rounding of keys this close to zero would tie huge
+    // runs of docs and hand the cut to the doc_id tiebreak instead of
+    // the actual ES order
+    val u48 = conv(
+      substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 12), 16, 10).cast("bigint")
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").as("weight"), u48.as("u48"))
+      .select(col("doc_id"), col("weight"),
+        (log((col("u48") + 1).cast("double") / lit(281474976710656.0)) /
+          col("weight")).as("raw"))
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(200)
+      .select(col("doc_id"), col("weight"), round(col("raw"), 6).as("es_key"))
+  }
+
   val all: Seq[Q] = Seq(qImportanceWeights, qPerplexityBuckets,
-    qQualityClassifier)
+    qQualityClassifier, qWeightedSample)
 }

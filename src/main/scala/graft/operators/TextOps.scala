@@ -732,8 +732,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram LM scoring — the next step up from the N8
+    * unigram LM (qUnigramLogprob) on the CCNet quality-filtering path:
+    * each document scores by the mean log of the Jelinek-Mercer mixture
+    * λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ), λ = 0.5, where P(wᵢ|wᵢ₋₁) is the MLE
+    * bigram probability c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) and P(wᵢ) the corpus unigram.
+    * The unigram back-off keeps every observed bigram's mixture strictly
+    * positive, so no extra smoothing floor is needed; word order now
+    * matters — a shuffled document scores like its unigram baseline, a
+    * fluent one above it.
+    *
+    * Determinism: counts are exact longs shared with the oracle; the
+    * mixture is ONE fixed IEEE parenthesization into ln (the pinned libm
+    * assumption), and the per-document reduction is an ExactSum of
+    * quantized k·ln(mix) terms — order-independent, engine-exact.
+    *
+    * Scale design (100 TB): one corpus pass builds the (doc, bigram)
+    * multiplicities (map-side combined like q_word_freq); the bigram and
+    * unigram models re-aggregate from vocabulary-sized frames and join
+    * back on the bigram/word keys — AQE broadcasts them while they fit
+    * and falls back to shuffle equi-joins at web-scale vocabularies; the
+    * total is a 1-row broadcast. A production variant caps the bigram
+    * table at top-V with the unigram floor as OOV mass; uncapped keeps
+    * this oracle-exact. */
+  val qBigramLm: Q = Q(
+    "q_bigram_lm",
+    """WITH t AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       u AS (SELECT unnest(toks) AS w FROM t),
+       uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u),
+       b AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS bg
+             FROM t WHERE len(toks) >= 2),
+       gb AS (SELECT doc_id, bg, count(*) AS k FROM b GROUP BY 1, 2),
+       bc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+       sc AS (SELECT gb.doc_id,
+                     CAST(sum(gb.k) AS INTEGER) AS n_bigrams,
+                     CAST(sum(CAST(floor(gb.k *
+                       ln(0.5 * (CAST(bc.cb AS DOUBLE) / CAST(ca.c AS DOUBLE))
+                        + 0.5 * (CAST(cw.c AS DOUBLE) / n.n))
+                       * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824
+                       AS lsum
+              FROM gb JOIN bc USING (bg)
+              JOIN uc ca ON ca.w = split_part(gb.bg, ' ', 1)
+              JOIN uc cw ON cw.w = split_part(gb.bg, ' ', 2)
+              CROSS JOIN n
+              GROUP BY gb.doc_id)
+       SELECT doc_id, n_bigrams, round(lsum / n_bigrams, 4) AS avg_logprob
+       FROM sc ORDER BY doc_id""") { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(count(lit(1)).cast("double").as("n"))
+    val b = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("bg"))
+    val gb = b.groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val bc = b.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val mix = log(lit(0.5) * (col("cb").cast("double") / col("ca").cast("double"))
+      + lit(0.5) * (col("cw").cast("double") / col("n")))
+    gb.join(bc, "bg")
+      .join(broadcast(uc.select(col("w").as("wa"), col("c").as("ca"))),
+        split_part(col("bg"), lit(" "), lit(1)) === col("wa"))
+      .join(broadcast(uc.select(col("w").as("wb"), col("c").as("cw"))),
+        split_part(col("bg"), lit(" "), lit(2)) === col("wb"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("int").as("n_bigrams"),
+        ExactSum.qsum(col("k") * mix).as("ls"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(ExactSum.value(col("ls")) / col("n_bigrams"), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
     qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob,
-    qSourceDivergence, qBpeMerges, qBm25Search, qBpeEncode)
+    qSourceDivergence, qBpeMerges, qBm25Search, qBpeEncode, qBigramLm)
 }

@@ -205,4 +205,32 @@ class CoverageSpec extends SparkSpec {
     val direct = spark.read.parquet(Paths.get(wh, "db", "p", "data").toString)
     assert(direct.count() == 3)
   }
+
+  test("q_window_range: trailing-hour RANGE frame matches a naive per-row witness") {
+    val out = graft.operators.Analytics.qWindowRange.fn(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == events.length, "one output row per event")
+    val byUser = events.groupBy(_._1)
+    // the quantized frame sum, reproduced term-by-term
+    def q(v: Double): Long = math.floor(v * 1073741824.0 + 0.5).toLong
+    out.foreach { r =>
+      val (u, ts) = (r.getLong(0), r.getLong(2))
+      val frame = byUser(u).filter(e => e._3 >= ts - 3600000000L && e._3 <= ts)
+      assert(r.getLong(3) == frame.length,
+        s"user $u @ $ts: n_hour ${r.getLong(3)} vs ${frame.length}")
+      val want = BigDecimal(frame.map(e => q(e._4)).sum.toDouble / 1073741824.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - want) < 1e-9,
+        s"user $u @ $ts: hour_sum ${r.getDouble(4)} vs $want")
+    }
+    // value-distance frames, not row-count ones: somewhere a frame must
+    // hold >1 event yet FEWER than the user's full history (a ROWS or
+    // UNBOUNDED frame could not produce that combination)
+    assert(out.exists(r => r.getLong(3) > 1 &&
+      r.getLong(3) < byUser(r.getLong(0)).length))
+  }
 }

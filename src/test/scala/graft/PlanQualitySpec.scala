@@ -449,4 +449,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.matches("(?s).*Filter.*w#\\d+ IN.*"),
       s"candidate filter missing below the recount:\n$s")
   }
+
+  test("weighted sample: map-only key + top-K, never a global sort") {
+    val s = executedPlan("q_weighted_sample")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-200 planned as a global sort:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"weighted sample range-shuffled the corpus:\n$s")
+  }
+
+  test("inverted index: one hash aggregate per segment, stats broadcast, no window") {
+    val s = executedPlan("q_inverted_index")
+    // the whole point of range segmentation: posting lists build without
+    // any per-term window (rank-chunking would sort every hot term's
+    // postings through one reducer)
+    assert(!s.contains("Window"),
+      s"inverted index fell back to a rank-chunking window:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"per-term stats not broadcast onto the postings frame:\n$s")
+  }
+
+  test("bigram LM: model sides broadcast, corpus aggregates map-side") {
+    val s = executedPlan("q_bigram_lm")
+    assert(s.contains("BroadcastHashJoin"),
+      s"LM model not broadcast onto the bigram frame:\n$s")
+    assert(s.contains("partial_count"),
+      s"bigram counting lost map-side combine:\n$s")
+  }
+
+  test("range window: one hash exchange on user_id, no global sort") {
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections —
+    // count exchanges in the final plan only
+    val s = executedPlan("q_window_range").split("== Initial Plan ==")(0)
+    assert(s.contains("Window"),
+      s"range frame lost its window operator:\n$s")
+    // exactly one hash exchange (user_id) before the final presentation
+    // sort — the frame itself never re-shuffles
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(s).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange for the user window, got $hashExchanges:\n$s")
+  }
 }

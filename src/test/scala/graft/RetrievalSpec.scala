@@ -111,4 +111,38 @@ class RetrievalSpec extends SparkSpec {
     val shares = rows.map(_.getDouble(3)).sum
     assert(math.abs(shares - 1.0) <= rows.length * 1e-4 + 1e-9)
   }
+
+  test("q_inverted_index: postings reconstruct the exact term-document matrix") {
+    val out = Retrieval.qInvertedIndex.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // independent witness index from the raw text
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val occurrences = docs.flatMap { case (id, t) =>
+      Option(t).toSeq.flatMap(
+        _.replaceAll("^ +| +$", "").toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).map(_ -> id))
+    }
+    val wantPostings = occurrences.distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val wantCf = occurrences.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // segment postings: ascending within segment, segment == doc_id/128,
+    // df/cf constant per term, concatenation across segments == full list
+    val byTerm = out.groupBy(_.getString(0))
+    assert(byTerm.keySet == wantPostings.keySet, "vocabulary mismatch")
+    byTerm.foreach { case (term, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val ids = sorted.flatMap(_.getString(4).split(",").map(_.toLong)).toSeq
+      assert(ids == wantPostings(term), s"$term postings $ids")
+      sorted.foreach { r =>
+        val seg = r.getInt(1)
+        r.getString(4).split(",").map(_.toLong).foreach { id =>
+          assert(id / 128 == seg, s"$term doc $id outside segment $seg")
+        }
+        assert(r.getLong(2) == wantPostings(term).length.toLong,
+          s"$term df ${r.getLong(2)}")
+        assert(r.getLong(3) == wantCf(term), s"$term cf ${r.getLong(3)}")
+      }
+    }
+  }
 }

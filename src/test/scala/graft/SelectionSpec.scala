@@ -120,4 +120,42 @@ class SelectionSpec extends SparkSpec {
     val b = Selection.qQualityClassifier.fn(spark, sf).collect()
     assert(a.sameElements(b))
   }
+
+  test("q_weighted_sample: exactly the top-200 Efraimidis-Spirakis keys, JDK-md5 witness") {
+    val out = Selection.qWeightedSample.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
+    // independent witness: JDK MessageDigest, not Spark's md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u48 = java.lang.Long.parseLong(hex, 16)
+      math.log((u48 + 1).toDouble / 281474976710656.0) / w
+    }
+    val want = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .take(math.min(200, docs.length))
+    assert(out.length == want.length)
+    out.zip(want).foreach { case (got, (id, w, k)) =>
+      assert(got.getLong(0) == id && got.getLong(1) == w,
+        s"sample row $got expected ($id, $w)")
+      // the engine displays round(raw, 6); half-ulp of that grid is 5e-7
+      assert(math.abs(got.getDouble(2) - k) <= 5.01e-7,
+        s"doc $id key ${got.getDouble(2)} vs $k")
+    }
+    // weighting bias: the ES key favors heavy docs, so the sampled mean
+    // weight must exceed the corpus mean weight
+    val sampleMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q_weighted_sample is deterministic across runs") {
+    val a = Selection.qWeightedSample.fn(spark, sf).collect()
+    val b = Selection.qWeightedSample.fn(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
 }

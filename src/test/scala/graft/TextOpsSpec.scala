@@ -392,4 +392,40 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(again.sameElements(out), "BPE train+encode not deterministic")
   }
+
+  test("q_bigram_lm matches a naive driver-side Jelinek-Mercer witness") {
+    val out = TextOps.qBigramLm.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // witness tokenizer: the q_unigram_logprob convention (space-trim,
+    // lowercase, split on runs of whitespace; fixtures have no exotic
+    // whitespace or NULLs — asserted, as the BPE witness pins)
+    def toks(t: String): Seq[String] = {
+      assert(t != null && t.trim == t.replaceAll("^ +| +$", ""))
+      t.trim.toLowerCase.split("\\s+").toSeq
+    }
+    val all = docs.map { case (id, t) => id -> toks(t) }
+    val uni = all.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = all.map(_._2.length).sum.toDouble
+    val bi = all.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    all.foreach { case (id, ts) =>
+      if (ts.length < 2) assert(!out.contains(id), s"doc $id has no bigrams")
+      else {
+        val terms = ts.zip(ts.drop(1)).map { case (a, b) =>
+          math.log(0.5 * (bi((a, b)).toDouble / uni(a)) + 0.5 * (uni(b) / n))
+        }
+        val (nb, avg) = out(id)
+        assert(nb == terms.length, s"doc $id n_bigrams $nb vs ${terms.length}")
+        assert(math.abs(avg - terms.sum / terms.length) < 5e-4,
+          s"doc $id avg_logprob $avg vs ${terms.sum / terms.length}")
+        // fluency sensitivity: mixture can't fall below the pure unigram
+        // floor ln(0.5·P(w)) for every position, and an observed bigram
+        // always lifts the term above that floor
+        terms.foreach(t => assert(t > math.log(0.5 / n)))
+      }
+    }
+  }
 }
