@@ -638,7 +638,162 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- product quantization (N37) ----
+
+  private val PqM = 16           // subspaces
+  private val PqSub = Dim / PqM  // dims per subspace
+  private val PqK = 16           // codewords per subspace
+  private val PqRefine = 100     // ADC candidate depth (10×k oversampling)
+
+  /** Deterministic Lloyd k-means under plain L2 — the PQ codebook
+    * objective (subvectors are NOT directions, so the spherical trainer
+    * above would be wrong here). Same determinism recipe: stride init,
+    * fixed iteration count, first-min-wins assignment, empty clusters
+    * drop. */
+  private def localKMeansL2(xs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(xs.nonEmpty, "k-means needs a non-empty training sample")
+    val dim = xs.head.length
+    val initStride = math.max(1, xs.length / k)
+    var cents: Array[Array[Double]] =
+      xs.indices.collect { case i if i % initStride == 0 => xs(i) }
+        .take(k).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cents.length) {
+          var s = 0.0
+          var t = 0
+          while (t < dim) { val d = x(t) - cents(j)(t); s += d * d; t += 1 }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += x(t); t += 1 }
+        counts(best) += 1
+      }
+      cents = sums.indices.collect { case j if counts(j) > 0 =>
+        sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    cents
+  }
+
+  /** PQ codebooks: for each of the M=16 subspaces, K=16 L2 centroids of
+    * the normalized training sample's 4-dim slice — trained driver-side
+    * over the same bounded stride sample as the IVF coarse quantizer
+    * (O(SampleCap·Dim) memory regardless of corpus size). */
+  private def trainPqCodebooks(e: DataFrame): Seq[Array[Array[Double]]] = {
+    val n = e.count()
+    val stride = math.max(1L, n / SampleCap)
+    val sample: Array[Array[Double]] = e
+      .filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id")
+      .limit(SampleCap)
+      .select(col("v"), col("nv"))
+      .collect()
+      .map { r =>
+        val nv = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / nv)
+      }
+    (0 until PqM).map { m =>
+      localKMeansL2(sample.map(_.slice(m * PqSub, (m + 1) * PqSub)),
+        PqK, LloydIters)
+    }
+  }
+
+  /** 1-based code of one subvector: argmin_k ‖x_m − c_k‖², computed as
+    * argmin(‖c_k‖² − 2⟨x_m, c_k⟩) — the ‖x_m‖² term is constant across k.
+    * First-min-wins (array_position) keeps encoding deterministic. */
+  private def pqCodeFor(book: Array[Array[Double]], sub: Column): Column = {
+    val costs = array(book.toIndexedSeq.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedlit(c.toSeq))
+    }: _*)
+    array_position(costs, array_min(costs)).cast("int")
+  }
+
+  /** Approximate k-NN via product quantization (Jégou et al. 2011) — the
+    * compression side of a FAISS-style IVFPQ index, complementing
+    * qKnnIvf's routing side:
+    *
+    *  1. TRAIN: M=16 codebooks of K=16 codewords each, L2 k-means per
+    *     4-dim subspace over the bounded driver sample (same recipe and
+    *     cost bound as the IVF trainer).
+    *  2. ENCODE: each corpus vector (normalized, so inner product =
+    *     cosine) maps to M 4-bit codes — a map-only projection, no
+    *     shuffle; at ingest this is a stored 8-byte column replacing the
+    *     256-byte vector, the 32× memory lever that lets a 100 TB corpus'
+    *     index live in RAM.
+    *  3. ADC SCORE: each query precomputes the M×K table of
+    *     ⟨q_m, c_{m,k}⟩ once (driver-trivial), then every corpus row
+    *     scores with M table lookups — no float dot products against the
+    *     corpus at all. cos(q, x) ≈ Σ_m table[m][code_m] because the
+    *     normalized vector is approximated by its codeword concatenation.
+    *  4. REFINE: exact cosine re-rank of the ADC top-100 only (10×k
+    *     oversampling) — the standard accuracy-recovery step; the full
+    *     vectors are touched for 100 rows per query, not the corpus.
+    *
+    * Approximate → no SQL oracle (float k-means training); SimilaritySpec
+    * pins recall vs q_knn_exact, encoding laws, and determinism. */
+  val qKnnPq: Q = Q.noOracle("q_knn_pq") { (s, d) =>
+    val e = emb(s, d)
+    val books = trainPqCodebooks(e)
+    // 2. encode: codes[m] = nearest codeword of the m-th 4-dim slice
+    val vn = transform(col("v"), _ / col("nv"))
+    val corpus = e
+      .withColumn("vn", vn)
+      .withColumn("codes", array((0 until PqM).map { m =>
+        pqCodeFor(books(m), slice(col("vn"), m * PqSub + 1, PqSub))
+      }: _*))
+      .drop("vn")
+    // 3. query-side ADC tables (5 queries × 16×16 doubles — driver-tiny)
+    val qRows = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("v"), col("nv")).collect()
+      .map { r =>
+        val nv = r.getDouble(2)
+        val q = r.getSeq[Double](1).toArray.map(_ / nv)
+        val tabs: Seq[Seq[Double]] = (0 until PqM).map { m =>
+          books(m).toIndexedSeq.map { c =>
+            var sum = 0.0
+            var t = 0
+            while (t < PqSub) { sum += q(m * PqSub + t) * c(t); t += 1 }
+            sum
+          }
+        }
+        (r.getLong(0), q.toSeq, tabs)
+      }
+    import s.implicits._
+    val qdf = qRows.toSeq.toDF("query_id", "qv", "tabs")
+      .withColumn("qn", norm(col("qv")))
+    // ADC score = M table lookups; fold order is fixed → deterministic
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc +
+        element_at(element_at(col("tabs"), m + 1),
+          element_at(col("codes"), m + 1)))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = corpus.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("nv"),
+        col("qv"), col("qn"), adc.as("adc"))
+      .withColumn("pr", row_number().over(wAdc))
+      .filter(col("pr") <= PqRefine)
+    // 4. exact re-rank of the bounded candidate set
+    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nv")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
     qKnnQuantized, qEmbeddingClusters, qSemanticDedup, qClusterSample,
-    qSemanticDecontaminate)
+    qSemanticDecontaminate, qKnnPq)
 }

@@ -272,4 +272,26 @@ class SimilaritySpec extends SparkSpec {
       assert(flagged == (sim >= 0.45), s"vec $id verdict")
     }
   }
+
+  // PQ quantizes 64 float dims to 16 4-bit codes (32× compression) and
+  // re-ranks the ADC top-100 exactly; on these noise-dominated embeddings
+  // that depth recovers most of the exact set (the same IVF-pin caveat).
+  test("PQ kNN recall@10 >= 0.8 vs exact kNN (16x16 codebooks, ADC + refine-100)") {
+    val exact = Similarity.qKnnExact.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.qKnnPq.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    assert(approx.forall { case (q, n) => q != n })
+    // a full, correctly-ranked top-10 per query
+    val perQuery = approx.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == 10), s"per-query counts: $perQuery")
+  }
+
+  test("PQ kNN is deterministic end-to-end (training included)") {
+    val a = Similarity.qKnnPq.fn(spark, sf).collect()
+    val b = Similarity.qKnnPq.fn(spark, sf).collect()
+    assert(a.sameElements(b), "PQ train+encode+search not deterministic")
+  }
 }
