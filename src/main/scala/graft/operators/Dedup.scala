@@ -528,8 +528,114 @@ object Dedup {
     cross.unionAll(intra).orderBy("id_a", "id_b")
   }
 
+  /** Prefix-filtered exact Jaccard pairs (PPJoin-family candidate
+    * generation, Bayardo et al. 2007 / Xiao et al. 2008) at threshold
+    * J ≥ 3/5, under exact-duplicate pre-collapse — the same output the
+    * naive shingle join produces, from a candidate set that is orders of
+    * magnitude smaller at high thresholds.
+    *
+    * Prefix filter: order every document's distinct shingles by global
+    * rarity (document frequency ascending, shingle string as the
+    * deterministic tie-break) and keep only the first
+    * n − ⌈t·n⌉ + 1 as the document's PREFIX. If J(x,y) ≥ t then
+    * |x∩y| ≥ ⌈t·max(|x|,|y|)⌉, and two sets whose overlap is ≥ α must
+    * share a token within their (n−α+1)-prefixes under any shared total
+    * order — so every qualifying pair collides on at least one prefix
+    * token and the equi-join on prefix tokens is LOSSLESS
+    * (PrefixJaccardSpec pins row-identity against ngramJaccardPairs).
+    * The length filter 5·min(nx,ny) ≥ 3·max(nx,ny) prunes candidates
+    * whose sizes alone cap Jaccard below t.
+    *
+    * All threshold arithmetic is integer (t = 3/5: ⌈3n/5⌉ = ⌊(3n+4)/5⌋;
+    * the final filter is 5i ≥ 3(nx+ny−i)) — no float boundary exists on
+    * either engine.
+    *
+    * Scale design (100 TB): the full shingle join at t = 0.05
+    * (q_ngram_jaccard) touches every co-occurring pair — at web scale,
+    * dominated by the df-heavy shingles. Here only PREFIX tokens join,
+    * and prefixes are by construction the RAREST ⌈2n/5⌉+1 shingles of
+    * each doc, so the join's key-frequency distribution collapses (the
+    * stop-shingle buckets that drive the shuffle never enter). The df
+    * table is a vocab-sized aggregate (the q_word_freq shape); the
+    * rarity sort is per-document over its own ≤n-entry array (one hash
+    * aggregate, no window); verification joins full shingle sets only
+    * for surviving candidates. */
+  val qPrefixJaccard: Q = Q(
+    "q_prefix_jaccard",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST((20000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))
+                   AS DOUBLE) / 10000 AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE 5 * i >= 3 * (sa.n + sb.n - i)
+       ORDER BY id_a, id_b""") { (s, d) =>
+    prefixJaccardPairs(Tables.documents(s, d)).orderBy("id_a", "id_b")
+  }
+
+  /** Engine behind q_prefix_jaccard, factored out so PrefixJaccardSpec can
+    * pin row-identity against the naive-candidate ngramJaccardPairs. */
+  private[operators] def prefixJaccardPairs(docs: DataFrame): DataFrame = {
+    val members = dupClasses(docs)
+    val repDocs = repDocsOf(docs, members)
+    val sh = docShingles(repDocs)
+    val sizes = repDocs.select(col("doc_id"), size(shingles(col("text"))).as("n"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // ⌈3n/5⌉ = ⌊(3n+4)/5⌋ in exact integer arithmetic ((3n+4) ≤ ~3e5 per
+    // doc, so the double division below floor() is exact to well past the
+    // integer boundary)
+    val ceil3n5 = floor((col("n") * 3 + lit(4)) / lit(5)).cast("int")
+    // per-doc prefix: sort the doc's own shingles rarest-first (struct
+    // sort: df, then shingle — total and deterministic), slice, re-explode.
+    // One hash aggregate per doc; no window, no global sort.
+    val prefix = sh.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        count(lit(1)).cast("int").as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ord"), lit(1), col("n") - ceil3n5 + 1)).as("p"))
+      .select(col("doc_id"), col("n"), col("p.shingle").as("shingle"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 5 >=
+            greatest(col("x.n"), col("y.n")) * 3)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // exact verification, restricted to candidates: count shared shingles
+    // by joining the candidate list back through the full shingle sets
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val union = col("sa.n") + col("sb.n") - col("i")
+    val repPairs = inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("i") * 5 >= union * 3)
+      .select(col("id_a"), col("id_b"),
+        ExactSum.intRatio(col("i"), union, 4).as("jaccard"))
+    expandDupPairs(members, repPairs,
+      intraReps = sizes.filter(col("n") > 0).select("doc_id"),
+      valueCol = "jaccard", intraValue = lit(1.0))
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
     qSimhash, qSimhashPairs, qNgramJaccard, qSubstringOverlap,
-    qEmbeddingNearDup)
+    qEmbeddingNearDup, qPrefixJaccard)
 }
