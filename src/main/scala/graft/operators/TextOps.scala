@@ -812,8 +812,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-n-gram fraction (the RefinedWeb / Gopher repetition filter's
+    * CORPUS-level sibling of q_repetition_profile's within-doc one): for
+    * each document, the share of its distinct word-3-gram shingles that
+    * also occur in at least one OTHER document (corpus document-frequency
+    * ≥ 2). High values mark boilerplate, templates and near-dup residue
+    * that survived exact dedup — the standard "cheap memorization risk"
+    * signal a curation pipeline thresholds on before training.
+    *
+    * Scale design (100 TB): the shingle explode collapses map-side into
+    * the distinct (doc, shingle) frame; df is the vocab-sized aggregate of
+    * it (the q_word_freq shape); the join back shuffles on the shingle key
+    * once and the per-doc fraction is a map-side-combinable count pair.
+    * Linear end to end, no pair joins, no windows — this is the filter you
+    * can afford on every document where the pair-listing forms
+    * (q_ngram_jaccard / q_prefix_jaccard) are reporting tools. The
+    * fraction is an integer ratio (ExactSum.intRatio) — no float anywhere. */
+  val qDupNgramFraction: Q = Q(
+    "q_dup_ngram_fraction",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+       agg AS (SELECT doc_id, count(*) AS n,
+                      sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup
+               FROM sh JOIN df USING (shingle) GROUP BY doc_id)
+       SELECT doc_id, CAST(n AS INTEGER) AS n_shingles,
+              CAST((20000 * dup + n) // (2 * n) AS DOUBLE) / 10000
+                AS dup_fraction
+       FROM agg ORDER BY doc_id""") { (s, d) =>
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      explode(Dedup.shingles(col("text"))).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+    sh.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup"))
+      .select(col("doc_id"), col("n").cast("int").as("n_shingles"),
+        ExactSum.intRatio(col("dup"), col("n"), 4).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTextQuality, qLangGuess, qFingerprint, qWinnowFingerprint,
     qWordFreq, qCharEntropy, qRepetitionProfile, qUnigramLogprob,
-    qSourceDivergence, qBpeMerges, qBm25Search, qBpeEncode, qBigramLm)
+    qSourceDivergence, qBpeMerges, qBm25Search, qBpeEncode, qBigramLm,
+    qDupNgramFraction)
 }

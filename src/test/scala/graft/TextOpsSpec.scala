@@ -428,4 +428,32 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_dup_ngram_fraction matches a naive driver-side witness") {
+    val out = TextOps.qDupNgramFraction.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def shingleSet(t: String): Set[String] = {
+      assert(t != null && t.trim == t.replaceAll("^ +| +$", ""))
+      val ts = t.trim.toLowerCase.split("\\s+").toSeq
+      (0 to ts.length - 3).map(i => ts.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+    val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    sets.foreach { case (id, s) =>
+      if (s.isEmpty) assert(!out.contains(id), s"shingle-less doc $id present")
+      else {
+        val dup = s.count(df(_) >= 2).toLong
+        // the engine's integer half-up ratio, replicated exactly
+        val frac = ((20000L * dup + s.size) / (2L * s.size)).toDouble / 10000
+        val (n, f) = out(id)
+        assert(n == s.size, s"doc $id n_shingles $n vs ${s.size}")
+        assert(f == frac, s"doc $id dup_fraction $f vs $frac")
+      }
+    }
+    // the signal discriminates on this corpus: both repeated and novel
+    // shingle mass exist, so the fractions are not all equal
+    assert(out.values.map(_._2).toSet.size > 1)
+  }
 }
