@@ -634,8 +634,101 @@ object Dedup {
       valueCol = "jaccard", intraValue = lit(1.0))
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995 —
+    * the record-linkage classic): sort documents by a normalized text
+    * prefix inside (language, key-block) blocks and score each document
+    * against its next w−1=3 neighbors in that order with exact 3-gram
+    * Jaccard. A third candidate-generation PARADIGM next to the hash
+    * family (exact/fingerprint) and the banding family (MinHash / SimHash
+    * / prefix filter): sort-based blocking, which catches shared-prefix
+    * boilerplate and ordered exports that hash bands treat as unrelated.
+    * Misses across block boundaries are the method's documented contract
+    * (that's what blocking means), traded for a fixed w·n candidate count.
+    *
+    * Scale design (100 TB): the window partitions by (lang, 4-char key
+    * block) — thousands of bounded partitions, never a global sort; each
+    * emits w−1 struct-lead neighbors map-side. The Jaccard score is
+    * per-row array arithmetic on the paired shingle sets (no join at
+    * all): candidates are O(w·n) rows total, so the whole operator is one
+    * hash exchange + one per-partition sort. The fraction is an integer
+    * ratio (ExactSum.intRatio); ties inside a block order by doc_id, so
+    * the neighborhood — and thus the output — is engine-exact. */
+  val qSnmPairs: Q = Q(
+    "q_snm_pairs",
+    """WITH t AS (SELECT doc_id, lang,
+                         coalesce(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 32), '') AS k,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT doc_id, count(DISTINCT shingle) AS n FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+                FROM t) GROUP BY doc_id),
+       shd AS (SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+                FROM t)),
+       r AS (SELECT doc_id, lang, substr(k, 1, 4) AS blk, k,
+                    row_number() OVER (PARTITION BY lang, substr(k, 1, 4)
+                                       ORDER BY k, doc_id) AS rn
+             FROM t),
+       cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+                FROM r a JOIN r b
+                  ON a.lang = b.lang AND a.blk = b.blk
+                 AND b.rn - a.rn BETWEEN 1 AND 3),
+       inter AS (SELECT c.da, c.db, count(*) AS i
+                 FROM cand c
+                 JOIN shd x ON x.doc_id = c.da
+                 JOIN shd y ON y.doc_id = c.db AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+       scored AS (SELECT c.da, c.db,
+                         coalesce(i.i, 0) AS i,
+                         coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0) AS u
+                  FROM cand c
+                  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+                  LEFT JOIN sh sa ON sa.doc_id = c.da
+                  LEFT JOIN sh sb ON sb.doc_id = c.db)
+       SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+              CAST((20000 * i + u) // (2 * u) AS DOUBLE) / 10000 AS jaccard
+       FROM scored WHERE u > 0
+       ORDER BY id_a, id_b""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val nt = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    // shingle-less (or NULL) texts carry an EMPTY set, not NULL: they must
+    // stay in the sort order and pair with neighbors at J = 0 exactly as
+    // the oracle's coalesce(n, 0) does
+    // NULL text → key '' (not NULL): Spark default-sorts NULLs first and
+    // DuckDB last, so a NULL key would silently diverge the neighborhoods
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      coalesce(substring(nt, 1, 32), lit("")).as("k"),
+      coalesce(shingles(col("text")), array().cast("array<string>")).as("sh"))
+      .withColumn("blk", substring(col("k"), 1, 4))
+    val w = Window.partitionBy("lang", "blk").orderBy(col("k"), col("doc_id"))
+    val me = struct(col("doc_id").as("id"), col("sh").as("sh"))
+    // window exprs first (not legal inside explode), then the explode
+    val pairs = base
+      .select(col("doc_id").as("da") +: col("sh").as("sa") +:
+        (1 to 3).map(j => lead(me, j).over(w).as(s"n$j")): _*)
+      .select(col("da"), col("sa"),
+        explode(array(col("n1"), col("n2"), col("n3"))).as("nb"))
+      .filter(col("nb.id").isNotNull)
+      .select(col("da"), col("nb.id").as("db"),
+        col("sa"), col("nb.sh").as("sb"))
+    val i = size(array_intersect(col("sa"), col("sb")))
+    val u = size(col("sa")) + size(col("sb")) - i
+    pairs
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), i.as("i"), u.as("u"))
+      .filter(col("u") > 0)
+      .select(col("id_a"), col("id_b"),
+        ExactSum.intRatio(col("i"), col("u"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
     qSimhash, qSimhashPairs, qNgramJaccard, qSubstringOverlap,
-    qEmbeddingNearDup, qPrefixJaccard)
+    qEmbeddingNearDup, qPrefixJaccard, qSnmPairs)
 }
