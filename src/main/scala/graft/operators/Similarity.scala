@@ -793,7 +793,97 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF-PQ k-NN — the two halves composed into the index shape production
+    * vector search actually deploys (FAISS IVFPQ): qKnnIvf's coarse
+    * routing bounds WHICH rows are scored, qKnnPq's ADC bounds WHAT
+    * scoring a row costs.
+    *
+    *  1. TRAIN both quantizers on the same bounded driver sample (coarse:
+    *     32 spherical centroids; fine: 16×16 L2 codebooks).
+    *  2. ENCODE the corpus map-only: list_id (argmax centroid sim) + M=16
+    *     4-bit codes — together ~9 bytes of index state per vector, the
+    *     representation that lets a 100 TB corpus' index live in memory.
+    *  3. QUERY prep is driver-side and tiny: each query's NProbe=24 probe
+    *     lists (same (−sim, list) order as qKnnIvf) and its M×K ADC table.
+    *  4. SCORE: corpus ⋈ broadcast(probes) on list_id — only probed-list
+    *     rows are touched — and each candidate costs M table LOOKUPS, no
+    *     dot product. Top-100 ADC per query, then exact cosine re-rank of
+    *     those 100 — full vectors touched for 100 rows per query.
+    *
+    * The cost model vs the parents: qKnnIvf pays an exact dot product per
+    * probed row; qKnnPq pays ADC per CORPUS row. IVFPQ pays ADC per probed
+    * row — strictly the cheapest of the family on both axes, which is why
+    * it is the default at billion-vector scale. Approximate → no SQL
+    * oracle; SimilaritySpec pins recall@10 vs q_knn_exact, the full-top-10
+    * shape, and end-to-end determinism (fixed sample, first-win argmins,
+    * (adc, vec_id) and (sim, vec_id) total orders). */
+  val qKnnIvfPq: Q = Q.noOracle("q_knn_ivfpq") { (s, d) =>
+    val e = emb(s, d)
+    val cents = trainCentroids(e)
+    val books = trainPqCodebooks(e)
+    // 2. encode: coarse list + PQ codes, one map-only pass
+    val centSims = centSimsFor(cents)
+    val corpus = e
+      .withColumn("list_id", array_position(centSims, array_max(centSims)))
+      .withColumn("vn", transform(col("v"), _ / col("nv")))
+      .withColumn("codes", array((0 until PqM).map { m =>
+        pqCodeFor(books(m), slice(col("vn"), m * PqSub + 1, PqSub))
+      }: _*))
+      .drop("vn")
+    // 3. query prep (driver-tiny): normalized q, probe lists, ADC table
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("v"), col("nv")).collect()
+      .map { r =>
+        val nv = r.getDouble(2)
+        val q = r.getSeq[Double](1).toArray.map(_ / nv)
+        val sims = cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+          val cn = math.sqrt(cv.map(x => x * x).sum)
+          var sum = 0.0
+          var t = 0
+          while (t < q.length) { sum += q(t) * cv(t); t += 1 }
+          (sum / cn, (i + 1).toLong)
+        }
+        val probes = sims.sortBy { case (sim, lid) => (-sim, lid) }
+          .take(NProbe).map(_._2)
+        val tabs: Seq[Seq[Double]] = (0 until PqM).map { m =>
+          books(m).toIndexedSeq.map { c =>
+            var sum = 0.0
+            var t = 0
+            while (t < PqSub) { sum += q(m * PqSub + t) * c(t); t += 1 }
+            sum
+          }
+        }
+        (r.getLong(0), q.toSeq, probes, tabs)
+      }
+    import s.implicits._
+    val qdf = qRows.toSeq.toDF("query_id", "qv", "probe", "tabs")
+      .select(col("query_id"), col("qv"), col("tabs"),
+        explode(col("probe")).as("list_id"))
+    // 4. ADC inside probed lists only, then exact re-rank of the top-100
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc +
+        element_at(element_at(col("tabs"), m + 1),
+          element_at(col("codes"), m + 1)))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = corpus.join(broadcast(qdf),
+        corpus("list_id") === qdf("list_id") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("nv"),
+        col("qv"), adc.as("adc"))
+      .withColumn("pr", row_number().over(wAdc))
+      .filter(col("pr") <= PqRefine)
+    val sim = round(dot(col("qv"), col("v")) / col("nv"), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
     qKnnQuantized, qEmbeddingClusters, qSemanticDedup, qClusterSample,
-    qSemanticDecontaminate, qKnnPq)
+    qSemanticDecontaminate, qKnnPq, qKnnIvfPq)
 }

@@ -76,6 +76,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF-PQ kNN recall@10 >= 0.7 vs exact kNN, full top-10, deterministic") {
+    val exact = Similarity.qKnnExact.fn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val out = Similarity.qKnnIvfPq.fn(spark, sf).collect()
+    val approx = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // composes BOTH approximations (routing loss x code loss), so the pin
+    // sits below the parents' individual 0.9/0.8 pins
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+    assert(approx.forall { case (q, n) => q != n })
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 10), s"per-query: ${perQuery.toMap}")
+    val again = Similarity.qKnnIvfPq.fn(spark, sf).collect()
+    assert(out.sameElements(again))
+  }
+
   test("knn results are deterministic") {
     val a = Similarity.qKnnExact.fn(spark, sf).collect()
     val b = Similarity.qKnnExact.fn(spark, sf).collect()
