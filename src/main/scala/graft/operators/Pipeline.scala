@@ -59,6 +59,19 @@ object Pipeline {
     dedupGroupsFrame(s, d).orderBy("doc_id")
   }
 
+  /** q_dedup_groups computed with [[connectedComponentsStar]] instead of
+    * min-label propagation — same contract, same recursive-CTE oracle, so
+    * the star algorithm's labels are independently hash-checked against
+    * DuckDB (and StarCcSpec pins them equal to the propagation twin on
+    * adversarial graph shapes). Propagation pays one shuffle round per
+    * component DIAMETER; star contraction pays O(log n) rounds on any
+    * shape — this is the form that survives duplicate chains at 100 TB. */
+  val qDedupGroupsStar: Q = Q(
+    "q_dedup_groups_star",
+    qDedupGroups.oracle.get) { (s, d) =>
+    dedupGroupsFrame(s, d, star = true).orderBy("doc_id")
+  }
+
   /** (doc_id, group_id) near-dup component labels — the frame behind
     * [[qDedupGroups]], shared with canonical-representative selection
     * (CorpusOps.qDedupCanonical).
@@ -72,7 +85,7 @@ object Pipeline {
     * member-graph labels (min doc_id). Shingle-less duplicate classes
     * never pair in the naive join — their members stay singletons. */
   private[operators] def dedupGroupsFrame(
-      s: SparkSession, d: String): DataFrame = {
+      s: SparkSession, d: String, star: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     val members = Dedup.dupClasses(docs)
     val (repPairs, shingledReps) = Dedup.repJaccardPairs(docs, members, 0.5)
@@ -80,9 +93,11 @@ object Pipeline {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // edges are reused every round; cut the 3-join lineage
-    val repComps = connectedComponents(s,
-      members.filter(col("doc_id") === col("__rep"))
-        .select(col("doc_id").as("id")), edges)
+    val repNodes = members.filter(col("doc_id") === col("__rep"))
+      .select(col("doc_id").as("id"))
+    val repComps =
+      if (star) connectedComponentsStar(s, repNodes, edges)._1
+      else connectedComponents(s, repNodes, edges)
     members
       .join(repComps.withColumnRenamed("id", "__cid"),
         col("__rep") === col("__cid"), "left")
@@ -130,6 +145,73 @@ object Pipeline {
       s"connected components did not converge in $maxIter rounds")
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the 100 TB twin of
+    * [[connectedComponents]]: min-label propagation needs one round per
+    * graph DIAMETER (a duplicate CHAIN — doc A near-dups B near-dups C … —
+    * makes that O(n) shuffles), while star contraction rewires every node
+    * toward its neighborhood minimum and converges in O(log n) rounds on
+    * any graph (StarCcSpec measures ≤5 rounds on a 64-node path where
+    * propagation needs 63).
+    *
+    * One round = large-star (every node points its LARGER neighbors at its
+    * neighborhood min — two hash aggregates over the symmetric edge list)
+    * then small-star (every node's smaller neighbors and itself contract
+    * onto the min — one aggregate over the larger-endpoint orientation).
+    * Each is a groupBy on node id: no windows, no driver state, edge count
+    * never grows beyond the input's, and AQE's skew handling covers the
+    * high-degree hubs dup-heavy corpora produce. Fixpoint = the canonical
+    * edge set stops changing; the final forest is exactly star edges
+    * (component-min → member), so labels read off with one aggregate.
+    * Returns (labels, rounds); fails loudly on non-convergence like the
+    * propagation twin. */
+  private[operators] def connectedComponentsStar(
+      s: SparkSession, nodes: DataFrame, edges0: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    var edges = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: u's neighborhood min m = min(Γ(u) ∪ {u}); every
+      // neighbor v > u re-points to m
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // m ≤ u < v, so (v, m) is never a self-loop
+      val large = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .distinct()
+      // small-star: orient by the larger endpoint u (canonical b); its
+      // smaller neighbors N all contract onto m = min(N), and u follows
+      val byLarger = large.select(col("b").as("u"), col("a").as("v"))
+      val ssMin = byLarger.groupBy("u").agg(min("v").as("m"))
+      val small = byLarger.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(ssMin.select(col("m").as("a"), col("u").as("b")))
+        .distinct().localCheckpoint()
+      converged = small.exceptAll(edges).isEmpty &&
+        edges.exceptAll(small).isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"star connected components did not converge in $maxIter rounds")
+    // fixpoint is a star forest: a = component min, b = member
+    val labels = edges.select(col("b").as("id"), col("a").as("comp"))
+      .unionAll(edges.select(col("a").as("id"), col("a").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    (nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp")), iter)
   }
 
   /** TF-IDF term weights: term frequency per doc × log(N/df). Tokens are
@@ -612,7 +694,7 @@ object Pipeline {
       .orderBy("shard", "pos")
   }
 
-  val all: Seq[Q] = Seq(qDedupGroups, qTfidf, qCube, qTrainSplit, qPiiRedact,
+  val all: Seq[Q] = Seq(qDedupGroups, qDedupGroupsStar, qTfidf, qCube, qTrainSplit, qPiiRedact,
     qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
     qSequencePack, qTokenBudget, qGroupSplit, qEpochShuffle)
 }
