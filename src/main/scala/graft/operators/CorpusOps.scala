@@ -202,7 +202,67 @@ object CorpusOps {
       .orderBy(col("n_tok").desc, col("token"))
   }
 
-  val all: Seq[Q] = Seq(qDedupCanonical, qPmiBigrams, qHeavyHitters)
+  /** Zipf power-law fit of the corpus token-frequency distribution: OLS of
+    * ln(frequency) on ln(rank) over the full vocabulary — slope ≈ −1 is
+    * the healthy-natural-text signature; a flat slope marks templated /
+    * machine-generated corpora and a cliff marks boilerplate floods. The
+    * single-row (vocab, slope, intercept) output is the corpus-health
+    * gauge a curation pipeline tracks across ingest batches.
+    *
+    * Determinism: rank is a total order (count desc, token asc); x = ln
+    * rank and y = ln count are single IEEE expressions over exact
+    * integers, and all four regression sums are ExactSum-quantized
+    * integer sums — order-independent and bit-identical across engines.
+    * The closed-form slope/intercept then divide identical doubles.
+    *
+    * Scale design (100 TB): everything after the map-side-combining token
+    * count is VOCABULARY-sized (Heaps' law: ≪ corpus). The rank window is
+    * a single vocab-sized sort — the deliberate exact test-scale choice;
+    * at extreme vocabularies the production twin ranks only the
+    * q_heavy_hitters top-K and fits the head, which is where the Zipf
+    * diagnostic lives anyway. */
+  val qZipfFit: Q = Q(
+    "q_zipf_fit",
+    """WITH u AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                  FROM documents),
+       f AS (SELECT tok, count(*) AS c FROM u WHERE tok <> '' GROUP BY tok),
+       r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM f),
+       t AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+       s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(sum(CAST(floor(x * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824 AS sx,
+                    CAST(sum(CAST(floor(y * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824 AS sy,
+                    CAST(sum(CAST(floor(x * y * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824 AS sxy,
+                    CAST(sum(CAST(floor(x * x * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824 AS sxx
+             FROM t)
+       SELECT CAST(n AS INTEGER) AS vocab,
+              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+                AS intercept
+       FROM s""") { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val rk = row_number().over(Window.orderBy(col("c").desc, col("tok")))
+    val t = f.select(col("c"), rk.as("rk"))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val su = t.agg(
+      count(lit(1)).cast("double").as("n"),
+      ExactSum.qsum(col("x")).as("qx"), ExactSum.qsum(col("y")).as("qy"),
+      ExactSum.qsum(col("x") * col("y")).as("qxy"),
+      ExactSum.qsum(col("x") * col("x")).as("qxx"))
+      .select(col("n"), ExactSum.value(col("qx")).as("sx"),
+        ExactSum.value(col("qy")).as("sy"),
+        ExactSum.value(col("qxy")).as("sxy"),
+        ExactSum.value(col("qxx")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    su.select(col("n").cast("int").as("vocab"),
+      round(slope, 4).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+  }
+
+  val all: Seq[Q] = Seq(qDedupCanonical, qPmiBigrams, qHeavyHitters, qZipfFit)
 }
 
 /** Misra-Gries frequent-items sketch as a Spark `Aggregator`, usable via

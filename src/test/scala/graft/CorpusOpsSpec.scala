@@ -140,4 +140,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == want,
       s"two-pass result diverges from exact heavy hitters")
   }
+
+  test("q_zipf_fit matches a naive driver-side OLS witness") {
+    val Array(row) = CorpusOps.qZipfFit.fn(spark, sf).collect()
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => tokensOf(r.getString(0)))
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val pts = freq.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(row.getInt(0) == pts.length)
+    assert(math.abs(row.getDouble(1) - slope) < 5e-4,
+      s"slope ${row.getDouble(1)} vs $slope")
+    assert(math.abs(row.getDouble(2) - icept) < 5e-4,
+      s"intercept ${row.getDouble(2)} vs $icept")
+    // on any real token distribution the fit is decreasing
+    assert(row.getDouble(1) < 0.0)
+  }
 }
