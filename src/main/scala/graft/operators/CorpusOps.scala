@@ -262,7 +262,47 @@ object CorpusOps {
       round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
 
-  val all: Seq[Q] = Seq(qDedupCanonical, qPmiBigrams, qHeavyHitters, qZipfFit)
+  /** Per-source duplication report — the dedup ACCOUNTING view a curation
+    * dashboard tracks per ingest batch: document count, distinct
+    * normalized texts, duplicate count/rate and the largest duplicate
+    * class, per source. Uses exactly q_dedup_fingerprint's normalization
+    * (md5 of the whitespace-collapsed lowercase text) so the numbers
+    * reconcile with the dedup operators; GROUP BY treats the NULL-text
+    * fingerprint as one class on both engines.
+    *
+    * Scale design (100 TB): one map-side-combining aggregate to the
+    * (source, fingerprint) classes, one source-sized rollup — the whole
+    * report is two hash aggregates, no joins, no windows. */
+  val qDupRateReport: Q = Q(
+    "q_dup_rate_report",
+    """WITH f AS (SELECT source,
+                         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+                  FROM documents),
+       g AS (SELECT source, fp, count(*) AS k FROM f GROUP BY 1, 2)
+       SELECT source,
+              CAST(sum(k) AS BIGINT) AS docs,
+              CAST(count(*) AS BIGINT) AS distinct_texts,
+              CAST(sum(k) - count(*) AS BIGINT) AS dup_docs,
+              CAST((20000 * (sum(k) - count(*)) + sum(k)) // (2 * sum(k))
+                   AS DOUBLE) / 10000 AS dup_rate,
+              CAST(max(k) AS BIGINT) AS max_class
+       FROM g GROUP BY source ORDER BY source""") { (s, d) =>
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("source"), fp.as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("k"))
+      .groupBy("source")
+      .agg(sum("k").as("docs"),
+        count(lit(1)).as("distinct_texts"),
+        (sum("k") - count(lit(1))).as("dup_docs"),
+        ExactSum.intRatio(sum("k") - count(lit(1)), sum("k"), 4)
+          .as("dup_rate"),
+        max("k").as("max_class"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(qDedupCanonical, qPmiBigrams, qHeavyHitters, qZipfFit,
+    qDupRateReport)
 }
 
 /** Misra-Gries frequent-items sketch as a Spark `Aggregator`, usable via

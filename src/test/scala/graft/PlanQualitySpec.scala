@@ -490,4 +490,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"expected 1 hash exchange for the user window, got $hashExchanges:\n$s")
   }
+
+  test("SNM candidates pair via window leads — NO join anywhere") {
+    // the whole point of sorted-neighborhood blocking: candidates come
+    // from adjacency in a sorted window, never from a pair join
+    val p = plan("q_snm_pairs")
+    assert(!p.contains("Join"), s"SNM plan grew a join:\n$p")
+    assert(p.contains("Window"), "SNM lost its neighborhood window")
+  }
+
+  test("prefix Jaccard builds prefixes with aggregates, not windows") {
+    val p = plan("q_prefix_jaccard")
+    assert(!p.contains("Window"),
+      s"prefix selection should be a per-doc aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "prefix join degraded to cartesian")
+  }
+
+  test("dup-ngram fraction: partial+final aggregation, no cartesian") {
+    val p = plan("q_dup_ngram_fraction")
+    assert(p.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
+      s"df aggregate lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dup-rate report is two hash aggregates — no joins, no windows") {
+    val p = plan("q_dup_rate_report")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"dup-rate report should be pure aggregation:\n$p")
+    assert(p.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
+      "report lost map-side combine")
+  }
+
+  test("zipf fit: one vocab-sized window, no joins") {
+    val p = plan("q_zipf_fit")
+    assert(!p.contains("Join"), s"zipf fit grew a join:\n$p")
+    assert(p.contains("Window"), "zipf fit lost its rank window")
+  }
 }
