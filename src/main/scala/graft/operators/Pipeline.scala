@@ -72,6 +72,56 @@ object Pipeline {
     dedupGroupsFrame(s, d, star = true).orderBy("doc_id")
   }
 
+  /** Curriculum ordering — the ORDERED counterpart of q_epoch_shuffle:
+    * rank each source's documents easy→hard (ascending word count, doc_id
+    * tiebreak — swap in any difficulty score) and interleave sources
+    * round-robin so no source clumps: global position = (rank−1)·S + the
+    * source's dense index. Training loaders read in `position` order and
+    * get a difficulty ramp that cycles through every source each step —
+    * curriculum learning's standard schedule, deterministic across
+    * runs/engines/partitionings (no RNG anywhere).
+    *
+    * Scale design (100 TB): one window per source (source-sized sorted
+    * partitions — the q_epoch_shuffle shard shape; heavy sources
+    * range-sort within the partition, never globally), and the interleave
+    * position is a pure FORMULA over (rank, source index) — no global
+    * window, no second shuffle. The source index comes from a tiny
+    * sorted-distinct broadcast. */
+  val qCurriculumOrder: Q = Q(
+    "q_curriculum_order",
+    """WITH s AS (SELECT source,
+                         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx,
+                         CAST(count(*) OVER () AS BIGINT) AS ns
+                  FROM (SELECT DISTINCT source FROM documents)),
+       r AS (SELECT d.doc_id, d.source,
+                    CAST(coalesce(len(regexp_split_to_array(trim(lower(d.text)), '\s+')), 0)
+                         AS BIGINT) AS n_words,
+                    CAST(row_number() OVER (PARTITION BY d.source
+                                            ORDER BY coalesce(len(regexp_split_to_array(trim(lower(d.text)), '\s+')), 0),
+                                                     d.doc_id) AS BIGINT) AS rk
+             FROM documents d)
+       SELECT r.doc_id, r.source, r.n_words,
+              CAST((r.rk - 1) * s.ns + s.sidx AS BIGINT) AS position
+       FROM r JOIN s USING (source)
+       ORDER BY position""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // NULL text → 0 words on BOTH engines (a NULL sort key would order
+    // NULLS FIRST in Spark and NULLS LAST in DuckDB)
+    val nWords =
+      coalesce(size(TextOps.tokens(lower(col("text")))).cast("long"), lit(0L))
+    val srcIdx = docs.select("source").distinct()
+      .withColumn("sidx",
+        (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    val w = Window.partitionBy("source").orderBy(col("n_words"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), nWords.as("n_words"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        ((col("rk") - 1) * col("ns") + col("sidx")).as("position"))
+      .orderBy("position")
+  }
+
   /** (doc_id, group_id) near-dup component labels — the frame behind
     * [[qDedupGroups]], shared with canonical-representative selection
     * (CorpusOps.qDedupCanonical).
@@ -696,5 +746,6 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(qDedupGroups, qDedupGroupsStar, qTfidf, qCube, qTrainSplit, qPiiRedact,
     qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
-    qSequencePack, qTokenBudget, qGroupSplit, qEpochShuffle)
+    qSequencePack, qTokenBudget, qGroupSplit, qEpochShuffle,
+    qCurriculumOrder)
 }

@@ -164,4 +164,27 @@ class PipelineMixSpec extends SparkSpec {
       .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
     assert(out.sameElements(again))
   }
+
+  test("curriculum order: unique positions, per-source ramp, round-robin residue") {
+    val out = Pipeline.qCurriculumOrder.fn(spark, sf)
+      .select("doc_id", "source", "n_words", "position")
+      .as[(Long, String, Long, Long)].collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.length == total)
+    // positions are unique (the interleave formula cannot collide)
+    assert(out.map(_._4).distinct.length == out.length)
+    val sources = out.map(_._2).distinct.sorted
+    val ns = sources.length.toLong
+    val sidx = sources.zipWithIndex.toMap
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      // round-robin law: a source's positions all share its residue class
+      assert(rows.forall(r => r._4 % ns == sidx(src)),
+        s"source $src leaked out of its residue class")
+      // curriculum law: difficulty (word count) never decreases along
+      // the source's own schedule
+      val ramp = rows.sortBy(_._4).map(_._3)
+      assert(ramp.zip(ramp.drop(1)).forall { case (a, b) => a <= b },
+        s"source $src difficulty ramp not monotone")
+    }
+  }
 }
