@@ -558,8 +558,10 @@ object Dedup {
     * stop-shingle buckets that drive the shuffle never enter). The df
     * table is a vocab-sized aggregate (the q_word_freq shape); the
     * rarity sort is per-document over its own ≤n-entry array (one hash
-    * aggregate, no window); verification joins full shingle sets only
-    * for surviving candidates. */
+    * aggregate, no window); verification is Vernica-et-al.-style — each
+    * surviving candidate joins the two per-doc shingle ARRAYS and merges
+    * them in one per-row op, so verify cost is O(candidates), and on a
+    * near-dup-heavy corpus candidates ≈ true matches (output-bound). */
   val qPrefixJaccard: Q = Q(
     "q_prefix_jaccard",
     """WITH sh AS (
@@ -613,19 +615,29 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 5 >=
             greatest(col("x.n"), col("y.n")) * 3)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        (col("x.n") + col("y.n")).as("nab"))
       .distinct()
-    // exact verification, restricted to candidates: count shared shingles
-    // by joining the candidate list back through the full shingle sets
+    // exact verification, Vernica-style: each candidate pair joins the two
+    // per-doc shingle ARRAYS (one row per doc, never re-exploded) and the
+    // intersection is one per-row array merge. The r6 sf1 probe measured
+    // the explode-and-rejoin alternative at 73 s — candidates × full sets
+    // materialized ~250M rows — vs ~2 s for this form: verification cost
+    // is O(candidates), each a bounded array op, not a shuffle.
+    // broadcast the array dim (O(distinct texts × shingles) ≪ candidates):
+    // both verify joins then run map-side and the candidate frame — the
+    // big side — never shuffles. At corpus scales where the dim outgrows
+    // broadcast, these degrade to hash joins keyed by doc_id; the payload
+    // (the pair's two arrays) is inherent to merge-based verification.
+    val shArr = broadcast(repDocs.select(col("doc_id"),
+      shingles(col("text")).as("sarr")))
     val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    val union = col("sa.n") + col("sb.n") - col("i")
+      .join(shArr.select(col("doc_id").as("id_a"), col("sarr").as("sa")), "id_a")
+      .join(shArr.select(col("doc_id").as("id_b"), col("sarr").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("nab"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"))
+    val union = col("nab") - col("i")
     val repPairs = inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(col("i") * 5 >= union * 3)
       .select(col("id_a"), col("id_b"),
         ExactSum.intRatio(col("i"), union, 4).as("jaccard"))
