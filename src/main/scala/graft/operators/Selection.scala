@@ -345,6 +345,64 @@ object Selection {
       .select(col("doc_id"), col("weight"), round(col("raw"), 6).as("es_key"))
   }
 
+  /** Robust length-outlier gate: flag documents whose character count
+    * falls outside median ± 3·MAD within their language — the standard
+    * curation filter for truncated fragments and concatenation blobs,
+    * robust where mean/stddev get dragged by the very outliers being
+    * hunted. Both statistics are LOWER medians over integers (rank
+    * ⌈n/2⌉ in the (value, doc_id) order), so every comparison is exact
+    * integer arithmetic — no float, no tie, no engine divergence.
+    *
+    * Scale design (100 TB): two rank passes, each a window partitioned by
+    * language over (n_chars) — language-sized sorted partitions, the
+    * q_perplexity_buckets shape; the two 1-row-per-language stat frames
+    * broadcast back. At extreme scale the production twin estimates both
+    * medians with approx_percentile on a sample and keeps the same
+    * map-only flagging pass. */
+  val qLengthOutliers: Q = Q(
+    "q_length_outliers",
+    """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+       m AS (SELECT lang, x AS med FROM (
+               SELECT lang, x,
+                      row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM d) WHERE rk = (n + 1) // 2),
+       dev AS (SELECT d.doc_id, d.lang, d.x, abs(d.x - m.med) AS ad, m.med
+               FROM d JOIN m USING (lang)),
+       mad AS (SELECT lang, ad AS mad FROM (
+                 SELECT lang, ad,
+                        row_number() OVER (PARTITION BY lang ORDER BY ad, doc_id) AS rk,
+                        count(*) OVER (PARTITION BY lang) AS n
+                 FROM dev) WHERE rk = (n + 1) // 2)
+       SELECT dev.doc_id, dev.lang, dev.x AS n_chars,
+              CAST(dev.med AS BIGINT) AS med,
+              CAST(mad.mad AS BIGINT) AS mad,
+              dev.ad > 3 * mad.mad AS is_outlier
+       FROM dev JOIN mad USING (lang)
+       ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
+    def lowerMedian(df: org.apache.spark.sql.DataFrame, value: String,
+        out: String) = {
+      val w = Window.partitionBy("lang").orderBy(col(value), col("doc_id"))
+      val wn = Window.partitionBy("lang")
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("lang"), col(value).as(out))
+    }
+    val med = lowerMedian(docs, "x", "med")
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev, "ad", "mad")
+    dev.join(broadcast(mad), "lang")
+      .select(col("doc_id"), col("lang"), col("x").as("n_chars"),
+        col("med"), col("mad"),
+        (col("ad") > col("mad") * 3).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qImportanceWeights, qPerplexityBuckets,
-    qQualityClassifier, qWeightedSample)
+    qQualityClassifier, qWeightedSample, qLengthOutliers)
 }

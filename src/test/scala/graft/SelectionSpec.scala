@@ -158,4 +158,33 @@ class SelectionSpec extends SparkSpec {
     val b = Selection.qWeightedSample.fn(spark, sf).collect()
     assert(a.sameElements(b))
   }
+
+  test("q_length_outliers matches a naive driver-side median/MAD witness") {
+    val out = Selection.qLengthOutliers.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.size == docs.length, "every document gets a flag")
+    // lower median over (value, doc_id) order — the engine's contract
+    docs.groupBy(_._2).foreach { case (lang, rows) =>
+      val med = rows.map(r => (r._3, r._1)).sorted
+        .apply((rows.size + 1) / 2 - 1)._1
+      val mad = rows.map(r => (math.abs(r._3 - med), r._1)).sorted
+        .apply((rows.size + 1) / 2 - 1)._1
+      rows.foreach { case (id, _, x) =>
+        val (l2, x2, m2, d2, flag) = out(id)
+        assert(l2 == lang && x2 == x)
+        assert(m2 == med, s"lang $lang median $m2 vs $med")
+        assert(d2 == mad, s"lang $lang MAD $d2 vs $mad")
+        assert(flag == (math.abs(x - med) > 3 * mad), s"doc $id flag")
+      }
+    }
+    // the synthetic lengths are tight (no 3-MAD outliers at this SF) —
+    // the flag branch itself is pinned row-wise against the witness above
+    // and cross-engine by the DuckDB oracle
+    assert(out.values.exists(!_._5))
+  }
 }
