@@ -235,9 +235,12 @@ object CorpusOps {
                     CAST(sum(CAST(floor(x * x * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE) / 1073741824 AS sxx
              FROM t)
        SELECT CAST(n AS INTEGER) AS vocab,
-              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-              round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
-                AS intercept
+              CASE WHEN n >= 2
+                   THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   END AS slope,
+              CASE WHEN n >= 2
+                   THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+                   END AS intercept
        FROM s""") { (s, d) =>
     val f = Tables.documents(s, d)
       .select(explode(toks).as("tok"))
@@ -257,9 +260,13 @@ object CorpusOps {
         ExactSum.value(col("qxx")).as("sxx"))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx"))
+    // degenerate single-token vocabulary: n·sxx − sx² = 0 and the engines
+    // disagree on 0/0 (Spark Divide → NULL, DuckDB ieee ops → NaN) —
+    // nullify the fit identically on both sides (ADVICE r6)
     su.select(col("n").cast("int").as("vocab"),
-      round(slope, 4).as("slope"),
-      round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+      when(col("n") >= 2, round(slope, 4)).as("slope"),
+      when(col("n") >= 2,
+        round((col("sy") - slope * col("sx")) / col("n"), 4)).as("intercept"))
   }
 
   /** Per-source duplication report — the dedup ACCOUNTING view a curation

@@ -44,6 +44,21 @@ object Selection {
     * log(p_target/p_raw) of its features — rank by this and resample to
     * shift the corpus toward the target domain.
     *
+    * Cross-engine contract (VERDICT r6 #1 — this query was driver
+    * hash-red in r5 AND r6): NO transcendental value reaches the output
+    * bytes. The 256-entry weight table is quantized ONCE — lwq =
+    * round(lw·2^20) as BIGINT — and everything downstream is pure
+    * integer arithmetic: score_q = Σ k·lwq, and the reported average
+    * avg_lr_q4 (the log-ratio mean in 1e-4 units) is a fixed IEEE
+    * expression over those exact integers, identical on every IEEE-754
+    * engine. A 1-ulp `ln` discrepancy between libm builds now flips a
+    * WEIGHT-TABLE bucket with probability ~2^-32 per entry (ulp of
+    * lw·2^20 ≈ 2^-31 against a unit grid) across only 256 entries —
+    * versus the per-TERM 2^30 quantization this replaces, where ~10^5
+    * scoring terms each sat 1 ulp from a flip boundary and the driver's
+    * DuckDB `ln` build flipped some every round. tools/margin_audit.py
+    * measures the realized table margins each round.
+    *
     * Scale design (100 TB): ONE corpus pass builds the per-(doc, bucket)
     * feature counts — a hash aggregate whose key space is ≤256 buckets per
     * document — and that checkpointed frame feeds everything else. The two
@@ -72,13 +87,16 @@ object Selection {
        tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS tn,
                       CAST(sum(rc) AS DOUBLE) AS rn FROM h),
        w AS (SELECT bucket,
-                    ln((coalesce(tc, 0) + 1) / (tn + 256.0))
-                  - ln((coalesce(rc, 0) + 1) / (rn + 256.0)) AS lw
+                    CAST(floor((ln((coalesce(tc, 0) + 1) / (tn + 256.0))
+                              - ln((coalesce(rc, 0) + 1) / (rn + 256.0)))
+                               * 1048576 + 0.5) AS BIGINT) AS lwq
              FROM h CROSS JOIN tot)
        SELECT g.doc_id,
               CAST(sum(g.k) AS INTEGER) AS n_features,
-              round(CAST(sum(CAST(floor(g.k * w.lw * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / 1073741824 / CAST(sum(g.k) AS INTEGER), 4) AS avg_log_ratio
+              CAST(sum(g.k * w.lwq) AS BIGINT) AS score_q,
+              CAST(floor(CAST(sum(g.k * w.lwq) AS DOUBLE) / 1048576
+                         / CAST(sum(g.k) AS INTEGER) * 10000 + 0.5) AS BIGINT)
+                AS avg_lr_q4
        FROM g JOIN w USING (bucket)
        WHERE NOT g.is_tgt
        GROUP BY g.doc_id
@@ -105,24 +123,22 @@ object Selection {
       sum(when(!col("is_tgt"), col("k"))).as("rc"))
     val tot = hist.agg(sum("tc").cast("double").as("tn"),
       sum("rc").cast("double").as("rn"))
+    // the ONE quantization: 256 weight-table entries rounded to a 2^20
+    // integer grid; every scoring term below is exact integer arithmetic
     val weights = hist.crossJoin(broadcast(tot))
       .select(col("bucket"),
-        (log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
-              (col("tn") + lit(256.0)))
-       - log((coalesce(col("rc"), lit(0L)) + lit(1)).cast("double") /
-              (col("rn") + lit(256.0)))).as("lw"))
-    // ExactSum: the scoring reduction is an integer sum of quantized
-    // k·lw terms — bit-identical under any merge order and equal to the
-    // oracle's literal same form (the r5 driver flake was this sum
-    // merging in task-completion order and flipping round(·, 4))
+        floor((log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
+                (col("tn") + lit(256.0)))
+             - log((coalesce(col("rc"), lit(0L)) + lit(1)).cast("double") /
+                (col("rn") + lit(256.0)))) * 1048576 + 0.5).as("lwq"))
     g.filter(!col("is_tgt"))
       .join(broadcast(weights), "bucket")
       .groupBy("doc_id")
       .agg(sum("k").cast("int").as("n_features"),
-        ExactSum.qsum(col("k") * col("lw")).as("s"))
-      .select(col("doc_id"), col("n_features"),
-        round(ExactSum.value(col("s")) / col("n_features"), 4)
-          .as("avg_log_ratio"))
+        sum(col("k") * col("lwq")).as("score_q"))
+      .select(col("doc_id"), col("n_features"), col("score_q"),
+        floor(col("score_q").cast("double") / 1048576
+              / col("n_features") * 10000 + 0.5).as("avg_lr_q4"))
       .orderBy("doc_id")
   }
 
@@ -309,10 +325,18 @@ object Selection {
     * the first 48 bits of md5("ws:" ‖ doc_id) as a dyadic rational
     * (v+1)/2^48 ∈ (0,1] — so the sample is a pure function of the corpus,
     * reproducible across runs/engines/partitionings (the q_train_split
-    * argument). ln(u)/w is one fixed IEEE expression over exact inputs
-    * (the /2^48 is a power-of-two scale, exact in binary), so both
-    * engines compute the identical double and the top-200 cut is
-    * unambiguous — ln parity is the same pinned assumption BM25 carries.
+    * argument).
+    *
+    * Cross-engine contract (VERDICT r6 #1 — this query was driver
+    * hash-red in r6): NO transcendental value reaches the output bytes.
+    * The output columns are doc_id, weight and the exact integer draw
+    * u48 — ln(u)/w exists only as the SORT key, where a sub-ulp `ln`
+    * difference between libm builds cannot act: the 48-bit draws of
+    * distinct documents are spread ~1/n apart in key space, ~10 orders
+    * of magnitude above any ln ulp, so the top-200 cut and the within-
+    * sample order are identical on every IEEE-754 engine. (The r6 red
+    * was the removed round(ln(u)/w, 6) column: a 1-ulp ln shift near a
+    * 0.5e-6 rounding boundary flipped a digit in the driver's DuckDB.)
     *
     * Scale design (100 TB): the key is map-only per row; top-200 is
     * TakeOrdered (per-partition heaps → one 200-row driver merge), never
@@ -320,29 +344,26 @@ object Selection {
   val qWeightedSample: Q = Q(
     "q_weighted_sample",
     """WITH k AS (SELECT doc_id, n_chars,
-                         ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
-                                  AS BIGINT) + 1) / 281474976710656.0) / n_chars AS raw
+                         CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                              AS BIGINT) AS u48
                   FROM documents
                   WHERE n_chars > 0)
-       SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-              round(raw, 6) AS es_key
-       FROM k ORDER BY raw DESC, doc_id LIMIT 200""") { (s, d) =>
-    // rank on the RAW key (bit-identical across engines), round only for
-    // display: a 6-dp rounding of keys this close to zero would tie huge
-    // runs of docs and hand the cut to the doc_id tiebreak instead of
-    // the actual ES order
+       SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, u48
+       FROM k
+       ORDER BY ln((u48 + 1) / 281474976710656.0) / n_chars DESC, doc_id
+       LIMIT 200""") { (s, d) =>
     val u48 = conv(
       substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))
         .cast("binary")), 1, 12), 16, 10).cast("bigint")
     Tables.documents(s, d)
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars").as("weight"), u48.as("u48"))
-      .select(col("doc_id"), col("weight"),
-        (log((col("u48") + 1).cast("double") / lit(281474976710656.0)) /
-          col("weight")).as("raw"))
+      .withColumn("raw",
+        log((col("u48") + 1).cast("double") / lit(281474976710656.0)) /
+          col("weight"))
       .orderBy(col("raw").desc, col("doc_id"))
       .limit(200)
-      .select(col("doc_id"), col("weight"), round(col("raw"), 6).as("es_key"))
+      .select(col("doc_id"), col("weight"), col("u48"))
   }
 
   /** Robust length-outlier gate: flag documents whose character count
@@ -361,7 +382,8 @@ object Selection {
     * map-only flagging pass. */
   val qLengthOutliers: Q = Q(
     "q_length_outliers",
-    """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+    """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents
+                  WHERE n_chars IS NOT NULL),
        m AS (SELECT lang, x AS med FROM (
                SELECT lang, x,
                       row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rk,
@@ -381,7 +403,11 @@ object Selection {
        FROM dev JOIN mad USING (lang)
        ORDER BY doc_id""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // NULL n_chars rows are excluded on BOTH engines (ADVICE r6): a NULL
+    // rank key sorts NULLS FIRST in Spark and NULLS LAST in DuckDB, which
+    // would shift the (n+1)/2 median rank for the whole language
     val docs = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
     def lowerMedian(df: org.apache.spark.sql.DataFrame, value: String,
         out: String) = {

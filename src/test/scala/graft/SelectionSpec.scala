@@ -14,12 +14,17 @@ class SelectionSpec extends SparkSpec {
 
   test("importance weights score exactly the raw set, with exact feature accounting") {
     val out = Selection.qImportanceWeights.fn(spark, sf)
-      .select("doc_id", "n_features", "avg_log_ratio")
-      .as[(Long, Int, Double)].collect()
+      .select("doc_id", "n_features", "score_q", "avg_lr_q4")
+      .as[(Long, Int, Long, Long)].collect()
     // the target exemplars are never scored
     assert(out.forall(_._1 % 20 != 0))
-    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite),
-      "Laplace smoothing must keep every log-ratio finite")
+    // avg_lr_q4 is the pinned pure-IEEE derivation of the integer score
+    out.foreach { case (id, nf, sq, avg) =>
+      val want = math.floor(sq.toDouble / 1048576 / nf * 10000 + 0.5).toLong
+      assert(avg == want, s"doc $id avg_lr_q4 $avg vs $want")
+    }
+    // the scores separate: not every doc collapses to the same weight
+    assert(out.map(_._3).distinct.length > 1)
     // n_features = unigrams + bigrams = 2n-1, checked against an
     // independent per-doc token count (NULL-text docs emit no features
     // and must be absent)
@@ -29,7 +34,7 @@ class SelectionSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     val rawWithText = nToks.count { case (id, n) => id % 20 != 0 && n >= 1 }
     assert(out.length == rawWithText, "one scored row per raw non-NULL doc")
-    out.foreach { case (id, nf, _) =>
+    out.foreach { case (id, nf, _, _) =>
       assert(nf == 2 * nToks(id) - 1, s"doc $id: $nf features for ${nToks(id)} tokens")
     }
   }
@@ -128,22 +133,21 @@ class SelectionSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
     // independent witness: JDK MessageDigest, not Spark's md5
     val md = java.security.MessageDigest.getInstance("MD5")
-    def key(id: Long, w: Long): Double = {
+    def draw(id: Long): Long = {
       val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      val u48 = java.lang.Long.parseLong(hex, 16)
-      math.log((u48 + 1).toDouble / 281474976710656.0) / w
+      java.lang.Long.parseLong(hex, 16)
     }
-    val want = docs.map { case (id, w) => (id, w, key(id, w)) }
-      .sortBy { case (id, _, k) => (-k, id) }
+    def key(u48: Long, w: Long): Double =
+      math.log((u48 + 1).toDouble / 281474976710656.0) / w
+    val want = docs.map { case (id, w) => (id, w, draw(id)) }
+      .sortBy { case (id, w, u) => (-key(u, w), id) }
       .take(math.min(200, docs.length))
     assert(out.length == want.length)
-    out.zip(want).foreach { case (got, (id, w, k)) =>
-      assert(got.getLong(0) == id && got.getLong(1) == w,
-        s"sample row $got expected ($id, $w)")
-      // the engine displays round(raw, 6); half-ulp of that grid is 5e-7
-      assert(math.abs(got.getDouble(2) - k) <= 5.01e-7,
-        s"doc $id key ${got.getDouble(2)} vs $k")
+    out.zip(want).foreach { case (got, (id, w, u)) =>
+      // integer-exact output row (no transcendental reaches the bytes)
+      assert(got.getLong(0) == id && got.getLong(1) == w &&
+        got.getLong(2) == u, s"sample row $got expected ($id, $w, $u)")
     }
     // weighting bias: the ES key favors heavy docs, so the sampled mean
     // weight must exceed the corpus mean weight
