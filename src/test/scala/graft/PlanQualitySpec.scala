@@ -491,12 +491,23 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 hash exchange for the user window, got $hashExchanges:\n$s")
   }
 
-  test("SNM candidates pair via window leads — NO join anywhere") {
-    // the whole point of sorted-neighborhood blocking: candidates come
-    // from adjacency in a sorted window, never from a pair join
+  test("SNM candidates come from a balanced range sort, never a pair join") {
+    // the corpus-sized path: a RANGE partition on the full unique sort
+    // key (flood-proof — VERDICT r6 #3), read off with mapPartitions;
+    // the only joins allowed touch the 6-rows-per-partition boundary
+    // strip, so the corpus itself must never be a join input
+    val sorted = graft.operators.Dedup
+      .snmSorted(spark, Tables.documents(spark, sf))
+    val sp = sorted.queryExecution.executedPlan.toString
+    assert(sp.toLowerCase.contains("rangepartitioning"),
+      s"SNM sort lost its range partitioning (per-block hash skew):\n$sp")
     val p = plan("q_snm_pairs")
-    assert(!p.contains("Join"), s"SNM plan grew a join:\n$p")
-    assert(p.contains("Window"), "SNM lost its neighborhood window")
+    assert(!p.contains("CartesianProduct"), s"SNM degraded to cartesian:\n$p")
+    // within-partition pairs stream through mapPartitions (an npart-sized
+    // prefix-sum window over the strip offsets is fine; a corpus window
+    // keyed by block — the r6 flood-skew shape — is not)
+    assert(p.contains("MapPartitions"),
+      s"SNM lost its sliding-buffer mapPartitions pass:\n$p")
   }
 
   test("prefix Jaccard builds prefixes with aggregates, not windows") {
