@@ -394,30 +394,79 @@ object Pipeline {
   }
 
   /** The composed corpus-preparation pipeline — quality filter → exact
-    * dedup on normalized fingerprint → deterministic split → per-split
-    * token accounting — in ONE declarative query. Each stage is an
-    * operator verified on its own elsewhere; this checks the COMPOSITION
-    * end to end (three aggregations, each shuffling only what the
-    * previous stage kept). */
+    * dedup on normalized fingerprint (with duplicate accounting, the
+    * q_dup_rate_report stage) → robust per-language length-outlier gate
+    * (the q_length_outliers stage) → deterministic split → per-split
+    * token accounting plus the curriculum-first document (the
+    * q_curriculum_order stage) — in ONE declarative query. Each stage is
+    * an operator verified on its own elsewhere; this checks the
+    * COMPOSITION end to end (VERDICT r6 #8: the leaf gates must prove
+    * they compose, not just exist).
+    *
+    * Scale design (100 TB): the quality filter and fingerprint are
+    * map-side; dedup is one hash aggregate carrying the canonical doc's
+    * attributes via min_by (no corpus re-join); the median/MAD stats are
+    * per-language windows (language-sized partitions, the
+    * q_length_outliers shape) whose 1-row-per-language frames broadcast
+    * back; the curriculum rank is a per-(split, source) window with the
+    * interleave position a pure formula; the final report is a 3-row
+    * aggregate. */
   val qCorpusPrep: Q = Q(
     "q_corpus_prep",
-    """WITH t AS (SELECT doc_id, text,
+    """WITH t AS (SELECT doc_id, text, lang, source, n_chars,
                          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_toks,
                          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
                            / length(text) AS punct
                   FROM documents),
        q AS (SELECT * FROM t WHERE n_toks BETWEEN 10 AND 100000 AND punct < 0.1),
-       d AS (SELECT min(doc_id) AS doc_id, min(n_toks) AS n_toks
+       d AS (SELECT min(doc_id) AS doc_id, count(*) AS class_size
              FROM q
              GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
-       s AS (SELECT doc_id, n_toks,
+       dd AS (SELECT q.doc_id, q.lang, q.source, CAST(q.n_chars AS BIGINT) AS x,
+                     q.n_toks, d.class_size
+              FROM d JOIN q ON q.doc_id = d.doc_id),
+       m AS (SELECT lang, x AS med FROM (
+               SELECT lang, x,
+                      row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM dd) WHERE rk = (n + 1) // 2),
+       dev AS (SELECT dd.*, abs(dd.x - m.med) AS ad
+               FROM dd JOIN m USING (lang)),
+       mad AS (SELECT lang, ad AS mad FROM (
+                 SELECT lang, ad,
+                        row_number() OVER (PARTITION BY lang ORDER BY ad, doc_id) AS rk,
+                        count(*) OVER (PARTITION BY lang) AS n
+                 FROM dev) WHERE rk = (n + 1) // 2),
+       g AS (SELECT dev.*, (dev.ad > 3 * mad.mad) AS is_outlier
+             FROM dev JOIN mad USING (lang)),
+       s AS (SELECT *,
                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
                          ELSE 'test' END AS split
-             FROM d)
-       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(n_toks) AS BIGINT) AS n_tokens
-       FROM s GROUP BY split ORDER BY split""") { (s, d) =>
+             FROM g),
+       kept AS (SELECT * FROM s WHERE NOT is_outlier),
+       si AS (SELECT split, source,
+                     CAST(row_number() OVER (PARTITION BY split ORDER BY source) - 1 AS BIGINT) AS sidx,
+                     CAST(count(*) OVER (PARTITION BY split) AS BIGINT) AS ns
+              FROM (SELECT DISTINCT split, source FROM kept)),
+       cur AS (SELECT k.split, k.doc_id,
+                      (CAST(row_number() OVER (PARTITION BY k.split, k.source
+                                               ORDER BY k.n_toks, k.doc_id) AS BIGINT) - 1)
+                        * si.ns + si.sidx AS pos
+               FROM kept k JOIN si ON k.split = si.split AND k.source = si.source),
+       fst AS (SELECT split, min_by(doc_id, pos) AS first_doc
+               FROM cur GROUP BY split),
+       agg AS (SELECT split,
+                      CAST(sum(CASE WHEN NOT is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN NOT is_outlier THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens,
+                      CAST(sum(class_size - 1) AS BIGINT) AS n_dup_dropped,
+                      CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_dropped
+               FROM s GROUP BY split)
+       SELECT agg.split, agg.n_docs, agg.n_tokens, agg.n_dup_dropped,
+              agg.n_outliers_dropped, fst.first_doc
+       FROM agg LEFT JOIN fst ON agg.split = fst.split
+       ORDER BY agg.split""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     // token count + punctuation count come from the one-pass TextProfile
     // kernel (field equalities with the declarative split/extract_all
     // forms are oracle-pinned by q_text_stats / q_text_quality) — the
@@ -427,21 +476,64 @@ object Pipeline {
       graft.functions.TextProfile(ColumnBridge.expression(col("text"))))
     val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
       .cast("binary"))
-    val deduped = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), prof.as("p"))
-      .select(col("doc_id"), col("text"),
+    // dedup carries the canonical doc's own attributes via min_by —
+    // no corpus-sized re-join back to the pre-dedup frame
+    val dd = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), prof.as("p"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"),
         col("p.n_tokens").as("n_toks"),
         TextOps.perCharRatio(col("p.n_punct")).as("punct"))
       .filter(col("n_toks").between(10, 100000) && col("punct") < 0.1)
       .groupBy(fp.as("fp"))
-      .agg(min("doc_id").as("doc_id"), min("n_toks").as("n_toks"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("class_size"),
+        min_by(struct(col("lang"), col("source"), col("n_chars"),
+          col("n_toks")), col("doc_id")).as("c"))
+      .select(col("doc_id"), col("class_size"),
+        col("c.lang").as("lang"), col("c.source").as("source"),
+        col("c.n_chars").cast("long").as("x"), col("c.n_toks").as("n_toks"))
+    // q_length_outliers stage: per-language lower median +/- 3 MAD
+    def lowerMedian(df: org.apache.spark.sql.DataFrame, value: String,
+        out: String) = {
+      val w = Window.partitionBy("lang").orderBy(col(value), col("doc_id"))
+      val wn = Window.partitionBy("lang")
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("lang"), col(value).as(out))
+    }
+    val med = lowerMedian(dd, "x", "med")
+    val dev = dd.join(broadcast(med), "lang")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev, "ad", "mad")
     val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-    deduped
-      .select(col("doc_id"), col("n_toks"),
+    val flagged = dev.join(broadcast(mad), "lang")
+      .withColumn("is_outlier", col("ad") > col("mad") * 3)
+      .withColumn("split",
         when(bucket <= "b", "train").when(bucket <= "d", "val")
-          .otherwise("test").as("split"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .otherwise("test"))
+    val kept = flagged.filter(!col("is_outlier"))
+    // q_curriculum_order stage: interleave position over the kept docs
+    val si = kept.select("split", "source").distinct()
+      .withColumn("sidx", (row_number().over(
+        Window.partitionBy("split").orderBy("source")) - 1).cast("long"))
+      .withColumn("ns",
+        count(lit(1)).over(Window.partitionBy("split")).cast("long"))
+    val cur = kept.join(broadcast(si), Seq("split", "source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("split", "source")
+          .orderBy(col("n_toks"), col("doc_id"))).cast("long"))
+      .withColumn("pos", (col("rk") - 1) * col("ns") + col("sidx"))
+    val fst = cur.groupBy("split")
+      .agg(min_by(col("doc_id"), col("pos")).as("first_doc"))
+    flagged.groupBy("split").agg(
+      sum(when(!col("is_outlier"), 1L).otherwise(0L)).as("n_docs"),
+      sum(when(!col("is_outlier"), col("n_toks")).otherwise(lit(0L)))
+        .as("n_tokens"),
+      sum(col("class_size") - 1).as("n_dup_dropped"),
+      sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers_dropped"))
+      .join(broadcast(fst), Seq("split"), "left")
       .orderBy("split")
   }
 
