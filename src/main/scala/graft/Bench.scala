@@ -63,7 +63,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
+    // the ~4 KB stdout tail clips ~40% of per-query timings at 138
+    // queries (VERDICT r6 #7) — ALSO write the complete line (plus both
+    // raw passes, for contention analysis) to a file the driver and the
+    // round notes can pick up whole
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val p1 = names.map(n => "\"" + n + "\":" + fmt(pass1(n)))
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"result":$line,"pass1":$p1}\n""")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -47,6 +47,9 @@ echo "== sf1 oracle gate =="
 java $ADD_OPENS $JFLAGS -cp "$CP" graft.Verify "$SF1" "$OUT"
 python3 tools/check_oracle.py "$SF1" "$OUT"
 
+echo "== ln/exp margin audit (output safety >= 1000x at sf1) =="
+python3 tools/margin_audit.py "$SF1" /tmp/margins_sf1.json > /dev/null
+
 echo "== ANN recall pins at sf1 (LSH/IVF >= 0.9, quantized >= 0.8) =="
 # shellcheck disable=SC2086
 java $ADD_OPENS $JFLAGS -cp "$TCP" graft.RecallProbe "$SF1" \
