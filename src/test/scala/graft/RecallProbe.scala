@@ -15,7 +15,8 @@ import graft.operators.Similarity
   * enough), tools/sf1_gate.sh runs it at sf1 and the probe EXITS 2 when
   * any family drops below its pinned floor (the same floors
   * SimilaritySpec pins at spec scale: LSH/IVF ≥ 0.9, int8-quantized
-  * ≥ 0.8). */
+  * ≥ 0.8, and — VERDICT r6 #6 — the lossy PQ code paths at honest
+  * floors: PQ ≥ 0.7, IVF-PQ ≥ 0.7). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -35,7 +36,9 @@ object RecallProbe {
     val parts = for ((name, q, floor) <- Seq(
         ("lsh", Similarity.qKnnLsh, 0.9),
         ("ivf", Similarity.qKnnIvf, 0.9),
-        ("quantized", Similarity.qKnnQuantized, 0.8))) yield {
+        ("quantized", Similarity.qKnnQuantized, 0.8),
+        ("pq", Similarity.qKnnPq, 0.7),
+        ("ivfpq", Similarity.qKnnIvfPq, 0.7))) yield {
       val recall = (exact intersect pairs(q)).size.toDouble / exact.size
       val ok = recall >= floor
       allOk &= ok
