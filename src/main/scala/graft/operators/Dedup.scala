@@ -360,6 +360,143 @@ object Dedup {
     substringOverlapPairs(Tables.documents(s, d)).orderBy("id_a", "id_b")
   }
 
+  /** Substring-overlap BEST MATCH — the scale-safe production twin of the
+    * (declared output-quadratic) q_substring_overlap pair listing. Two
+    * bounds make it linear where the listing is not:
+    *
+    *  1. STOP-FINGERPRINT cap: fingerprints carried by more than 64
+    *     distinct texts are boilerplate mass (navigation chrome, license
+    *     headers) and are dropped before the candidate join — the same
+    *     rarity argument as PPJoin's stop-shingle prefix. Candidate rows
+    *     are then Σ_fp df² ≤ 64·Σ_fp df = O(64 · total fingerprints),
+    *     linear in the corpus no matter how duplicated it is.
+    *  2. Per-document ARGMAX output — (doc, best neighbor, shared count),
+    *     one row per doc — instead of the C(d,2) member-pair listing.
+    *
+    * Ties break on the smaller neighbor id. Exact-duplicate pre-collapse
+    * still applies: the capped join runs on one representative per
+    * distinct text, and each member's best is the max (by shared count,
+    * then min id) of its class SIBLING (which shares the whole
+    * fingerprint set) and its representative's best cross-class match —
+    * equal, row for row, to the naive all-member computation the DuckDB
+    * oracle performs, which is what the oracle gate checks.
+    *
+    * Scale design (100 TB): one codegen fingerprint pass, one fp-count
+    * aggregate (fingerprint-keyed, map-side combined), one capped
+    * equi-join, one per-doc top-1 (TakeOrdered shape via min-struct
+    * aggregation, no global sort). The quadratic listing stays available
+    * as the reporting query; pipelines compose THIS one. */
+  val qSubstringBestMatch: Q = Q(
+    "q_substring_best_match",
+    """WITH norm AS (
+         SELECT doc_id, regexp_replace(lower(text), '[^\p{L}\p{Nd}]', '', 'g') AS s
+         FROM documents),
+       chars AS (
+         SELECT doc_id, u.i AS pos, unicode(substr(s, u.i, 1))::HUGEINT AS cp
+         FROM norm, unnest(range(1, length(s) + 1)) AS u(i)),
+       pw AS (
+         SELECT * FROM (VALUES
+           (0, 12924618581234127435::HUGEINT),
+           (1, 10923514805226455897::HUGEINT),
+           (2, 14453212906556403763::HUGEINT),
+           (3, 14003818205314896721::HUGEINT),
+           (4, 1000009000027000027::HUGEINT),
+           (5, 1000006000009::HUGEINT),
+           (6, 1000003::HUGEINT),
+           (7, 1::HUGEINT)) AS v(j, p)),
+       grams AS (
+         SELECT doc_id, start,
+                CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE h::BIGINT END AS hs
+         FROM (
+           SELECT c.doc_id, c.pos - pw.j AS start,
+                  (sum(c.cp * pw.p) % 18446744073709551616::HUGEINT) AS h
+           FROM chars c JOIN pw ON c.pos - pw.j >= 1
+           GROUP BY 1, 2 HAVING count(*) = 8)),
+       wins AS (
+         SELECT doc_id, (start - 1) // 16 AS widx, min(hs) AS mh
+         FROM grams GROUP BY 1, 2),
+       fps AS (
+         SELECT DISTINCT doc_id, mh AS fp FROM wins),
+       cls AS (SELECT doc_id, coalesce(md5(text), '__null__') AS cl
+               FROM documents),
+       keep AS (SELECT fp FROM (
+                  SELECT f.fp, count(DISTINCT c.cl) AS df
+                  FROM fps f JOIN cls c USING (doc_id) GROUP BY f.fp)
+                WHERE df <= 64),
+       fk AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+       pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n
+              FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT ia AS id, ib AS other, n FROM pr
+               UNION ALL SELECT ib, ia, n FROM pr),
+       best AS (SELECT id, other, n,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY n DESC, other) AS rn
+                FROM sym)
+       SELECT id AS doc_id, other AS best_id, CAST(n AS BIGINT) AS n_shared_fps
+       FROM best WHERE rn = 1 ORDER BY doc_id""") { (s, d) =>
+    substringBestMatch(Tables.documents(s, d))
+  }
+
+  /** Engine behind q_substring_best_match, factored out for
+    * DupCollapseSpec's naive-equality and flood-bound checks. */
+  private[operators] def substringBestMatch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = dupClasses(docs)
+    val repDocs = repDocsOf(docs, members)
+    val fpsDf = repDocs.select(col("doc_id"),
+      winnowFps(col("text")).as("fps"))
+    val sh0 = fpsDf.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // stop-fingerprint cap: document frequency over DISTINCT TEXTS (one
+    // rep per class carries the fp exactly once)
+    val keep = sh0.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64)
+    val sh = sh0.join(keep.select("fp"), "fp")
+    val repPairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val sym = repPairs.select(col("id_a").as("__rep"),
+        col("id_b").as("other"), col("n"))
+      .unionAll(repPairs.select(col("id_b").as("__rep"),
+        col("id_a").as("other"), col("n")))
+    val wB = Window.partitionBy("__rep").orderBy(col("n").desc, col("other"))
+    val repBest = sym.withColumn("__rn", row_number().over(wB))
+      .filter(col("__rn") === 1)
+      .select(col("__rep"), col("other").as("xbest"), col("n").as("xn"))
+    // class shape: size and the min member OTHER than the rep (the rep is
+    // the class min, so a non-rep member's nearest sibling IS the rep)
+    val cls = members.groupBy("__fp", "__rep").agg(
+      count(lit(1)).as("__d"),
+      min(when(col("doc_id") =!= col("__rep"), col("doc_id"))).as("__min2"))
+    // a sibling pair's shared count is the rep's KEPT fingerprint count
+    // (the naive join counts post-cap fps), with the same >= 2 floor
+    val nfps = sh.groupBy("doc_id").agg(count(lit(1)).as("__f"))
+      .select(col("doc_id").as("__rep"), col("__f"))
+    // candidate structs ordered by (shared count, smaller id): negate the
+    // id so greatest() picks (max n, min id); siblings share the WHOLE
+    // fingerprint set and need the same >= 2 floor as the join
+    val sibId = when(col("doc_id") === col("__rep"), col("__min2"))
+      .otherwise(col("__rep"))
+    val sibCand = when(col("__d") >= 2 && col("__f") >= 2,
+      struct(col("__f").as("n"), (-sibId).as("negid")))
+    val crossCand = when(col("xbest").isNotNull,
+      struct(col("xn").as("n"), (-col("xbest")).as("negid")))
+    val best = greatest(sibCand, crossCand)
+    members.join(cls, Seq("__fp", "__rep"))
+      .join(nfps, Seq("__rep"), "left")
+      .join(repBest, Seq("__rep"), "left")
+      .withColumn("__best", best)
+      .filter(col("__best").isNotNull)
+      .select(col("doc_id"), (-col("__best.negid")).as("best_id"),
+        col("__best.n").cast("long").as("n_shared_fps"))
+      .orderBy("doc_id")
+  }
+
   /** Exact word-3-gram Jaccard over all pairs sharing ≥1 shingle, filtered
     * to `threshold`. Shared by q_ngram_jaccard and the dedup-group
     * (connected-components) operator in Pipeline.
@@ -825,7 +962,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
     qSimhash, qSimhashPairs, qNgramJaccard, qSubstringOverlap,
-    qEmbeddingNearDup, qPrefixJaccard, qSnmPairs)
+    qSubstringBestMatch, qEmbeddingNearDup, qPrefixJaccard, qSnmPairs)
 }
 
 /** One sorted-neighborhood row: document id, coalesced language, 4-char

@@ -93,6 +93,65 @@ class DupCollapseSpec extends AnyFunSuite {
       "sub-floor duplicates must not pair")
   }
 
+  test("substring best match equals the pair-listing argmax (no fp capped)") {
+    import spark.implicits._
+    // add a distinctive long-shared-run pair so the output is nonempty
+    // beyond the duplicate class
+    val docs = (corpus ++ Seq(
+      30L -> "zq distinctive shared winnowing passage runs long enough to fingerprint twice alpha",
+      31L -> "zq distinctive shared winnowing passage runs long enough to fingerprint twice omega",
+      32L -> (null: String)))
+      .toDF("doc_id", "text")
+    // at this scale no fingerprint reaches the df cap, so best-match must
+    // be EXACTLY the per-doc argmax (max count, then min neighbor) of the
+    // already-verified pair listing
+    val pairs = Dedup.substringOverlapPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pairs
+      .flatMap { case (a, b, n) => Seq((a, b, n), (b, a, n)) }
+      .groupBy(_._1).map { case (id, cs) =>
+        val best = cs.minBy(c => (-c._3, c._2))
+        (id, best._2, best._3)
+      }.toSet
+    val got = Dedup.substringBestMatch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"\ngot:      ${got.toSeq.sorted}\nexpected: ${expected.toSeq.sorted}")
+    assert(got.exists(p => p._1 == 30L && p._2 == 31L), "distinctive pair missing")
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L), "duplicate sibling missing")
+  }
+
+  test("stop-fingerprint cap: boilerplate floods stay out of best match") {
+    import spark.implicits._
+    // 80 docs sharing a long verbatim boilerplate run (every pure-
+    // boilerplate fingerprint lands in all 80 distinct texts -> df 80 >
+    // 64, dropped); the unique id prefix shares at most ONE 8-gram with
+    // any other doc (same-last-digit ids), under the >= 2 floor
+    val boiler = "this legal disclaimer boilerplate paragraph repeats " +
+      "verbatim across every page of the export corpus and is long " +
+      "enough to produce several winnowing fingerprint windows"
+    val flood = (0L until 80L).map(i => (100L + i) -> s"xx${i}yy $boiler")
+    val control = Seq(
+      500L -> "uq genuinely distinctive shared passage appearing exactly twice with enough length alpha",
+      501L -> "uq genuinely distinctive shared passage appearing exactly twice with enough length omega")
+    val docs = (flood ++ control).toDF("doc_id", "text")
+    // the LISTING pays the quadratic: every flood pair shares >= 2
+    // boilerplate fingerprints
+    val listing = Dedup.substringOverlapPairs(docs).collect()
+    assert(listing.count(r => r.getLong(0) >= 100L && r.getLong(0) < 200L &&
+      r.getLong(1) >= 100L && r.getLong(1) < 200L) == 80 * 79 / 2,
+      "flood should pair quadratically in the listing")
+    // the production twin drops the flooded fingerprints: candidates are
+    // bounded and no flood doc matches through boilerplate alone
+    val got = Dedup.substringBestMatch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!got.exists(p => p._1 >= 100L && p._1 < 200L),
+      s"flood docs matched through capped boilerplate: ${got.filter(_._1 >= 100L).take(5).toSeq}")
+    assert(got.exists(p => p._1 == 500L && p._2 == 501L) &&
+      got.exists(p => p._1 == 501L && p._2 == 500L),
+      "distinctive control pair must survive the cap")
+  }
+
   test("NULL-text docs survive the collapse as singletons") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
