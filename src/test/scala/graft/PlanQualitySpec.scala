@@ -517,6 +517,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "prefix join degraded to cartesian")
   }
 
+  test("substring best match: capped equi-join, map-side df combine, no cartesian") {
+    val p = plan("q_substring_best_match")
+    assert(!p.contains("CartesianProduct"),
+      s"capped fp join degraded to cartesian:\n$p")
+    // the stop-fingerprint cap is a fingerprint-keyed aggregate — it must
+    // partial-combine map-side or the cap itself shuffles every fp row
+    assert(p.contains("partial_count"),
+      s"df-cap aggregate lost map-side combine:\n$p")
+    // per-rep top-1 window partitions by the rep id (bounded by the
+    // capped candidate fan-in), never an unpartitioned corpus window
+    assert(!p.matches("(?s).*Window \\[.*\\], \\[\\].*"),
+      s"best-match window lost its partitioning:\n$p")
+  }
+
   test("dup-ngram fraction: partial+final aggregation, no cartesian") {
     val p = plan("q_dup_ngram_fraction")
     assert(p.matches("(?s).*HashAggregate.*Exchange.*HashAggregate.*"),
