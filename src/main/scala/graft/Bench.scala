@@ -47,12 +47,18 @@ object Bench {
     // Two full passes, report the per-query MIN: this host is shared and
     // ambient contention swings single measurements 5-10× (documented in
     // BASELINE.md); the minimum is the least-contended estimate of the
-    // engine's own cost.
+    // engine's own cost. SPARK_GRAFT_BENCH_RUNS=1 skips the second pass
+    // for ten-minute-per-query probe scales (sf10), where a repeat costs
+    // more wall-clock than the contention it would filter.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val pass1 = names.map(n => n -> run(n)).toMap
     val results = names.map { n =>
-      val t2 = run(n)
       val t1 = pass1(n)
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      if (runs < 2) n -> t1
+      else {
+        val t2 = run(n)
+        n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      }
     }
     // 2-decimal seconds keep the whole line ≈3.3 KB at 124 queries: the
     // harness that records this output keeps only a ~4 KB tail, and
@@ -63,7 +69,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
     // the ~4 KB stdout tail clips ~40% of per-query timings at 138
     // queries (VERDICT r6 #7) — ALSO write the complete line (plus both
     // raw passes, for contention analysis) to a file the driver and the

@@ -575,3 +575,137 @@ object RepetitionProfile {
       .add("n_bigrams", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("top_bigram", org.apache.spark.sql.types.IntegerType, nullable = false)
 }
+
+/** Sorted distinct 64-bit hashes of the word n-gram shingles — the
+  * verification-side twin of [[WordShingles]] for the prefix-filtered
+  * Jaccard machinery (Dedup.prefixRepJaccardPairs). Same normalization and
+  * shingling as WordShingles; each distinct shingle is hashed with
+  * xxhash64 (seed 42, byte-compatible with Spark's `xxhash64`) and the
+  * result is returned ASCENDING-SORTED so candidate verification can be a
+  * linear two-pointer merge ([[SortedLongIntersectSize]]) instead of a
+  * per-row hash-set build over string arrays — the allocation/hash cost
+  * that dominated the sf10 adversarial probe (6.4M candidate pairs × two
+  * ~100-string arrays).
+  *
+  * Jaccard over these hashes equals Jaccard over the string shingles
+  * unless two distinct shingles of the SAME candidate pair collide in 64
+  * bits (p ≈ m²/2⁶⁵ per pair, m = union size; ~3·10⁻¹⁵ at m = 250) —
+  * quantitatively negligible next to the 1-in-10⁴ output quantization,
+  * and the oracle gate re-checks the string form on every run. */
+case class WordShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
+    val toks = text.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.HashSet[String](toks.length * 2)
+      val hs = new java.util.ArrayList[Long](toks.length)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val s = sb.toString
+        if (seen.add(s)) {
+          val u = UTF8String.fromString(s)
+          hs.add(org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+        }
+        i += 1
+      }
+      val arr = new Array[Long](hs.size)
+      var k = 0
+      while (k < arr.length) { arr(k) = hs.get(k); k += 1 }
+      java.util.Arrays.sort(arr)
+      // distinct strings can still collide to one hash: drop duplicates so
+      // the array is strictly increasing (set semantics for the merge)
+      var w = 0
+      var r = 0
+      while (r < arr.length) {
+        if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+        r += 1
+      }
+      val out = new Array[Any](w)
+      var q = 0
+      while (q < w) { out(q) = arr(q); q += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection size of two ASCENDING-SORTED array<long> columns as one
+  * codegen'd two-pointer merge — O(|x|+|y|) long comparisons, zero
+  * allocation, zero hashing. The verification kernel of the prefix-filtered
+  * Jaccard join: `array_intersect` builds an OpenHashSet of boxed/hashed
+  * elements per ROW, which the sf10 adversarial probe measured as the
+  * dominant cost across all 32 cores. Inputs MUST be sorted strictly
+  * ascending ([[WordShingleHashes]] guarantees it). */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i)
+      val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i);
+         |  long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -729,58 +729,103 @@ object Dedup {
   private[operators] def prefixJaccardPairs(docs: DataFrame): DataFrame = {
     val members = dupClasses(docs)
     val repDocs = repDocsOf(docs, members)
-    val sh = docShingles(repDocs)
-    val sizes = repDocs.select(col("doc_id"), size(shingles(col("text"))).as("n"))
+    val (repPairs, shingled) = prefixRepJaccardPairs(repDocs, 3, 5)
+    expandDupPairs(members, repPairs,
+      intraReps = shingled, valueCol = "jaccard", intraValue = lit(1.0))
+  }
+
+  /** Prefix-filtered exact Jaccard REP pairs at a rational threshold
+    * t = p/q (0 < p ≤ q): candidates from the rarity-ordered prefix join
+    * (lossless — see [[qPrefixJaccard]]'s scaladoc), verification as one
+    * broadcast array merge per candidate, threshold arithmetic entirely
+    * integer (q·i ≥ p·(nx+ny−i)). Returns (pairs(id_a, id_b, jaccard),
+    * shingled reps) over the already-collapsed repDocs frame.
+    *
+    * Shared by q_prefix_jaccard (t = 3/5) and the dedup-group edge
+    * builder (t = 1/2, Pipeline.dedupGroupsFrame): at 100 TB the edge
+    * list of a duplication-heavy corpus is the #1 cost of the whole
+    * dedup tier, and the naive shingle-join form pays candidates × full
+    * shingle sets through the shuffle (the shape the r6 sf1 probe
+    * measured at 73 s vs ~2 s; at the 100-replica adversarial probe it
+    * ran 50+ MINUTES vs minutes for this form). */
+  private[operators] def prefixRepJaccardPairs(
+      repDocs: DataFrame, p: Int, q: Int): (DataFrame, DataFrame) = {
+    // everything runs over sorted distinct 64-bit shingle HASHES, one
+    // per-row kernel pass (WordShingleHashes): 8-byte join keys instead of
+    // ~30-byte strings through the df aggregate, the prefix build and the
+    // candidate join, and verification becomes a codegen'd two-pointer
+    // merge. Collision risk is quantified in the kernel's scaladoc
+    // (~1e-15 per candidate pair); the string-form oracle re-checks every
+    // run.
+    val hashed = repDocs.select(col("doc_id"),
+      shingleHashes(col("text")).as("harr"))
+    val sh = hashed.select(col("doc_id"), explode(col("harr")).as("shingle"))
+    val sizes = hashed.select(col("doc_id"), size(col("harr")).as("n"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // ⌈3n/5⌉ = ⌊(3n+4)/5⌋ in exact integer arithmetic ((3n+4) ≤ ~3e5 per
-    // doc, so the double division below floor() is exact to well past the
-    // integer boundary)
-    val ceil3n5 = floor((col("n") * 3 + lit(4)) / lit(5)).cast("int")
+    // ⌈p·n/q⌉ = ⌊(p·n + q − 1)/q⌋ in exact integer arithmetic (p·n+q−1 ≤
+    // ~3e5·q per doc, so the double division below floor() is exact to
+    // well past the integer boundary)
+    val ceilPnQ = floor((col("n") * p + lit(q - 1)) / lit(q)).cast("int")
     // per-doc prefix: sort the doc's own shingles rarest-first (struct
-    // sort: df, then shingle — total and deterministic), slice, re-explode.
+    // sort: df, then hash — total and deterministic), slice, re-explode.
     // One hash aggregate per doc; no window, no global sort.
     val prefix = sh.join(dfreq, "shingle")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
         count(lit(1)).cast("int").as("n"))
       .select(col("doc_id"), col("n"),
-        explode(slice(col("ord"), lit(1), col("n") - ceil3n5 + 1)).as("p"))
+        explode(slice(col("ord"), lit(1), col("n") - ceilPnQ + 1)).as("p"))
       .select(col("doc_id"), col("n"), col("p.shingle").as("shingle"))
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n"), col("y.n")) * 5 >=
-            greatest(col("x.n"), col("y.n")) * 3)
+          least(col("x.n"), col("y.n")) * q >=
+            greatest(col("x.n"), col("y.n")) * p)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         (col("x.n") + col("y.n")).as("nab"))
       .distinct()
     // exact verification, Vernica-style: each candidate pair joins the two
-    // per-doc shingle ARRAYS (one row per doc, never re-exploded) and the
-    // intersection is one per-row array merge. The r6 sf1 probe measured
-    // the explode-and-rejoin alternative at 73 s — candidates × full sets
-    // materialized ~250M rows — vs ~2 s for this form: verification cost
-    // is O(candidates), each a bounded array op, not a shuffle.
+    // per-doc sorted hash ARRAYS (one row per doc, never re-exploded) and
+    // the intersection is one codegen'd two-pointer merge — O(candidates)
+    // rows, O(|x|+|y|) primitive compares each, zero allocation. The r6
+    // sf1 probe measured the explode-and-rejoin alternative at 73 s vs
+    // ~2 s for merge-based verification; the r7 sf10 adversarial probe
+    // (6.4M intra-class candidates) additionally showed string-array
+    // `array_intersect` saturating all cores on per-row hash-set builds,
+    // which this long-merge form removes.
     // broadcast the array dim (O(distinct texts × shingles) ≪ candidates):
     // both verify joins then run map-side and the candidate frame — the
     // big side — never shuffles. At corpus scales where the dim outgrows
     // broadcast, these degrade to hash joins keyed by doc_id; the payload
     // (the pair's two arrays) is inherent to merge-based verification.
-    val shArr = broadcast(repDocs.select(col("doc_id"),
-      shingles(col("text")).as("sarr")))
+    val shArr = broadcast(hashed.select(col("doc_id"), col("harr")))
     val inter = cand
-      .join(shArr.select(col("doc_id").as("id_a"), col("sarr").as("sa")), "id_a")
-      .join(shArr.select(col("doc_id").as("id_b"), col("sarr").as("sb")), "id_b")
+      .join(shArr.select(col("doc_id").as("id_a"), col("harr").as("sa")), "id_a")
+      .join(shArr.select(col("doc_id").as("id_b"), col("harr").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"), col("nab"),
-        size(array_intersect(col("sa"), col("sb"))).as("i"))
+        sortedIntersectSize(col("sa"), col("sb")).as("i"))
     val union = col("nab") - col("i")
     val repPairs = inter
-      .filter(col("i") * 5 >= union * 3)
+      .filter(col("i") * q >= union * p)
       .select(col("id_a"), col("id_b"),
         ExactSum.intRatio(col("i"), union, 4).as("jaccard"))
-    expandDupPairs(members, repPairs,
-      intraReps = sizes.filter(col("n") > 0).select("doc_id"),
-      valueCol = "jaccard", intraValue = lit(1.0))
+    (repPairs, sizes.filter(col("n") > 0).select("doc_id"))
+  }
+
+  /** Sorted distinct xxhash64 shingle hashes (see
+    * graft.functions.WordShingleHashes). */
+  private[operators] def shingleHashes(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WordShingleHashes(ColumnBridge.expression(text), 3))
+  }
+
+  /** Codegen'd two-pointer intersection size of two sorted long arrays. */
+  private[operators] def sortedIntersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SortedLongIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995 —

@@ -138,7 +138,13 @@ object Pipeline {
       s: SparkSession, d: String, star: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     val members = Dedup.dupClasses(docs)
-    val (repPairs, shingledReps) = Dedup.repJaccardPairs(docs, members, 0.5)
+    // edges from the prefix-filtered pair machinery (t = 1/2, integer
+    // arithmetic): on a duplication-heavy corpus the naive shingle join
+    // pays candidates × full shingle sets through the shuffle — the sf10
+    // adversarial probe measured it at 50+ min where the prefix+array-
+    // merge form takes minutes, with row-identical output (spec-pinned)
+    val (repPairs, shingledReps) =
+      Dedup.prefixRepJaccardPairs(Dedup.repDocsOf(docs, members), 1, 2)
     val pairs = repPairs.select("id_a", "id_b")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

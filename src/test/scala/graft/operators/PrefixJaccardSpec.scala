@@ -59,4 +59,65 @@ class PrefixJaccardSpec extends AnyFunSuite {
     assert(got == naive)
     assert(got.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
   }
+
+  test("t=1/2 rep pairs (dedup-group edges) equal the naive rep join") {
+    import spark.implicits._
+    // the dedup-group edge builder runs prefixRepJaccardPairs at t = 1/2;
+    // pin pair-set identity against the naive shingle-join repJaccardPairs
+    // on the edge-case corpus plus a J = 1/2 EXACT boundary pair
+    // (J = 1/2 ⟺ 3i = nx+ny: 6 shingles each, 4 shared) and on sf0.001
+    val boundary = Seq(
+      50L -> "w1 w2 w3 w4 w5 w6 xx yy",  // 6 shingles, 4 shared with 51
+      51L -> "w1 w2 w3 w4 w5 w6 zz qq")  // i=4, u=8 ⇒ J=1/2 exactly
+    val docs = (corpus ++ boundary).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val members = Dedup.dupClasses(docs)
+    val (gotPairs, gotShingled) =
+      Dedup.prefixRepJaccardPairs(Dedup.repDocsOf(docs, members), 1, 2)
+    val (naivePairs, naiveShingled) = Dedup.repJaccardPairs(docs, members, 0.5)
+    assert(pairSet(gotPairs) == pairSet(naivePairs),
+      s"\ngot:      ${pairSet(gotPairs).toSeq.sorted}" +
+      s"\nexpected: ${pairSet(naivePairs).toSeq.sorted}")
+    assert(pairSet(gotPairs).contains((50L, 51L)),
+      "exact-boundary J = 1/2 edge missing")
+    assert(gotShingled.collect().map(_.getLong(0)).toSet ==
+      naiveShingled.collect().map(_.getLong(0)).toSet)
+
+    val sf = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m2 = Dedup.dupClasses(sf)
+    val (g2, _) = Dedup.prefixRepJaccardPairs(Dedup.repDocsOf(sf, m2), 1, 2)
+    val (n2, _) = Dedup.repJaccardPairs(sf, m2, 0.5)
+    assert(pairSet(g2) == pairSet(n2))
+    assert(pairSet(g2).nonEmpty, "sf0.001 should contain J >= 1/2 rep edges")
+  }
+
+  test("hash-shingle kernels: sorted-distinct xxhash64 law, merge = intersect") {
+    import org.apache.spark.sql.functions._
+    // WordShingleHashes must equal sorted-distinct xxhash64 over the
+    // string shingles (the declarative twin), and the two-pointer merge
+    // must equal array_intersect size on every sf0.001 near-dup pair
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val mismatch = docs.select(
+        Dedup.shingleHashes(col("text")).as("got"),
+        array_sort(array_distinct(
+          transform(Dedup.shingles(col("text")), s => xxhash64(s)))).as("want"))
+      .filter(col("got") =!= col("want"))
+      .count()
+    assert(mismatch == 0, s"$mismatch docs with kernel/declarative drift")
+
+    val arr = docs.limit(40)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("h"))
+    val pairs = arr.as("a").join(arr.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        Dedup.sortedIntersectSize(col("a.h"), col("b.h")).as("got"),
+        size(array_intersect(col("a.h"), col("b.h"))).as("want"))
+    assert(pairs.filter(col("got") =!= col("want")).count() == 0,
+      "two-pointer merge diverged from array_intersect")
+    assert(pairs.filter(col("got") > 0).count() > 0,
+      "law base should contain intersecting pairs")
+  }
 }
