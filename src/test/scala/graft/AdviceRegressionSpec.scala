@@ -373,6 +373,48 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  // ---- round-7 pins (ADVICE round 6) ----
+
+  test("length outliers drop NULL n_chars rows instead of shifting the median") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-nullchars").toString
+    // 4 real rows + 1 NULL n_chars row: before the fix the NULL sorted
+    // NULLS FIRST in Spark (NULLS LAST in DuckDB), shifting the (n+1)/2
+    // lower-median rank for the whole language across engines
+    Seq(
+      (1L, "aaaa", "en", "web", Option(4L)),
+      (2L, "aaaaaa", "en", "web", Option(6L)),
+      (3L, "aaaaaaaa", "en", "web", Option(8L)),
+      (4L, "a" * 100, "en", "web", Option(100L)),
+      (5L, null: String, "en", "web", Option.empty[Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_length_outliers")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(!out.contains(5L), "NULL n_chars row must be excluded")
+    // lower median of (4, 6, 8, 100) = rank (4+1)/2 = 2 -> 6;
+    // MAD deviations (2, 0, 2, 94) -> lower median 2; outlier iff ad > 6
+    assert(out(1L) == ((6L, 2L, false)), s"doc 1: ${out(1L)}")
+    assert(out(4L) == ((6L, 2L, true)), s"doc 4: ${out(4L)}")
+  }
+
+  test("zipf fit nullifies slope/intercept on a single-token vocabulary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-zipf1").toString
+    // one distinct token -> n*sxx - sx^2 = 0: Spark's Divide yields NULL,
+    // DuckDB yields inf/NaN; both engines must now emit NULL via the
+    // vocab >= 2 guard
+    Seq((1L, "word word word", "en", "web", 14L),
+        (2L, "word", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val Array(row) = SparkEntry.queries("q_zipf_fit")(spark, dir).collect()
+    assert(row.getInt(0) == 1, s"vocab: ${row.getInt(0)}")
+    assert(row.isNullAt(1) && row.isNullAt(2),
+      s"degenerate fit must be NULL, got (${row.get(1)}, ${row.get(2)})")
+  }
+
   test("MetaPool.mapAll preserves order and propagates worker failures") {
     val out = MetaPool.mapAll(1 to 100, "order check")(i => i * 2)
     assert(out == (2 to 200 by 2).toSeq)
