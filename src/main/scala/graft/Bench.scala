@@ -52,13 +52,13 @@ object Bench {
     // more wall-clock than the contention it would filter.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val pass1 = names.map(n => n -> run(n)).toMap
+    val pass2 =
+      if (runs < 2) Map.empty[String, Double]
+      else names.map(n => n -> run(n)).toMap
     val results = names.map { n =>
       val t1 = pass1(n)
-      if (runs < 2) n -> t1
-      else {
-        val t2 = run(n)
-        n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
-      }
+      val t2 = pass2.getOrElse(n, -1.0)
+      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     // 2-decimal seconds keep the whole line ≈3.3 KB at 124 queries: the
     // harness that records this output keeps only a ~4 KB tail, and
@@ -75,10 +75,11 @@ object Bench {
     // raw passes, for contention analysis) to a file the driver and the
     // round notes can pick up whole
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    val p1 = names.map(n => "\"" + n + "\":" + fmt(pass1(n)))
+    def passJson(m: Map[String, Double]) = names
+      .map(n => "\"" + n + "\":" + fmt(m.getOrElse(n, -1.0)))
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"result":$line,"pass1":$p1}\n""")
+      s"""{"result":$line,"pass1":${passJson(pass1)},"pass2":${passJson(pass2)}}\n""")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -934,7 +934,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     // one range sort, checkpointed: both the within-partition pass and
-    // the boundary-strip pass read the same sorted runs
+    // the boundary-strip pass read the same sorted runs. localCheckpoint
+    // is executor-local and non-fault-tolerant — at the 100 TB design
+    // point substitute a reliable checkpoint (or persist DISK_ONLY with
+    // replication), as Pipeline's connected-components scaladoc notes:
+    // an executor loss here would otherwise fail the whole job and the
+    // corpus is double-materialized in block storage (ADVICE r7)
     val sorted = snmSorted(s, docs).localCheckpoint()
     // within-partition neighbor pairs: 4-row sliding buffer, O(1) memory
     val within = sorted.mapPartitions { it =>

@@ -419,7 +419,9 @@ object Pipeline {
     * aggregate. */
   val qCorpusPrep: Q = Q(
     "q_corpus_prep",
-    """WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+    """WITH t AS (SELECT doc_id, text,
+                         coalesce(lang, '') AS lang,
+                         coalesce(source, '') AS source, n_chars,
                          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_toks,
                          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
                            / length(text) AS punct
@@ -484,8 +486,14 @@ object Pipeline {
       .cast("binary"))
     // dedup carries the canonical doc's own attributes via min_by —
     // no corpus-sized re-join back to the pre-dedup frame
+    // NULL lang/source coalesce to '' on BOTH engines (ADVICE r7): a NULL
+    // source would sort NULLS FIRST in Spark's sidx window and NULLS LAST
+    // in DuckDB's, shifting every interleave position; a NULL lang would
+    // silently drop docs through the inner median/MAD joins
     val dd = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"),
         col("n_chars"), prof.as("p"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"),

@@ -428,4 +428,33 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("backend exploded")), s"got: ${msgs(e)}")
   }
+
+  // ---- round-8 pins (ADVICE round 7) ----
+
+  test("corpus prep keeps NULL-lang docs and curriculum-ranks NULL-source docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-adv-nullsrc").toString
+    // all four doc_ids hash to the 'train' split (md5 first hex chars
+    // a/1/8/4). Doc 4 has NULL lang: before the coalesce it silently
+    // vanished through the inner median/MAD joins. Doc 6 has NULL source
+    // AND the minimum interleave position under the ''-coalesced source
+    // ordering (sidx('')=0, rk=1 → pos 0): before the fix it dropped out
+    // of the curriculum join entirely (NULL never equi-joins), so
+    // first_doc flipped to another doc — and in DuckDB a NULL source
+    // additionally sorted NULLS LAST where Spark sorts NULLS FIRST.
+    Seq(
+      (4L, "a b c d e f g h i j", null: String, "web", 48L),
+      (6L, "k l m n o p q r s t", "en", null: String, 50L),
+      (7L, "u v w x y z aa bb cc dd ee", "en", "web", 55L),
+      (9L, "ff gg hh ii jj kk ll mm nn oo pp qq", "en", "web", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_corpus_prep")(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "train",
+      s"expected one train row, got ${rows.mkString("; ")}")
+    val r = rows(0)
+    assert(r.getLong(1) == 4L, s"NULL-lang doc lost from n_docs: ${r.getLong(1)}")
+    assert(r.getLong(2) == 43L, s"n_tokens: ${r.getLong(2)}")
+    assert(r.getLong(5) == 6L, s"NULL-source doc must win pos 0: ${r.getLong(5)}")
+  }
 }
