@@ -34,7 +34,7 @@ class DupCollapseSpec extends AnyFunSuite {
   test("collapsed n-gram pairs equal the brute-force pair set") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardPairs(docs, 0.5)
+    val got = Dedup.ngramJaccardPairs(docs, 1, 2)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
@@ -166,7 +166,7 @@ class DupCollapseSpec extends AnyFunSuite {
     assert(nulls.forall(_.getAs[Long]("__rep") == 30L),
       "NULL texts should class together under the sentinel fingerprint")
     // the pair graph still never pairs them (zero shingles)
-    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    val pairs = Dedup.ngramJaccardPairs(docs, 1, 2).collect()
     assert(!pairs.exists(r => r.getLong(0) >= 30L || r.getLong(1) >= 30L))
   }
 }

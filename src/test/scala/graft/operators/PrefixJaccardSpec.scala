@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The prefix-filtered Jaccard join must be LOSSLESS: row-identical to the
   * naive all-co-occurring-pairs join at the same threshold (the prefix
   * filter, the length filter and the candidate-restricted verification may
-  * only prune work, never results). Pinned against ngramJaccardPairs on a
+  * only prune work, never results). Pinned against naiveNgramJaccardPairs on a
   * corpus engineered to hit the filter's edges, and on the real sf0.001
   * documents table for breadth. */
 class PrefixJaccardSpec extends AnyFunSuite {
@@ -41,7 +41,7 @@ class PrefixJaccardSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
     val got = rows(Dedup.prefixJaccardPairs(docs))
-    val naive = rows(Dedup.ngramJaccardPairs(docs, 0.6))
+    val naive = rows(Dedup.naiveNgramJaccardPairs(docs, 0.6))
     assert(got == naive,
       s"\ngot:      ${got.toSeq.sorted}\nexpected: ${naive.toSeq.sorted}")
     // the cases that make the corpus interesting actually occurred
@@ -55,7 +55,7 @@ class PrefixJaccardSpec extends AnyFunSuite {
   test("prefix-filtered pairs equal the naive join on the sf0.001 corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = rows(Dedup.prefixJaccardPairs(docs))
-    val naive = rows(Dedup.ngramJaccardPairs(docs, 0.6))
+    val naive = rows(Dedup.naiveNgramJaccardPairs(docs, 0.6))
     assert(got == naive)
     assert(got.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
   }
