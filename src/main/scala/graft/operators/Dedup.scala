@@ -992,11 +992,17 @@ object Dedup {
     // the oracle's coalesce(n, 0) does
     // NULL text → key '' (not NULL): Spark default-sorts NULLs first and
     // DuckDB last, so a NULL key would silently diverge the neighborhoods
+    // shingle payload rides the range sort as sorted distinct 64-bit
+    // HASHES (WordShingleHashes), not strings: ~4x less sort/shuffle
+    // payload and the neighbor score becomes the codegen'd two-pointer
+    // merge instead of per-row string-set intersection (r8; same
+    // ~1e-15/pair collision risk as the prefix builder, and the string-
+    // form DuckDB oracle re-checks every run)
     docs.select(
       col("doc_id"),
       coalesce(col("lang"), lit("")).as("lang"),
       coalesce(substring(nt, 1, 32), lit("")).as("k"),
-      coalesce(shingles(col("text")), array().cast("array<string>")).as("sh"))
+      coalesce(shingleHashes(col("text")), array().cast("array<bigint>")).as("sh"))
       .withColumn("blk", substring(col("k"), 1, 4))
       .as[SnmDoc]
       .repartitionByRange(col("lang"), col("blk"), col("k"), col("doc_id"))
@@ -1027,6 +1033,10 @@ object Dedup {
         out
       }
     }.toDF("da", "db", "sa", "sb")
+    // one partition → no cuts to cross: skip the whole strip pass (its
+    // four tiny stages were the one r7 sf0.1 regression; at test scales
+    // AQE often coalesces the range sort to a single partition)
+    if (sorted.rdd.getNumPartitions <= 1) return snmScore(within)
     // boundary strip: first/last 3 rows of every partition + its size.
     // Any pair with global gap <= 3 that crosses a cut has both ends in
     // the strip (the gap bound forces last-3 / first-3 membership), and
@@ -1071,8 +1081,14 @@ object Dedup {
       .filter(col("pa") =!= col("pb") &&
         col("la") === col("lb") && col("ba") === col("bb"))
       .select(col("da"), col("db"), col("sa"), col("sb"))
-    val pairs = within.union(crossing)
-    val i = size(array_intersect(col("sa"), col("sb")))
+    snmScore(within.union(crossing))
+  }
+
+  /** Exact-Jaccard scoring of SNM neighbor pairs `(da, db, sa, sb)` —
+    * the two-pointer merge over the sorted hash arrays the rows already
+    * carry. */
+  private def snmScore(pairs: DataFrame): DataFrame = {
+    val i = sortedIntersectSize(col("sa"), col("sb"))
     val u = size(col("sa")) + size(col("sb")) - i
     pairs
       .select(least(col("da"), col("db")).as("id_a"),
@@ -1094,4 +1110,4 @@ object Dedup {
   * Top-level so Spark derives a product encoder for the mapPartitions
   * passes in [[Dedup.snmPairsFrom]]. */
 private[graft] case class SnmDoc(doc_id: Long, lang: String, k: String,
-    sh: Seq[String], blk: String)
+    sh: Array[Long], blk: String)
