@@ -810,6 +810,84 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Composed dedup-graph pipeline (VERDICT r7 #5): ONE edge build and ONE
+    * component propagation feeding all three graph consumers — group
+    * labels (q_dedup_groups), the leakage-safe md5-bucket split
+    * (q_group_split) and canonical-representative selection
+    * (q_dedup_canonical) — in a single declarative query, where running
+    * the three standalone queries rebuilds the identical t = 1/2 edge
+    * list three times (~10 s each at sf1). The split is a pure hash
+    * projection of the group id and the canonical pick one group-bounded
+    * window, so the composition adds NO graph work: bench delta vs the
+    * three leaves is recorded in BASELINE.md each round.
+    *
+    * Scale design (100 TB): identical to dedupGroupsFrame (the edge build
+    * dominates; localCheckpoint cuts the per-round lineage — reliable
+    * checkpoint on a cluster) plus one window over duplication-bounded
+    * groups; nothing here re-touches the corpus. */
+  val qDedupPipeline: Q = Q(
+    "q_dedup_pipeline",
+    """WITH RECURSIVE
+       sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents))),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b FROM inter
+                 JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       g AS (SELECT id AS doc_id, min(root) AS group_id FROM reach GROUP BY id),
+       c AS (SELECT doc_id,
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                        x -> x <> '')) AS ntok
+             FROM documents),
+       w AS (SELECT g.doc_id, g.group_id,
+                    first_value(g.doc_id) OVER (PARTITION BY g.group_id
+                       ORDER BY c.ntok DESC, g.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS canonical_id
+             FROM g JOIN c ON g.doc_id = c.doc_id)
+       SELECT doc_id, group_id,
+              CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                   ELSE 'test' END AS split,
+              canonical_id, doc_id = canonical_id AS is_canonical
+       FROM w ORDER BY doc_id""") { (s, d) =>
+    val ntok = Tables.documents(s, d).select(col("doc_id"),
+      size(filter(TextOps.tokens(lower(col("text"))), _ =!= lit("")))
+        .as("ntok"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("ntok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bucket = substring(
+      md5(col("group_id").cast("string").cast("binary")), 1, 1)
+    dedupGroupsFrame(s, d) // one edge build + one propagation, shared below
+      .join(ntok, "doc_id")
+      .select(col("doc_id"), col("group_id"),
+        first(col("doc_id")).over(w).as("canonical_id"))
+      .withColumn("split",
+        when(bucket <= "b", "train").when(bucket <= "d", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("group_id"), col("split"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic epoch shuffle + shard manifest (N23): the dataloader
     * step after curation — give every document a pseudo-random but
     * REPRODUCIBLE position for this epoch, sharded so N loader workers
@@ -852,6 +930,6 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(qDedupGroups, qDedupGroupsStar, qTfidf, qCube, qTrainSplit, qPiiRedact,
     qDocChunks, qCorpusPrep, qDecontaminate, qStratifiedSample, qDomainMixture,
-    qSequencePack, qTokenBudget, qGroupSplit, qEpochShuffle,
+    qSequencePack, qTokenBudget, qGroupSplit, qDedupPipeline, qEpochShuffle,
     qCurriculumOrder)
 }
