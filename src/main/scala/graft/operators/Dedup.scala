@@ -90,16 +90,25 @@ object Dedup {
         element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
-  /** LSH candidate pairs: band the signature, join docs sharing any band. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** LSH band rows of a signature frame: (doc_id, band_idx, band_hash),
+    * NumBands rows per signed document. The per-band hash folds the
+    * band's 4 signature components through xxhash64, so a band row is 20
+    * bytes — the unit both the pair join below and the lake-resident
+    * incremental-ingest index (Ingest.ingestBatchNearDup) operate on. */
+  private[graft] def minhashBands(sigs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
     }
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** LSH candidate pairs: band the signature, join docs sharing any band. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = minhashBands(sigs)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

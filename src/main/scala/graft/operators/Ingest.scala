@@ -132,4 +132,142 @@ object Ingest {
     fps.writeTo(indexTable).overwrite(lit(true))
     spark.table(indexTable).count()
   }
+
+  /** Per-batch accounting of [[ingestBatchNearDup]]: `batchRows` =
+    * `qualityRejected` + `intraBatchDups` (exact) + `corpusNearDups` +
+    * `intraBatchNearDups` + `admitted`. */
+  final case class NearDupIngestReport(
+      batchRows: Long,
+      qualityRejected: Long,
+      intraBatchDups: Long,
+      corpusNearDups: Long,
+      intraBatchNearDups: Long,
+      admitted: Long,
+      corpusVersion: Long)
+
+  /** Incremental NEAR-dup ingest against a lake-resident LSH band index —
+    * the production gap past [[ingestBatch]]'s exact-fingerprint check: a
+    * crawl pipeline ingests snapshots continuously and cannot re-band a
+    * 100 TB corpus per batch, so the MinHash band rows
+    * `(band_idx, band_hash, doc_id)` persist as a lake table
+    * (`bandTable`, NumBands = 8 rows of 20 B per admitted document)
+    * through the full optimistic-commit write path.
+    *
+    * Per batch (O(batch) corpus-side work):
+    *  1. quality gate + intra-batch EXACT dedup, as [[ingestBatch]];
+    *  2. the batch's MinHash signatures and band rows — one shuffle-free
+    *     kernel pass over the BATCH only;
+    *  3. corpus near-dup rejection: the band index scan STREAMS through an
+    *     inner join against the BROADCAST batch bands (the index never
+    *     shuffles — the q_lake_ingest_dedup shape); candidate corpus docs
+    *     (bounded by band collisions, a standing candidates/doc gate) are
+    *     pruned out of the corpus scan by a broadcast semi-join and each
+    *     candidate pair is exact-Jaccard verified; J ≥ 1/2 rejects;
+    *  4. intra-batch near-dup collapse among the corpus-clean survivors:
+    *     LSH candidates + exact verify within the batch, connected
+    *     components, component-min admission — the same collapse the
+    *     global dedup-group pipeline applies, so ingesting a corpus as
+    *     ONE batch into empty tables admits exactly the global pipeline's
+    *     representatives (IngestNearDupSpec pins this);
+    *  5. admitted docs append to the corpus, then their band rows to the
+    *     index — the same corpus-before-index crash contract as
+    *     [[ingestBatch]]: a crash between the commits can only re-admit a
+    *     future identical/near-dup text (benign, caught by offline dedup),
+    *     never lose data; [[rebuildBandIndex]] is the idempotent recovery.
+    *
+    * Like any online dedup, admission is greedy-by-batch: a document
+    * rejected against batch k's admissions stays rejected even if a later
+    * batch would have collapsed differently. Documents whose gated text
+    * yields no signature (< 3 tokens — impossible past the ≥ 10-token
+    * quality gate) are admitted unbanded. Caller contract: doc_ids unique
+    * across corpus + batches (key-strided crawl ids). */
+  def ingestBatchNearDup(spark: SparkSession, batch: DataFrame,
+      corpusTable: String, bandTable: String): NearDupIngestReport = {
+    require(batch.columns.contains("doc_id") && batch.columns.contains("text"),
+      s"ingest batch needs doc_id + text, got ${batch.columns.mkString(",")}")
+    val batchRows = batch.count()
+    // eager cut, as ingestBatch: the appended rows MUST be the counted rows
+    val gated = qualityFilter(batch)
+      .withColumn("__fp", TextOps.normalizedFp(col("text")))
+      .localCheckpoint()
+    val gatedRows = gated.count()
+    val first = gated
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn", "__fp")
+    // batch signatures + band rows (batch-sized; cut once — the candidate
+    // join, the intra-batch collapse and the index append all reuse them)
+    val sigs = Dedup.minhashSignatures(first).localCheckpoint()
+    val bands = Dedup.minhashBands(sigs).localCheckpoint()
+    // 3. corpus near-dup rejection (index streams, batch broadcasts)
+    val candPairs = corpusBandCandidates(spark.table(bandTable), bands)
+      .localCheckpoint()
+    val candIds = candPairs.select(col("id_a").as("doc_id")).distinct()
+    val corpusCand = spark.table(corpusTable).select("doc_id", "text")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val combined = corpusCand.unionByName(first.select("doc_id", "text"))
+    val rejected = Dedup.exactJaccard(combined, candPairs)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = first.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 4. intra-batch near-dup collapse (component-min, the global
+    // pipeline's convention)
+    val cleanSigs = sigs
+      .join(broadcast(clean.select("doc_id")), Seq("doc_id"), "left_semi")
+    val intraPairs = Dedup.exactJaccard(clean, Dedup.lshCandidates(cleanSigs))
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+    val edges = intraPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(intraPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val comps = Pipeline.connectedComponents(spark,
+      clean.select(col("doc_id").as("id")), edges)
+    val admitted = clean.join(
+      broadcast(comps.filter(col("id") === col("comp"))
+        .select(col("id").as("doc_id"))),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint() // both appends must write the identical row set
+    val firstRows = first.count()
+    val cleanRows = clean.count()
+    val admittedRows = admitted.count()
+    // corpus first, index second — see the crash contract above
+    admitted.writeTo(corpusTable).append()
+    bands.join(broadcast(admitted.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select("band_idx", "band_hash", "doc_id")
+      .writeTo(bandTable).append()
+    val version = spark.table(s"$corpusTable.history")
+      .agg(max("snapshot_id")).head().getLong(0)
+    NearDupIngestReport(
+      batchRows = batchRows,
+      qualityRejected = batchRows - gatedRows,
+      intraBatchDups = gatedRows - firstRows,
+      corpusNearDups = firstRows - cleanRows,
+      intraBatchNearDups = cleanRows - admittedRows,
+      admitted = admittedRows,
+      corpusVersion = version)
+  }
+
+  /** Candidate (corpus doc, batch doc) pairs from the lake band index:
+    * inner join on (band_idx, band_hash) with the batch side BROADCAST so
+    * the index scan streams map-side — exposed so IngestNearDupSpec can
+    * pin the O(batch) plan shape (no exchange on the index side). */
+  private[graft] def corpusBandCandidates(index: DataFrame,
+      batchBands: DataFrame): DataFrame =
+    index.join(
+        broadcast(batchBands.withColumnRenamed("doc_id", "id_b")),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("id_a"), col("id_b")).distinct()
+
+  /** Recovery / bootstrap for the NEAR-dup index: rebuild the band table
+    * from the corpus (full overwrite) — one signature pass over the
+    * corpus, the same O(table) commit class as a compaction. Run after a
+    * crash between ingestBatchNearDup's two appends, or to adopt a
+    * pre-existing corpus. Returns the indexed band-row count. */
+  def rebuildBandIndex(spark: SparkSession, corpusTable: String,
+      bandTable: String): Long = {
+    val bands = Dedup.minhashBands(Dedup.minhashSignatures(
+      spark.table(corpusTable).select("doc_id", "text")))
+    bands.select("band_idx", "band_hash", "doc_id")
+      .writeTo(bandTable).overwrite(lit(true))
+    spark.table(bandTable).count()
+  }
 }

@@ -559,10 +559,50 @@ object LakeOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup ingest against a lake-resident LSH band index
+    * (VERDICT r7 #2) — the near-duplicate analogue of q_lake_ingest_dedup:
+    * the corpus partition (doc_id % 5 != 0) ingests first (seeding the
+    * corpus table and its (band_idx, band_hash, doc_id) MinHash band
+    * index through the full write path), then the batch partition
+    * (doc_id % 5 == 0) ingests against the index READ BACK from the lake,
+    * so the output covers the index roundtrip. Per-batch corpus-side work
+    * is O(batch): the index scan streams against the broadcast batch
+    * bands, candidates broadcast-prune the corpus scan, verification is
+    * exact Jaccard at 1/2 (Ingest.ingestBatchNearDup's contract;
+    * IngestNearDupSpec pins the laws, NearDupIngestProbe the recall).
+    * No DuckDB twin (xxhash64 MinHash has no oracle form); output is the
+    * deterministic per-stage accounting of both ingests. */
+  val qLakeIngestNearDup: Q = Q.noOracle("q_lake_ingest_neardup") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nd_corpus")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nd_bands")
+    s.sql(s"""CREATE TABLE $Cat.verify.nd_corpus
+              (doc_id BIGINT, text STRING) USING graft""")
+    s.sql(s"""CREATE TABLE $Cat.verify.nd_bands
+              (band_idx INT, band_hash BIGINT, doc_id BIGINT) USING graft""")
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val seed = Ingest.ingestBatchNearDup(s, docs.filter(col("doc_id") % 5 =!= 0),
+      s"$Cat.verify.nd_corpus", s"$Cat.verify.nd_bands")
+    val batch = Ingest.ingestBatchNearDup(s, docs.filter(col("doc_id") % 5 === 0),
+      s"$Cat.verify.nd_corpus", s"$Cat.verify.nd_bands")
+    import s.implicits._
+    Seq(
+      ("1_seed", seed.batchRows, seed.qualityRejected, seed.intraBatchDups,
+        seed.corpusNearDups, seed.intraBatchNearDups, seed.admitted),
+      ("2_batch", batch.batchRows, batch.qualityRejected,
+        batch.intraBatchDups, batch.corpusNearDups,
+        batch.intraBatchNearDups, batch.admitted))
+      .toDF("stage", "batch_rows", "quality_rejected", "intra_exact_dups",
+        "corpus_neardups", "intra_neardups", "admitted")
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
     qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg,
-    qLakeIngestDedup)
+    qLakeIngestDedup, qLakeIngestNearDup)
 }

@@ -348,4 +348,34 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming cross-batch NEAR-dup ingest — the continuous twin of
+    * Ingest.ingestBatchNearDup, exactly as [[dedupIngestIntoLakeTable]]
+    * twins the exact-fingerprint ingestBatch: each micro-batch runs the
+    * full quality → exact-dedup → band-index near-dup check → intra-batch
+    * collapse → corpus + band appends pipeline against the named lake
+    * tables. The band-index table is the dedup state, so restarts resume
+    * from the checkpoint + snapshot log with no state store; per-batch
+    * corpus-side work stays O(batch) (the index scan streams against the
+    * broadcast batch bands — see the batch twin's scaladoc). */
+  def nearDupIngestIntoLakeTables(
+      spark: SparkSession,
+      stream: DataFrame, // needs doc_id + text columns
+      corpusTable: String,
+      bandTable: String,
+      checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Ingest.ingestBatchNearDup(
+            spark, batch, corpusTable, bandTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -256,6 +256,41 @@ class StreamingSpec extends SparkSpec {
     assert(index().values.toSet == Set(1L, 2L),
       "a later NULL-text doc must dedup against the sentinel class")
   }
+
+  test("streaming NEAR-dup ingest rejects near-duplicates across micro-batches") {
+    val Cat = "ndstreamcat"
+    if (spark.conf.getOption(s"spark.sql.catalog.$Cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$Cat",
+        classOf[graft.lake.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$Cat.warehouse",
+        Files.createTempDirectory("graft-wh-ndstream").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.ing")
+    val (c, b) = (s"$Cat.ing.corpus", s"$Cat.ing.bands")
+    spark.sql(s"CREATE TABLE $c (doc_id BIGINT, text STRING) USING graft")
+    spark.sql(
+      s"CREATE TABLE $b (band_idx INT, band_hash BIGINT, doc_id BIGINT) USING graft")
+    def words(tag: String, k: Int) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val baseA = words("alpha", 40)
+    val nearA = words("alpha", 39) + " zzz"
+    val baseB = words("beta", 40)
+
+    implicit val sqlCtx = spark.sqlContext
+    val ck = Files.createTempDirectory("graft-ck-ndingest").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def corpusIds() =
+      spark.table(c).select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 1: doc 2 is a near-dup of doc 1 → intra-batch collapse
+    input.addData((1L, baseA), (2L, nearA))
+    Streams.nearDupIngestIntoLakeTables(spark, stream, c, b, ck)
+    assert(corpusIds() == Set(1L))
+    // batch 2: doc 3 near-dups ADMITTED doc 1 via the band index; doc 4 new
+    input.addData((3L, nearA), (4L, baseB))
+    Streams.nearDupIngestIntoLakeTables(spark, stream, c, b, ck)
+    assert(corpusIds() == Set(1L, 4L),
+      "a near-dup of an earlier batch's admission must be rejected")
+  }
 }
 
 /** Small accessor so the spec reuses the exact driver-facing query. */

@@ -60,6 +60,11 @@ echo "== adversarial minhash recall + candidate-volume pin =="
 java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.DedupRecallProbe "$SF1" \
   | grep '{"probe"' | tee /tmp/dedup_recall_sf1.json
 
+echo "== incremental near-dup ingest: online recall + candidate pin (r8) =="
+# shellcheck disable=SC2086
+java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.NearDupIngestProbe "$SF1" \
+  | grep '{"probe"' | tee /tmp/neardup_ingest_sf1.json
+
 echo "== vectorized COW-read ratio pin (>= 1.3x row path) =="
 # shellcheck disable=SC2086
 java $ADD_OPENS $JFLAGS -cp "$TCP" graft.CowReadGate "$SF1" \
