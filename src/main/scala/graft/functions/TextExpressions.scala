@@ -709,3 +709,70 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Positioned winnowing fingerprints — the span-emitting sibling of
+  * [[WinnowFingerprints]] behind q_retained_spans (Lee et al. 2022 style
+  * exact-substring dedup): the SAME rolling polynomial hash over
+  * character k-grams of the normalized text and the SAME strided
+  * window-minimum selection (rightmost on ties), but each selected
+  * fingerprint is emitted WITH its 1-based gram start position in the
+  * normalized string, one struct per window, ordered by position.
+  * Occurrences are deliberately NOT de-duplicated: a fingerprint selected
+  * in several windows marks several drop extents downstream. Hash values
+  * are bit-identical to [[WinnowFingerprints]] (and to the HUGEINT
+  * mod-2^64 DuckDB twin the oracle runs), so fingerprint ownership
+  * composes across both kernels. */
+case class WinnowFingerprintSpans(child: Expression, k: Int, window: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2 && window >= 1)
+
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("fp", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("start", org.apache.spark.sql.types.IntegerType, nullable = false),
+    containsNull = false)
+
+  private val Base = 1000003L
+
+  override def nullSafeEval(v: Any): Any = {
+    val raw = v.asInstanceOf[UTF8String].toLowerCase.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c)
+      i += 1
+    }
+    val s = sb.toString
+    if (s.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L // Base^(k-1)
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); if (i < k - 1) pow *= Base; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](n / window + 1)
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + window, n)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hashes(minIdx), minIdx + 1)))
+      start += window
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

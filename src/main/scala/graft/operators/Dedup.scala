@@ -385,6 +385,172 @@ object Dedup {
     substringOverlapPairs(Tables.documents(s, d)).orderBy("id_a", "id_b")
   }
 
+  /** Positioned winnow fingerprints (fp, 1-based gram start) — the
+    * q_retained_spans kernel (k=8-char grams, window 16). */
+  private[operators] def winnowSpans(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.WinnowFingerprintSpans(
+      ColumnBridge.expression(text), 8, 16))
+  }
+
+  /** Paragraph/substring-level exact dedup, Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") granularity: per-doc
+    * RETAINED SPANS of the normalized text after dropping runs that an
+    * earlier document (min doc_id — "first occurrence wins") already
+    * contains. Fingerprint-certified approximation of the suffix-array
+    * form: each winnow fingerprint (k=8 chars, window 16) present in a
+    * smaller-id document marks its whole WINDOW's coverage
+    * [16·widx+1, 16·widx+window+k−1] for removal — the extent whose
+    * minimum-hash gram is certified shared. Adjacent dropped windows
+    * overlap (16·w+17 ≤ 16·w+23), so a long duplicated run merges into
+    * ONE dropped span and an exact copy of an earlier document retains
+    * NOTHING (spec-pinned), while a window whose pick is unshared —
+    * evidence of novel content — breaks the run. Conservative toward
+    * dropping by ≤ window+k−2 chars at run boundaries (the uncertified
+    * remainder of a boundary window), the direction substring dedup
+    * wants. Positions are
+    * 1-based offsets into the winnow-normalized string (lowercased,
+    * non-alphanumerics stripped), the coordinate system both engines
+    * share. Documents whose normalized text is empty emit nothing; docs
+    * with no dropped runs retain one full span.
+    *
+    * Scale design (100 TB): fingerprint+position extraction is one
+    * per-row kernel pass; ownership is one hash aggregate over (fp) with
+    * map-side partials and the drop-join is fp-keyed (never all-pairs);
+    * interval merge + complement are windows PARTITIONED BY doc_id —
+    * doc-bounded, no global sort except the declared output ORDER BY.
+    * Unlike the pair listings, output is ≤ drops+1 spans per doc — LINEAR
+    * in the corpus even under adversarial duplication (every copy of a
+    * duplicated class past the first collapses to zero retained spans,
+    * not to quadratic pairs). */
+  val qRetainedSpans: Q = Q(
+    "q_retained_spans",
+    """WITH norm AS (
+         SELECT doc_id, regexp_replace(lower(text), '[^\p{L}\p{Nd}]', '', 'g') AS s
+         FROM documents),
+       chars AS (
+         SELECT doc_id, u.i AS pos, unicode(substr(s, u.i, 1))::HUGEINT AS cp
+         FROM norm, unnest(range(1, length(s) + 1)) AS u(i)),
+       pw AS (
+         SELECT * FROM (VALUES
+           (0, 12924618581234127435::HUGEINT),
+           (1, 10923514805226455897::HUGEINT),
+           (2, 14453212906556403763::HUGEINT),
+           (3, 14003818205314896721::HUGEINT),
+           (4, 1000009000027000027::HUGEINT),
+           (5, 1000006000009::HUGEINT),
+           (6, 1000003::HUGEINT),
+           (7, 1::HUGEINT)) AS v(j, p)),
+       grams AS (
+         SELECT doc_id, start,
+                CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE h::BIGINT END AS hs
+         FROM (
+           SELECT c.doc_id, c.pos - pw.j AS start,
+                  (sum(c.cp * pw.p) % 18446744073709551616::HUGEINT) AS h
+           FROM chars c JOIN pw ON c.pos - pw.j >= 1
+           GROUP BY 1, 2 HAVING count(*) = 8)),
+       wins AS (
+         SELECT doc_id, (start - 1) // 16 AS widx, min(hs) AS mh
+         FROM grams GROUP BY 1, 2),
+       wpos AS (
+         SELECT g.doc_id, w.widx, w.mh AS fp, max(g.start) AS s
+         FROM wins w JOIN grams g
+           ON g.doc_id = w.doc_id AND (g.start - 1) // 16 = w.widx
+          AND g.hs = w.mh
+         GROUP BY 1, 2, 3),
+       own AS (SELECT fp, min(doc_id) AS own FROM wpos GROUP BY 1),
+       lens AS (SELECT doc_id, length(s) AS len FROM norm WHERE length(s) >= 1),
+       dropped AS (
+         SELECT p.doc_id, p.widx * 16 + 1 AS s,
+                least(p.widx * 16 + 23, l.len) AS e
+         FROM wpos p
+         JOIN own o ON p.fp = o.fp
+         JOIN lens l ON l.doc_id = p.doc_id
+         WHERE p.doc_id > o.own),
+       m AS (
+         SELECT doc_id, s, e,
+                max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS pmax
+         FROM dropped),
+       isl AS (
+         SELECT doc_id, s, e,
+                sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+         FROM m),
+       merged AS (SELECT doc_id, gid, min(s) AS ds, max(e) AS de
+                  FROM isl GROUP BY 1, 2),
+       mids AS (
+         SELECT doc_id,
+                coalesce(lag(de) OVER (PARTITION BY doc_id ORDER BY ds) + 1, 1)
+                  AS rs,
+                ds - 1 AS re
+         FROM merged),
+       tails AS (
+         SELECT m.doc_id, max(m.de) + 1 AS rs, l.len AS re
+         FROM merged m JOIN lens l ON m.doc_id = l.doc_id
+         GROUP BY m.doc_id, l.len),
+       whole AS (
+         SELECT l.doc_id, 1 AS rs, l.len AS re FROM lens l
+         WHERE l.doc_id NOT IN (SELECT doc_id FROM merged))
+       SELECT doc_id, CAST(rs AS BIGINT) AS span_start,
+              CAST(re AS BIGINT) AS span_end
+       FROM (SELECT * FROM mids UNION ALL SELECT * FROM tails
+             UNION ALL SELECT * FROM whole)
+       WHERE rs <= re
+       ORDER BY doc_id, span_start""") { (s, d) =>
+    retainedSpans(Tables.documents(s, d)).orderBy("doc_id", "span_start")
+  }
+
+  /** Engine behind q_retained_spans, factored out so RetainedSpansSpec can
+    * pin the witness laws on crafted corpora. */
+  private[operators] def retainedSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(col("text")), "[^\\p{L}\\p{Nd}]", "")
+    val base = docs
+      .select(col("doc_id"), length(norm).as("len"),
+        winnowSpans(col("text")).as("sp"))
+      .filter(col("len") >= 1)
+    // the pick at gram start s was selected FROM window (s-1) div 16
+    // (strided windows, pick ∈ window), so the window index needs no
+    // extra kernel output
+    val occ = base.select(col("doc_id"), col("len"),
+      explode(col("sp")).as("o"))
+      .select(col("doc_id"), col("len"), col("o.fp").as("fp"),
+        floor((col("o.start") - 1) / lit(16)).cast("int").as("widx"))
+    val owner = occ.groupBy("fp").agg(min("doc_id").as("own"))
+    val dropped = occ.join(owner, "fp").filter(col("doc_id") > col("own"))
+      .select(col("doc_id"), (col("widx") * 16 + 1).as("s"),
+        least(col("widx") * 16 + 23, col("len")).as("e"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("s", "e")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val merged = dropped
+      .withColumn("pmax", max("e").over(wPrev))
+      .withColumn("gid", sum(
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+          .otherwise(0L)).over(wOrd))
+      .groupBy("doc_id", "gid")
+      .agg(min("s").as("ds"), max("e").as("de"))
+    val lens = base.select("doc_id", "len")
+    val wDs = Window.partitionBy("doc_id").orderBy("ds")
+    val mids = merged
+      .select(col("doc_id"),
+        coalesce(lag("de", 1).over(wDs) + 1, lit(1)).as("rs"),
+        (col("ds") - 1).as("re"))
+    val tails = merged.groupBy("doc_id").agg(max("de").as("mx"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"), (col("mx") + 1).as("rs"), col("len").as("re"))
+    val whole = lens
+      .join(merged.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1).as("rs"), col("len").as("re"))
+    mids.unionAll(tails).unionAll(whole)
+      .filter(col("rs") <= col("re"))
+      .select(col("doc_id"), col("rs").cast("long").as("span_start"),
+        col("re").cast("long").as("span_end"))
+  }
+
   /** Substring-overlap BEST MATCH — the scale-safe production twin of the
     * (declared output-quadratic) q_substring_overlap pair listing. Two
     * bounds make it linear where the listing is not:
@@ -1111,7 +1277,8 @@ object Dedup {
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupFingerprint, qMinhashSignatures, qMinhashDedup,
     qSimhash, qSimhashPairs, qNgramJaccard, qSubstringOverlap,
-    qSubstringBestMatch, qEmbeddingNearDup, qPrefixJaccard, qSnmPairs)
+    qSubstringBestMatch, qRetainedSpans, qEmbeddingNearDup, qPrefixJaccard,
+    qSnmPairs)
 }
 
 /** One sorted-neighborhood row: document id, coalesced language, 4-char
