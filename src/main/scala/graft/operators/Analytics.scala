@@ -306,19 +306,69 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  /** Mergeable percentiles — the 100 TB shape of [[qPercentiles]]:
-    * `approx_percentile` (t-digest-style quantile sketch) builds partial
-    * sketches map-side and MERGES them, so cost is one pass + tiny
-    * combiner state instead of a full per-group sort. Approximate → no
-    * SQL oracle; CoverageSpec pins it within tolerance of the exact
-    * form. */
-  val qPercentilesTdigest: Q = Q.noOracle("q_percentiles_tdigest") { (s, d) =>
+  /** Raw mergeable quantile sketch — the 100 TB production shape:
+    * `approx_percentile` builds partial sketches map-side and MERGES
+    * them, one pass + tiny combiner state instead of a per-group sort.
+    * Merge order varies with partitioning, so the raw values never enter
+    * hashed output bytes; [[qPercentilesTdigest]] certifies them. */
+  private[graft] def tdigestSketch(
+      s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("p50"),
-        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("p90"))
-      .orderBy("l_returnflag")
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("s50"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("s90"))
+
+  /** Mergeable percentiles, ORACLE-PROMOTED (VERDICT r7 #8): the query
+    * runs the t-digest sketch ([[tdigestSketch]]) AND the exact integer
+    * form ([[qPercentiles]]), asserts the sketch within ε = max(1 cent,
+    * 0.5%) per group INSIDE the query — throwing loudly on drift, every
+    * round, at every scale factor — and outputs the exact values plus the
+    * assertion flag, which IS DuckDB-expressible. The collect behind the
+    * throw reads ≤ |groups| rows (3 return flags), driver-bounded by the
+    * group cardinality, not the data. The sketch stays the production
+    * form; this query is its standing certification harness. */
+  val qPercentilesTdigest: Q = Q(
+    "q_percentiles_tdigest",
+    """WITH v AS (SELECT l_returnflag AS flag,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+                  FROM lineitem),
+       b AS (SELECT flag, c, count(*) AS cnt FROM v GROUP BY 1, 2),
+       r AS (SELECT flag, c, cnt,
+                    sum(cnt) OVER (PARTITION BY flag ORDER BY c) AS hi_rk
+             FROM b),
+       r2 AS (SELECT flag, c, hi_rk, hi_rk - cnt + 1 AS lo_rk FROM r),
+       t AS (SELECT flag, sum(cnt) AS n FROM b GROUP BY flag),
+       e AS (SELECT r2.flag,
+                    sum(CASE WHEN lo_rk <= (t.n + 1) // 2
+                              AND (t.n + 1) // 2 <= hi_rk THEN c ELSE 0 END) AS lo50,
+                    sum(CASE WHEN lo_rk <= (t.n + 2) // 2
+                              AND (t.n + 2) // 2 <= hi_rk THEN c ELSE 0 END) AS hi50,
+                    sum(CASE WHEN lo_rk <= (9 * t.n + 1) // 10
+                              AND (9 * t.n + 1) // 10 <= hi_rk THEN c ELSE 0 END) AS lo90,
+                    sum(CASE WHEN lo_rk <= (9 * t.n + 10) // 10
+                              AND (9 * t.n + 10) // 10 <= hi_rk THEN c ELSE 0 END) AS hi90,
+                    max(t.n) AS n
+             FROM r2 JOIN t USING (flag)
+             GROUP BY r2.flag)
+       SELECT flag AS l_returnflag,
+              CAST((lo50 + hi50 + 1) // 2 AS DOUBLE) / 100 AS p50,
+              CAST((10 * lo90 + ((9 * n + 1) % 10) * (hi90 - lo90) + 5) // 10
+                   AS DOUBLE) / 100 AS p90,
+              true AS sketch_within_eps
+       FROM e ORDER BY l_returnflag""") { (s, d) =>
+    val eps50 = greatest(lit(0.01), col("p50") * lit(0.005))
+    val eps90 = greatest(lit(0.01), col("p90") * lit(0.005))
+    val joined = qPercentiles.fn(s, d)
+      .join(tdigestSketch(s, d), "l_returnflag")
+      .withColumn("sketch_within_eps",
+        abs(col("s50") - col("p50")) <= eps50 &&
+          abs(col("s90") - col("p90")) <= eps90)
+    val bad = joined.filter(!col("sketch_within_eps")).limit(4).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"t-digest drifted past eps vs the exact form: ${bad.mkString("; ")}")
+    joined.select(col("l_returnflag"), col("p50"), col("p90"),
+      col("sketch_within_eps")).orderBy("l_returnflag")
   }
 
   /** Pivot: order counts per priority × status matrix (groupBy.pivot —

@@ -125,7 +125,9 @@ class CoverageSpec extends SparkSpec {
   }
 
   test("t-digest percentiles stay within 1% of the exact sort-based form") {
-    val approx = graft.operators.Analytics.qPercentilesTdigest.fn(spark, sf)
+    // the RAW sketch values (the promoted query outputs the exact form
+    // plus its own in-query eps assertion — see qPercentilesTdigest)
+    val approx = graft.operators.Analytics.tdigestSketch(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = graft.operators.Analytics.qPercentiles.fn(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

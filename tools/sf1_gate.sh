@@ -79,3 +79,6 @@ echo "== sf1 bench (runs=2 agg=min; run on an otherwise idle box) =="
 # shellcheck disable=SC2086
 SPARK_GRAFT_SF_DIR="$SF1" java $ADD_OPENS $JFLAGS -cp "$CP" graft.Bench \
   | grep '{"metric"' | tee /tmp/bench_sf1.json
+
+echo "== standing sf10 spot-probe (ratio <= 8x for 10x data; r8) =="
+tools/sf10_probe.sh "$SF1" /tmp/sf10
