@@ -120,24 +120,28 @@ object Dedup {
   }
 
   /** Exact Jaccard for a set of candidate pairs. ONE pass over the corpus:
-    * shingle ARRAYS (distinct by construction) are computed per row, pruned
-    * to candidate docs with a broadcast semi-join, and each pair's
-    * intersection is a per-row `array_intersect` — no shingle self-join, no
-    * full-corpus sizes aggregation (the old plan made three full
-    * explode-the-corpus passes for what the candidate set answers locally).
+    * sorted 64-bit shingle-HASH arrays (distinct by construction) are
+    * computed per row, pruned to candidate docs with a broadcast
+    * semi-join, and each pair's intersection is one codegen'd two-pointer
+    * merge — no shingle self-join, no full-corpus sizes aggregation, and
+    * (r8) no per-row string-set build: the r7 sf10 probe showed
+    * string-array `array_intersect` saturating all cores, which the
+    * long-merge form removes here exactly as it did in the prefix
+    * builder. Collision odds ~1e-15/pair (WordShingleHashes scaladoc);
+    * the verified consumers are recall/spec-pinned, not value-hashed.
     * Pairs whose shingle sets don't intersect come back with jaccard 0
     * rather than being absent, which is the more useful contract for a
     * verification stage. At scale the candidate set is ≪ corpus, so the
     * joins after the semi-join are AQE-broadcast-sized by construction. */
   def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val arr = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val arr = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
     val candDocs = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
     val candArr = arr.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val a = candArr.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = candArr.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", sortedIntersectSize(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         ExactSum.intRatio(col("inter"),
           size(col("sh_a")) + size(col("sh_b")) - col("inter"), 4)

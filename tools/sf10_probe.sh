@@ -7,10 +7,13 @@
 # builder) only when someone remembered to run this by hand — now the
 # gate runs it. Record the printed table in BASELINE.md each round.
 #
-# Exemptions (by name, with the reason on record):
-#   q_ngram_jaccard    — declared output-bound pair LISTING (t=1/20):
-#                        intra-class member pairs are quadratic in the
-#                        adversarial replica count by definition.
+# FENCED OUT of the probe entirely (like q_substring_overlap): the two
+# declared output-bound pair LISTINGS — q_ngram_jaccard (t=1/20: member
+# pairs are quadratic in the adversarial replica count by definition) and
+# q_substring_overlap. Their wall time IS their output size; production
+# pipelines use the linear twins (prefix builder / best-match).
+#
+# Exemptions (measured, ratio not asserted):
 #   q_dedup_pipeline   — exact J>=1/2 EDGE SET is quadratic in per-class
 #                        duplication on this corpus (VERDICT r7: per-edge
 #                        cost flat; the ratio tracks the edge count).
@@ -22,8 +25,8 @@ cd "$(dirname "$0")/.."
 SF1=${1:-/tmp/sf1}
 SF10=${2:-/tmp/sf10}
 RATIO_MAX=${RATIO_MAX:-8.0}
-FILTER='^(q_snm_pairs|q_substring_best_match|q_knn_pq|q_knn_ivfpq|q_hybrid_search|q_minhash_dedup|q_retained_spans|q_lake_ingest_neardup|q_importance_weights|q_dedup_pipeline|q_ngram_jaccard)$'
-EXEMPT='q_ngram_jaccard,q_dedup_pipeline'
+FILTER='^(q_snm_pairs|q_substring_best_match|q_knn_pq|q_knn_ivfpq|q_hybrid_search|q_minhash_dedup|q_retained_spans|q_lake_ingest_neardup|q_importance_weights|q_dedup_pipeline)$'
+EXEMPT='q_dedup_pipeline'
 
 if [ ! -f "$SF10/lineitem.parquet" ] || \
    [ tools/make_sf1.py -nt "$SF10/documents.parquet" ]; then
