@@ -359,11 +359,15 @@ object Analytics {
        FROM e ORDER BY l_returnflag""") { (s, d) =>
     val eps50 = greatest(lit(0.01), col("p50") * lit(0.005))
     val eps90 = greatest(lit(0.01), col("p90") * lit(0.005))
+    // localCheckpoint: the frame is |groups| rows (3 return flags) but
+    // its plan is two full lineitem passes — materialize ONCE so the
+    // assertion probe below and the returned output don't re-run them
     val joined = qPercentiles.fn(s, d)
       .join(tdigestSketch(s, d), "l_returnflag")
       .withColumn("sketch_within_eps",
         abs(col("s50") - col("p50")) <= eps50 &&
           abs(col("s90") - col("p90")) <= eps90)
+      .localCheckpoint()
     val bad = joined.filter(!col("sketch_within_eps")).limit(4).collect()
     if (bad.nonEmpty) throw new IllegalStateException(
       s"t-digest drifted past eps vs the exact form: ${bad.mkString("; ")}")

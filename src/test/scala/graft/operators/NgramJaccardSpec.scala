@@ -3,10 +3,11 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The hashed co-occurrence Jaccard listing (r8 production form of
-  * q_ngram_jaccard: 64-bit shingle-hash candidates + two-pointer-merge
-  * verification) must be row-identical to the naive string-shingle join
+  * q_ngram_jaccard: 64-bit shingle-hash candidates whose co-occurrence
+  * count IS the exact intersection — verification fused into the
+  * aggregate) must be row-identical to the naive string-shingle join
   * at the same threshold — the hash keys, the lossless length filter and
-  * the merge verify may only change the WORK, never the results. Pinned
+  * the fused count may only change the WORK, never the results. Pinned
   * on a corpus engineered to sit on the t = 1/20 boundary and on the real
   * sf0.001 documents table for breadth. */
 class NgramJaccardSpec extends AnyFunSuite {
