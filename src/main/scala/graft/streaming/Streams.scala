@@ -226,7 +226,18 @@ object Streams {
       .start()
     finally spark.conf.set(key, prev)
     q.awaitTermination()
-    spark.table(name)
+    // The memory sink pins its rows in a DRIVER buffer for as long as the
+    // temp view exists; across a 140-query bench run those dead sinks
+    // accumulate into GC pressure that the r8 sf10 sweep measured as a
+    // 12-60× "slowdown" of whichever streaming query ran late (the
+    // operator itself re-measured 15 s in a fresh JVM vs 241 s mid-sweep).
+    // Copy the result off the sink (localCheckpoint: distributed,
+    // ContextCleaner-managed), then drop the view so the sink is GC-able.
+    // The memory sink remains what it is — the ORACLE HARNESS; production
+    // streams land in lake tables (streamIntoLakeTable) or real sinks.
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Stream into a Graft lake table via foreachBatch: each micro-batch
