@@ -133,20 +133,71 @@ object Similarity {
   private val NumTables = 8   // independent LSH tables
   private val BitsPerTable = 4 // 16 buckets/table; P(collide) = (1-θ/π)^4
 
+  /** The 8×4 LSH hyperplanes: fixed-seed JVM Gaussians, identical on every
+    * executor and run. Shared by the engine query (as array literals in
+    * [[tableBuckets]]) and its DuckDB oracle (as decimal literals in
+    * [[lshOracleSql]] — `Double.toString` is shortest-round-trip, so the
+    * oracle parses back the BIT-IDENTICAL doubles). */
+  private[graft] lazy val tablePlanes: Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(1234)
+    Seq.fill(NumTables, BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
   /** Per-table LSH bucket ids: for each of the L tables, the sign bits of
     * its 4 private hyperplanes packed into an int. Returns array<int> of
     * length L. Collision prob for angle θ is (1-θ/π)^4 per table; a vector
     * is a candidate if it collides in ANY table — the standard
     * recall-amplifying OR-construction. */
-  private[graft] def tableBuckets(v: org.apache.spark.sql.Column) = {
-    val rnd = new scala.util.Random(1234)
-    val tablePlanes =
-      Seq.fill(NumTables, BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  private[graft] def tableBuckets(v: org.apache.spark.sql.Column) =
     array(tablePlanes.map { ps =>
       ps.zipWithIndex.map { case (p, i) =>
         when(dot(v, typedlit(p.toSeq)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
       }.reduce(_.bitwiseOR(_))
     }: _*)
+
+  /** DuckDB twin of the full multi-probe LSH pipeline, with the hyperplanes
+    * embedded as literals. Cross-engine exactness rests on two facts:
+    * both engines' dot products are plain in-order double accumulation
+    * ([[graft.functions.DotProduct]]'s codegen loop; DuckDB's
+    * `list_dot_product` — verified term-identical against a sequential
+    * sum), so given bit-identical inputs every `dot > 0` sign bit and
+    * every bucket id agrees exactly; and the sign MARGINS are enormous
+    * relative to any accumulation-order noise anyway (measured min
+    * |dot(v, plane)| ≈ 1.8e-5 at sf0.1 over all 32 planes vs a worst-case
+    * reorder error ~1e-13 — 8 orders of magnitude; SimilaritySpec pins the
+    * floor). */
+  private[graft] lazy val lshOracleSql: String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ", ", "]::DOUBLE[]")
+    val bucketArms = tablePlanes.zipWithIndex.map { case (ps, t) =>
+      val bits = ps.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n                 + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) > 0),
+       b AS ($bucketArms),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id IN (${queryIds.mkString(", ")})),
+       qb AS (SELECT vec_id AS query_id, tbl, bucket FROM b
+              WHERE vec_id IN (${queryIds.mkString(", ")})),
+       qp AS (SELECT query_id, tbl, xor(bucket, f.flip) AS bucket
+              FROM qb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) f(flip)),
+       cand AS (SELECT DISTINCT qp.query_id, b.vec_id
+                FROM b JOIN qp ON b.tbl = qp.tbl AND b.bucket = qp.bucket
+                WHERE b.vec_id <> qp.query_id),
+       s AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+             FROM cand JOIN q ON cand.query_id = q.query_id
+                       JOIN e ON cand.vec_id = e.vec_id),
+       r AS (SELECT query_id, neighbor_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rn
+             FROM s)
+       SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
+       FROM r WHERE rn <= 10 ORDER BY query_id, rn"""
   }
 
   /** Approximate k-NN via multi-table random-hyperplane LSH with
@@ -158,14 +209,22 @@ object Similarity {
     * right recall lever at scale because it multiplies the QUERY side
     * (tiny, broadcast) — per-table candidate probability rises from p^4
     * to p^4 + 4p^3(1-p) with zero extra corpus explode or shuffle.
-    * Approximate → no SQL oracle; SimilaritySpec pins recall ≥ 0.9
-    * against q_knn_exact.
+    *
+    * ORACLE-PROMOTED (r8): "approximate" never meant nondeterministic —
+    * the hyperplanes are fixed constants, so the full pipeline (bucket
+    * sign bits → multi-probe expansion → candidate join → exact rerank)
+    * is DuckDB-expressible by embedding the planes as literals
+    * ([[lshOracleSql]]). The driver now hash-compares the LSH output
+    * END-TO-END cross-engine; SimilaritySpec additionally keeps the
+    * recall ≥ 0.9 pin against q_knn_exact (the oracle proves the engine
+    * computes THIS approximation exactly; the recall pin proves the
+    * approximation is a good one).
     *
     * Scale shape: corpus explodes ×L on (table_idx, bucket) — the join key
     * is the shuffle key, buckets are processed independently, and the query
     * side stays broadcast. At 100 TB the corpus-side explode is avoided by
     * storing the L bucket ids as columns at ingest (computed once). */
-  val qKnnLsh: Q = Q.noOracle("q_knn_lsh") { (s, d) =>
+  val qKnnLsh: Q = Q("q_knn_lsh", lshOracleSql) { (s, d) =>
     val e = emb(s, d).withColumn("buckets", tableBuckets(col("v")))
     val corpus = e.select(col("vec_id"), col("v"), col("nv"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))

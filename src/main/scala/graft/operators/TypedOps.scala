@@ -73,16 +73,17 @@ object TypedOps {
       .orderBy("l_returnflag")
   }
 
-  /** approx_count_distinct (HLL++): the constant-memory distinct count for
-    * 100 TB cardinalities. The estimate differs from DuckDB's HLL, so the
-    * oracle checks the EXACT counts alongside and ScalaTest bounds the
-    * estimate's relative error instead. */
-  val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
-    // pre-dedupe (group, key) instead of countDistinct: HLL insertion is
-    // idempotent, so the sketch over the distinct pairs is IDENTICAL to
-    // the sketch over the raw multiset — but the plan loses the Expand
-    // (which doubles scanned rows for mixed distinct/non-distinct aggs)
-    // and the shuffle carries map-side-deduped pairs, not every row
+  /** Raw HLL++ sketch next to the exact count — the 100 TB production
+    * shape: constant-memory mergeable distinct counting. Pre-dedupes
+    * (group, key) instead of countDistinct: HLL insertion is idempotent,
+    * so the sketch over the distinct pairs is IDENTICAL to the sketch
+    * over the raw multiset — but the plan loses the Expand (which doubles
+    * scanned rows for mixed distinct/non-distinct aggs) and the shuffle
+    * carries map-side-deduped pairs, not every row. Estimates differ from
+    * DuckDB's HLL, so the raw values never enter hashed output bytes;
+    * [[qApproxDistinct]] certifies them. */
+  private[graft] def hllSketch(
+      s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
       .select("l_returnflag", "l_partkey")
       .distinct()
@@ -90,6 +91,36 @@ object TypedOps {
       .agg(
         approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
         count(lit(1)).as("exact_parts"))
+
+  /** approx_count_distinct, ORACLE-PROMOTED (VERDICT r7 #8 pattern, as
+    * q_percentiles_tdigest): the query runs the HLL++ sketch AND the
+    * exact count in ONE aggregate pass ([[hllSketch]]), asserts the
+    * estimate within 5× its configured rsd (0.02 → 10%, ≥ 1 absolute)
+    * per group INSIDE the query — throwing loudly on drift, every round,
+    * at every scale factor — and outputs the exact counts plus the
+    * assertion flag, which IS DuckDB-expressible. The collect behind the
+    * throw reads ≤ |groups| rows (3 return flags), driver-bounded by the
+    * group cardinality, not the data. The sketch stays the production
+    * form; this query is its standing certification harness. */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              true AS sketch_within_rsd
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    // localCheckpoint: |groups| rows, but the plan is a full lineitem
+    // aggregate — materialize ONCE so the assertion probe and the
+    // returned output share a single execution
+    val certified = hllSketch(s, d)
+      .withColumn("sketch_within_rsd",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          greatest(lit(1.0), col("exact_parts").cast("double") * lit(0.10)))
+      .localCheckpoint()
+    val bad = certified.filter(!col("sketch_within_rsd")).limit(4).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"HLL++ drifted past 5×rsd vs the exact count: ${bad.mkString("; ")}")
+    certified
+      .select(col("l_returnflag"), col("exact_parts"), col("sketch_within_rsd"))
       .orderBy("l_returnflag")
   }
 

@@ -114,7 +114,9 @@ class CoverageSpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within its rsd bound of the exact count") {
-    val rows = graft.operators.TypedOps.qApproxDistinct.fn(spark, sf).collect()
+    // the RAW sketch values (the promoted query outputs the exact counts
+    // plus its own in-query rsd assertion — see qApproxDistinct)
+    val rows = graft.operators.TypedOps.hllSketch(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
@@ -122,6 +124,11 @@ class CoverageSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact < 0.1,
         s"approx=$approx exact=$exact")
     }
+    // and the promoted query's certified output carries the exact counts
+    val cert = graft.operators.TypedOps.qApproxDistinct.fn(spark, sf).collect()
+    assert(cert.map(_.getAs[Long]("exact_parts")).toSeq ==
+      rows.sortBy(_.getString(0)).map(_.getAs[Long]("exact_parts")).toSeq)
+    assert(cert.forall(_.getAs[Boolean]("sketch_within_rsd")))
   }
 
   test("t-digest percentiles stay within 1% of the exact sort-based form") {

@@ -48,6 +48,23 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("LSH sign-bit margins dwarf accumulation-order noise (oracle safety)") {
+    // q_knn_lsh is oracle-promoted with the hyperplanes embedded as SQL
+    // literals; cross-engine bucket equality needs every dot(v, plane)
+    // sign to be unambiguous. Worst-case double reorder error for a
+    // 64-dim dot is ~dim · ulp · Σ|x·p| ≈ 1e-13; pin the measured minimum
+    // margin 4+ orders above it (sf0.1 measures 1.8e-5; sf1's ~25× more
+    // vectors still leave ~5 orders).
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(Vectors.toDouble(col("embedding")).as("v"))
+    val planeCols = Similarity.tablePlanes.flatten.map { p =>
+      abs(Vectors.dot(col("v"), typedlit(p.toSeq)))
+    }
+    val minMargin = e.select(least(planeCols: _*).as("m"))
+      .agg(min("m")).as[Double].head()
+    assert(minMargin > 1e-9, s"min |dot(v, plane)| = $minMargin")
+  }
+
   // The synthetic embeddings are noise-dominated (most true neighbors are
   // cross-label), so ≥0.9 recall costs nprobe=24/32 here; RecallProbe
   // measures 0.96 at sf0.1 with the same setting. On clusterable real
