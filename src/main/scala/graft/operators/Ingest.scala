@@ -257,6 +257,57 @@ object Ingest {
         Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("id_a"), col("id_b")).distinct()
 
+  /** Accounting of [[retractBatch]]: `corpusDocsRemoved` counts rows that
+    * actually existed (idempotent re-retraction reports 0), `corpusVersion`
+    * is the corpus head after the retraction commit. */
+  final case class RetractReport(
+      corpusDocsRemoved: Long,
+      bandRowsRemoved: Long,
+      corpusVersion: Long)
+
+  /** Retract a previously-ingested batch — the quarantine path: a crawl
+    * batch turns out to be spam/poisoned/legally-encumbered AFTER
+    * admission and must stop influencing both training (corpus rows) and
+    * admission decisions (its band rows keep REJECTING future near-dups
+    * of the retracted text — retraction must lift that too, or one spam
+    * doc poisons every future crawl of the same page).
+    *
+    * Two DELETE commits, band index FIRST — the mirror image of ingest's
+    * corpus-before-index crash contract, chosen by the same invariant:
+    * the band index must never claim documents the corpus doesn't hold.
+    * A crash between the commits leaves corpus docs unbanded — a future
+    * near-dup gets admitted as a benign duplicate (exactly the ingest
+    * crash class), and re-running the retraction (idempotent) or
+    * [[rebuildBandIndex]] converges the state. The reverse order would
+    * leave stale bands silently rejecting clean future documents with
+    * nothing to dedup against — an unobservable data loss.
+    *
+    * Cost follows the table's `graft.delete-mode`: merge-on-read commits
+    * the keys as equality-delete files — O(|docIds|), NO scan, the 100 TB
+    * shape; copy-on-write rewrites only the stats-pruned files containing
+    * the ids. The accounting pre-counts are stats-pruned scans of the
+    * same files (one ingest batch ≈ one file). `docIds` is a driver-held
+    * retraction manifest (the ops decision of WHICH batch to pull is
+    * driver-sized by nature); frame-sized retractions go through
+    * `PositionDeletes.writeEqualityDeleteFiles` against the store. */
+  def retractBatch(spark: SparkSession, docIds: Seq[Long],
+      corpusTable: String, bandTable: String): RetractReport = {
+    require(docIds.nonEmpty, "retractBatch needs at least one doc_id")
+    val inList = docIds.mkString(", ")
+    val corpusMatched = spark.table(corpusTable)
+      .filter(col("doc_id").isin(docIds: _*)).count()
+    val bandMatched = spark.table(bandTable)
+      .filter(col("doc_id").isin(docIds: _*)).count()
+    spark.sql(s"DELETE FROM $bandTable WHERE doc_id IN ($inList)")
+    spark.sql(s"DELETE FROM $corpusTable WHERE doc_id IN ($inList)")
+    val version = spark.table(s"$corpusTable.history")
+      .agg(max("snapshot_id")).head().getLong(0)
+    RetractReport(
+      corpusDocsRemoved = corpusMatched,
+      bandRowsRemoved = bandMatched,
+      corpusVersion = version)
+  }
+
   /** Recovery / bootstrap for the NEAR-dup index: rebuild the band table
     * from the corpus (full overwrite) — one signature pass over the
     * corpus, the same O(table) commit class as a compaction. Run after a

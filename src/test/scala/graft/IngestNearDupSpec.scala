@@ -143,4 +143,69 @@ class IngestNearDupSpec extends SparkSpec {
     assert(caught.copy(corpusVersion = 0) ==
       Ingest.NearDupIngestReport(1, 0, 0, 1, 0, 0, 0), s"got $caught")
   }
+
+  test("retractBatch removes docs + bands and lifts the rejection") {
+    val (c, b) = setup()
+    val r1 = Ingest.ingestBatchNearDup(spark,
+      Seq(1L -> baseA, 2L -> baseB).toDF("doc_id", "text"), c, b)
+    assert(r1.admitted == 2)
+    // poisoned-batch discovery: doc 1 must stop rejecting its near-dups
+    val blocked = Ingest.ingestBatchNearDup(spark,
+      Seq(3L -> nearA).toDF("doc_id", "text"), c, b)
+    assert(blocked.corpusNearDups == 1 && blocked.admitted == 0)
+
+    val rr = Ingest.retractBatch(spark, Seq(1L), c, b)
+    assert(rr.corpusDocsRemoved == 1, s"got $rr")
+    assert(rr.bandRowsRemoved == 8, s"got $rr")
+    assert(rr.corpusVersion > r1.corpusVersion)
+    assert(ids(c) == Seq(2L))
+    assert(spark.table(b).filter($"doc_id" === 1L).count() == 0)
+
+    // the rejection is lifted: the same near-dup is now admitted
+    val freed = Ingest.ingestBatchNearDup(spark,
+      Seq(4L -> nearA).toDF("doc_id", "text"), c, b)
+    assert(freed.admitted == 1, s"got $freed")
+    assert(ids(c) == Seq(2L, 4L))
+
+    // idempotence: re-retracting the same ids is a reported no-op
+    val rr2 = Ingest.retractBatch(spark, Seq(1L), c, b)
+    assert(rr2.corpusDocsRemoved == 0 && rr2.bandRowsRemoved == 0, s"got $rr2")
+    assert(ids(c) == Seq(2L, 4L))
+  }
+
+  test("retraction crash window converges: bands-first order + rerun") {
+    val (c, b) = setup()
+    Ingest.ingestBatchNearDup(spark,
+      Seq(1L -> baseA, 2L -> baseB).toDF("doc_id", "text"), c, b)
+    // simulate the crash BETWEEN retractBatch's two commits: bands gone,
+    // corpus row still present — by the bands-first invariant this is the
+    // benign side (an unbanded corpus doc admits future near-dups as
+    // duplicates; stale bands would silently reject clean docs)
+    spark.sql(s"DELETE FROM $b WHERE doc_id IN (1)")
+    val dupe = Ingest.ingestBatchNearDup(spark,
+      Seq(3L -> nearA).toDF("doc_id", "text"), c, b)
+    assert(dupe.admitted == 1, "unbanded corpus doc must not reject")
+    // recovery = rerun the retraction (idempotent): corpus row finally goes
+    val rr = Ingest.retractBatch(spark, Seq(1L), c, b)
+    assert(rr.corpusDocsRemoved == 1 && rr.bandRowsRemoved == 0, s"got $rr")
+    assert(ids(c) == Seq(2L, 3L))
+  }
+
+  test("retraction on merge-on-read tables commits O(keys) equality deletes") {
+    val (c, b) = setup()
+    spark.sql(s"ALTER TABLE $c SET TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')")
+    spark.sql(s"ALTER TABLE $b SET TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')")
+    Ingest.ingestBatchNearDup(spark,
+      Seq(1L -> baseA, 2L -> baseB).toDF("doc_id", "text"), c, b)
+    val rr = Ingest.retractBatch(spark, Seq(1L), c, b)
+    assert(rr.corpusDocsRemoved == 1 && rr.bandRowsRemoved == 8)
+    assert(ids(c) == Seq(2L))
+    // the retraction commit is a pure-equality delete: keys only, no scan
+    val last = spark.table(s"$c.snapshots")
+      .orderBy($"snapshot_id".desc).limit(1)
+      .select("operation", "summary").collect()(0)
+    assert(last.getString(0) == "delete", s"got $last")
+    val summary = last.getMap[String, String](1)
+    assert(summary.get("delete-kind").contains("equality"), s"got $summary")
+  }
 }
