@@ -190,10 +190,68 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** DuckDB CTEs computing each document's SimHash64 exactly (ORACLE
+    * promotion, r8): the kernel is FNV-1a per whitespace token + signed
+    * bit votes — all INTEGER math, so a SQL twin is exact, not
+    * approximate. FNV-1a's sequential `h = (h XOR c) · p mod 2^64` runs
+    * as a `list_reduce` over each DISTINCT token's code units (the
+    * mutation classes of the adversarial corpus delete/swap/duplicate
+    * tokens, so the vocabulary stays tiny and per-token hashing is
+    * amortized); votes are 64 sum columns over (doc, token-hash) rows in
+    * one aggregate — pure BIGINT shifts, no HUGEINT in the hot path
+    * (measured 10× faster than the per-bit-unnest form). NULL-text docs
+    * carry a NULL simhash on both engines. Parity caveats, same class as
+    * every text oracle here: the kernel hashes UTF-16 code units and
+    * trimAll()s all whitespace where the twin uses codepoints and
+    * space-trim — identical on the ASCII fixtures, as q_text_stats'
+    * established trim/trimAll pairing. */
+  private[operators] def simhashSql: String = {
+    val votes = (0 until 63).map(b =>
+      s"sum(((hs >> $b) & 1) * 2 - 1) AS v$b").mkString(",\n                ") +
+      ",\n                sum(CASE WHEN hs < 0 THEN 1 ELSE -1 END) AS v63"
+    val simsum = (0 until 63).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ") +
+      " + (CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+    s"""toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         FROM documents WHERE text IS NOT NULL),
+       vocab AS (
+         SELECT tok,
+                list_reduce(
+                  list_prepend(14695981039346656037::HUGEINT,
+                    list_transform(range(1, length(tok) + 1),
+                                   i -> unicode(substr(tok, i, 1))::HUGEINT)),
+                  (h, c) -> ((xor((h % 65536)::BIGINT, c::BIGINT)::HUGEINT
+                              + h - (h % 65536)) * 1099511628211::HUGEINT)
+                            % 18446744073709551616::HUGEINT) AS hu
+         FROM (SELECT DISTINCT tok FROM toks)),
+       th AS (
+         SELECT doc_id,
+                CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN (hu - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE hu::BIGINT END AS hs
+         FROM toks JOIN vocab USING (tok)),
+       votes AS (
+         SELECT doc_id,
+                $votes
+         FROM th GROUP BY doc_id),
+       sims AS (
+         SELECT doc_id, $simsum AS simhash FROM votes
+         UNION ALL
+         SELECT doc_id, NULL AS simhash FROM documents WHERE text IS NULL)"""
+  }
+
   /** SimHash: 64-bit per-document near-dup signature, computed per row by
     * a custom expression — no explode, no shuffle, embarrassingly parallel
-    * (see graft.functions.SimHash64). */
-  val qSimhash: Q = Q.noOracle("q_simhash") { (s, d) =>
+    * (see graft.functions.SimHash64). ORACLE-PROMOTED (r8): FNV-1a + bit
+    * votes are pure integer arithmetic, reproduced exactly in DuckDB by
+    * [[simhashSql]] — the signature bytes themselves hash-compare
+    * cross-engine. */
+  val qSimhash: Q = Q(
+    "q_simhash",
+    s"""WITH ${simhashSql}
+       SELECT doc_id, simhash FROM sims ORDER BY doc_id""") { (s, d) =>
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sim = ColumnBridge.column(
       graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
@@ -208,8 +266,35 @@ object Dedup {
     * Hamming 3 agree EXACTLY on at least one band — so candidates are
     * pairs sharing (band_idx, band_value), verified with
     * bit_count(a XOR b). One shuffle on the band key, no all-pairs work;
-    * the same structure Google's simhash dedup uses at web scale. */
-  val qSimhashPairs: Q = Q.noOracle("q_simhash_pairs") { (s, d) =>
+    * the same structure Google's simhash dedup uses at web scale.
+    *
+    * ORACLE-PROMOTED (r8): the DuckDB twin computes every signature via
+    * [[simhashSql]], bands NAIVELY (no pre-collapse) and verifies with
+    * bit_count — so the driver's hash compare doubles as a standing proof
+    * that the exact-duplicate pre-collapse + expansion is row-identical
+    * to the naive all-member computation (identical normalized texts have
+    * identical token sequences, hence identical signatures and bands). */
+  val qSimhashPairs: Q = Q(
+    "q_simhash_pairs",
+    s"""WITH ${simhashSql},
+       bands AS (
+         SELECT doc_id, simhash,
+                b.b AS band_idx, (simhash >> (b.b * 16)) & 65535 AS band_val
+         FROM sims, (VALUES (0), (1), (2), (3)) b(b)
+         WHERE simhash IS NOT NULL),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                x.simhash AS sa, y.simhash AS sb
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+       pairs AS (
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+       SELECT id_a, id_b, hamming FROM pairs
+       UNION ALL
+       SELECT -1, -1, CAST(count(*) AS INTEGER) FROM pairs
+       ORDER BY id_a, id_b""") { (s, d) =>
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sim = ColumnBridge.column(
       graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
