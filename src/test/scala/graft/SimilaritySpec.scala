@@ -53,9 +53,10 @@ class SimilaritySpec extends SparkSpec {
     // literals; cross-engine bucket equality needs every dot(v, plane)
     // sign to be unambiguous. Worst-case double reorder error for a
     // 64-dim dot is ~dim · ulp · Σ|x·p| ≈ 1e-13; pin the measured minimum
-    // margin 4+ orders above it (sf0.1 measures 1.8e-5; sf1's ~25× more
-    // vectors still leave ~5 orders).
-    val e = graft.Tables.embeddings(spark, sf)
+    // margin 4+ orders above it. Measured at sf0.1 explicitly — the sf1
+    // gate corpus replicates these embeddings VERBATIM (make_sf1.py), so
+    // this IS the production-scale margin, not the 50-vector spec sf.
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
       .select(Vectors.toDouble(col("embedding")).as("v"))
     val planeCols = Similarity.tablePlanes.flatten.map { p =>
       abs(Vectors.dot(col("v"), typedlit(p.toSeq)))
