@@ -12,6 +12,38 @@ import org.apache.spark.sql.SparkSession
   * run (q1) amortizes JVM/codegen startup out of the per-query numbers.
   */
 object Bench {
+
+  /** (steal, idle, total) jiffies from the aggregate /proc/stat cpu line —
+    * the contention self-annotation of VERDICT r8 #7: a pass measured
+    * while the host steals 20% of its cycles is flagged by its own JSON
+    * instead of costing a day of re-measurement. Returns zeros when
+    * /proc/stat is unreadable (non-Linux), keeping the bench portable. */
+  private def cpuJiffies(): (Long, Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      // cpu user nice system idle iowait irq softirq steal guest gnice
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = if (f.length > 3) f(3) else 0L
+      val steal = if (f.length > 7) f(7) else 0L
+      (steal, idle, f.sum)
+    } catch { case _: Exception => (0L, 0L, 0L) }
+
+  /** Format one pass's /proc/stat delta as a JSON fragment: raw steal and
+    * idle seconds (USER_HZ = 100) plus steal as a share of total cpu time
+    * elapsed — > ~0.05 means the host was visibly contended this pass.
+    * Locale.ROOT like the timing formatter (a comma decimal separator
+    * would corrupt the JSON). */
+  private def stealJson(before: (Long, Long, Long),
+      after: (Long, Long, Long)): String = {
+    val (s, i, t) = (after._1 - before._1, after._2 - before._2,
+      after._3 - before._3)
+    val share = if (t > 0) s.toDouble / t else 0.0
+    String.format(java.util.Locale.ROOT,
+      """{"steal_sec":%.1f,"idle_sec":%.1f,"steal_share":%.4f}""",
+      Double.box(s / 100.0), Double.box(i / 100.0), Double.box(share))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,10 +83,13 @@ object Bench {
     // for ten-minute-per-query probe scales (sf10), where a repeat costs
     // more wall-clock than the contention it would filter.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val steal0 = cpuJiffies()
     val pass1 = names.map(n => n -> run(n)).toMap
+    val steal1 = cpuJiffies()
     val pass2 =
       if (runs < 2) Map.empty[String, Double]
       else names.map(n => n -> run(n)).toMap
+    val steal2 = cpuJiffies()
     val results = names.map { n =>
       val t1 = pass1(n)
       val t2 = pass2.getOrElse(n, -1.0)
@@ -79,7 +114,9 @@ object Bench {
       .map(n => "\"" + n + "\":" + fmt(m.getOrElse(n, -1.0)))
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"result":$line,"pass1":${passJson(pass1)},"pass2":${passJson(pass2)}}\n""")
+      s"""{"result":$line,"pass1":${passJson(pass1)},"pass2":${passJson(pass2)},""" +
+        s""""cpu_pass1":${stealJson(steal0, steal1)},""" +
+        s""""cpu_pass2":${stealJson(steal1, steal2)}}\n""")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -294,12 +294,21 @@ object Ingest {
       corpusTable: String, bandTable: String): RetractReport = {
     require(docIds.nonEmpty, "retractBatch needs at least one doc_id")
     val inList = docIds.mkString(", ")
+    // pre-counts are read before the deletes and are NOT atomic with them:
+    // under a concurrent writer racing the same ids the report can name a
+    // count a racing commit already changed (single-writer-per-corpus is
+    // the normal deployment, as ingest documents). Zero-match tables skip
+    // their DELETE entirely (ADVICE r8): an idempotent rerun is a true
+    // no-op — no commit, and under merge-on-read no redundant
+    // equality-delete file accumulating per rerun pending compaction.
     val corpusMatched = spark.table(corpusTable)
       .filter(col("doc_id").isin(docIds: _*)).count()
     val bandMatched = spark.table(bandTable)
       .filter(col("doc_id").isin(docIds: _*)).count()
-    spark.sql(s"DELETE FROM $bandTable WHERE doc_id IN ($inList)")
-    spark.sql(s"DELETE FROM $corpusTable WHERE doc_id IN ($inList)")
+    if (bandMatched > 0)
+      spark.sql(s"DELETE FROM $bandTable WHERE doc_id IN ($inList)")
+    if (corpusMatched > 0)
+      spark.sql(s"DELETE FROM $corpusTable WHERE doc_id IN ($inList)")
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
     RetractReport(

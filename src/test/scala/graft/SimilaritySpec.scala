@@ -53,17 +53,27 @@ class SimilaritySpec extends SparkSpec {
     // literals; cross-engine bucket equality needs every dot(v, plane)
     // sign to be unambiguous. Worst-case double reorder error for a
     // 64-dim dot is ~dim · ulp · Σ|x·p| ≈ 1e-13; pin the measured minimum
-    // margin 4+ orders above it. Measured at sf0.1 explicitly — the sf1
-    // gate corpus replicates these embeddings VERBATIM (make_sf1.py), so
-    // this IS the production-scale margin, not the 50-vector spec sf.
-    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
-      .select(Vectors.toDouble(col("embedding")).as("v"))
-    val planeCols = Similarity.tablePlanes.flatten.map { p =>
-      abs(Vectors.dot(col("v"), typedlit(p.toSeq)))
+    // margin 4+ orders above it. Asserted on EVERY fixture the oracle or
+    // gate actually runs on (ADVICE r8): the spec sf (always present),
+    // plus the sf0.01 driver-oracle corpus and the sf0.1 corpus that
+    // make_sf1.py replicates VERBATIM into the sf1 gate — each guarded
+    // skip-if-absent so `sbt test` passes on hosts without the fixtures.
+    def minMarginOf(dir: String): Double = {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(Vectors.toDouble(col("embedding")).as("v"))
+      val planeCols = Similarity.tablePlanes.flatten.map { p =>
+        abs(Vectors.dot(col("v"), typedlit(p.toSeq)))
+      }
+      e.select(least(planeCols: _*).as("m")).agg(min("m")).as[Double].head()
     }
-    val minMargin = e.select(least(planeCols: _*).as("m"))
-      .agg(min("m")).as[Double].head()
-    assert(minMargin > 1e-9, s"min |dot(v, plane)| = $minMargin")
+    val dirs = Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d, "embeddings.parquet")))
+    assert(dirs.nonEmpty, "no embeddings fixture present at all")
+    dirs.foreach { d =>
+      val m = minMarginOf(d)
+      assert(m > 1e-9, s"min |dot(v, plane)| = $m at $d")
+    }
   }
 
   // The synthetic embeddings are noise-dominated (most true neighbors are

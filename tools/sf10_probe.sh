@@ -25,6 +25,11 @@ cd "$(dirname "$0")/.."
 SF1=${1:-/tmp/sf1}
 SF10=${2:-/tmp/sf10}
 RATIO_MAX=${RATIO_MAX:-8.0}
+# run-scoped flagged-query list (ADVICE r8: a stale /tmp/probe_bad.txt from
+# a previous run could feed the retry the WRONG query set if assert_ratios
+# died before writing — e.g. on a truncated bench JSON)
+BADFILE=$(mktemp /tmp/probe_bad.XXXXXX)
+trap 'rm -f "$BADFILE"' EXIT
 FILTER='^(q_snm_pairs|q_substring_best_match|q_knn_pq|q_knn_ivfpq|q_hybrid_search|q_minhash_dedup|q_retained_spans|q_lake_ingest_neardup|q_importance_weights|q_dedup_pipeline)$'
 EXEMPT='q_dedup_pipeline'
 
@@ -69,8 +74,8 @@ SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_BENCH_FILTER="$FILTER" \
 
 assert_ratios() {
   # args: sf1-json sf10-json; prints the table, writes over-ratio /
-  # errored non-exempt queries to /tmp/probe_bad.txt, exit 2 when any
-  python3 - "$RATIO_MAX" "$EXEMPT" "$1" "$2" <<'EOF'
+  # errored queries to $BADFILE, exit 2 when any
+  python3 - "$RATIO_MAX" "$EXEMPT" "$1" "$2" "$BADFILE" <<'EOF'
 import json, sys
 ratio_max = float(sys.argv[1])
 exempt = set(sys.argv[2].split(","))
@@ -81,7 +86,9 @@ print(f"{'query':32s} {'sf1':>8s} {'sf10':>9s} {'ratio':>7s}")
 for q in sorted(s1):
     t1, t10 = s1[q], s10.get(q, -1.0)
     if t1 <= 0 or t10 <= 0:
-        if q not in exempt: bad.append((q, "errored or missing"))
+        # errored/missing fails UNCONDITIONALLY — exemption covers only
+        # the ratio cap, never crash detection (ADVICE r8)
+        bad.append((q, "errored or missing"))
         print(f"{q:32s} {t1:8.1f} {t10:9.1f}   ERR")
         continue
     r = t10 / t1
@@ -89,7 +96,7 @@ for q in sorted(s1):
     print(f"{q:32s} {t1:8.1f} {t10:9.1f} {r:6.1f}x{tag}")
     if q not in exempt and r > ratio_max:
         bad.append((q, f"ratio {r:.1f}x > {ratio_max}x"))
-with open("/tmp/probe_bad.txt", "w") as f:
+with open(sys.argv[5], "w") as f:
     f.write("\n".join(q for q, _ in bad))
 if bad:
     print("SF10 PROBE OVER-RATIO: " + "; ".join(f"{q}: {why}" for q, why in bad))
@@ -105,7 +112,11 @@ if ! assert_ratios /tmp/probe_bench_sf1.json /tmp/probe_bench_sf10.json; then
   # 2.6x). Before failing the round, re-measure ONLY the flagged queries
   # min-of-2 at both scales and re-assert — the retry costs minutes and
   # only runs on a flag, so the common green path stays single-pass.
-  BAD=$(paste -sd'|' /tmp/probe_bad.txt)
+  # fail hard if the flagged list never materialized (assert_ratios died
+  # before its write — e.g. unreadable bench JSON); retrying a stale or
+  # empty list would re-measure the wrong queries and could pass wrongly
+  [ -s "$BADFILE" ] || { echo "SF10 PROBE FAIL (no flagged-query list: assert_ratios crashed before writing)"; exit 2; }
+  BAD=$(paste -sd'|' "$BADFILE")
   echo "== re-measuring flagged queries min-of-2: ($BAD) =="
   # shellcheck disable=SC2086
   SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_FILTER="^($BAD)$" \
