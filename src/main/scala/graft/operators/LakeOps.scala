@@ -599,10 +599,53 @@ object LakeOps {
       .orderBy("stage")
   }
 
+  /** Incremental EMBEDDING-space ingest against lake-resident k-means
+    * state (VERDICT r8 #1 — the semantic twin of q_lake_ingest_neardup):
+    * centroids train once on the seed batch's bounded driver sample and
+    * persist; every later batch assigns map-only against the broadcast
+    * centroids and joins ONLY its own clusters' index rows, exact-cosine
+    * verified at τ = 0.35 (SemanticIngest's contract; IngestSemanticSpec
+    * pins the laws, SemanticIngestProbe the recall vs global SemDeDup).
+    * No DuckDB twin (float k-means training); output is the deterministic
+    * per-stage accounting of both ingests. */
+  val qLakeIngestSemantic: Q = Q.noOracle("q_lake_ingest_semantic") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.sem_corpus")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.sem_centroids")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.sem_index")
+    s.sql(s"""CREATE TABLE $Cat.verify.sem_corpus
+              (vec_id BIGINT, embedding ARRAY<FLOAT>) USING graft""")
+    s.sql(s"""CREATE TABLE $Cat.verify.sem_centroids
+              (cluster_id BIGINT, centroid ARRAY<DOUBLE>) USING graft""")
+    s.sql(s"""CREATE TABLE $Cat.verify.sem_index
+              (cluster_id BIGINT, vec_id BIGINT, v ARRAY<DOUBLE>, nv DOUBLE)
+              USING graft""")
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val seed = SemanticIngest.ingestBatchSemantic(s,
+      vecs.filter(col("vec_id") % 5 =!= 0), s"$Cat.verify.sem_corpus",
+      s"$Cat.verify.sem_centroids", s"$Cat.verify.sem_index")
+    val batch = SemanticIngest.ingestBatchSemantic(s,
+      vecs.filter(col("vec_id") % 5 === 0), s"$Cat.verify.sem_corpus",
+      s"$Cat.verify.sem_centroids", s"$Cat.verify.sem_index")
+    import s.implicits._
+    Seq(
+      ("1_seed", seed.batchRows, seed.corpusNearDups,
+        seed.intraBatchNearDups, seed.admitted, seed.zeroNorm,
+        seed.centroidsTrained),
+      ("2_batch", batch.batchRows, batch.corpusNearDups,
+        batch.intraBatchNearDups, batch.admitted, batch.zeroNorm,
+        batch.centroidsTrained))
+      .toDF("stage", "batch_rows", "corpus_neardups", "intra_neardups",
+        "admitted", "zero_norm", "centroids_trained")
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
     qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg,
-    qLakeIngestDedup, qLakeIngestNearDup)
+    qLakeIngestDedup, qLakeIngestNearDup, qLakeIngestSemantic)
 }

@@ -335,7 +335,7 @@ object Similarity {
     * assignment touches the full corpus. */
   /** Cosine against each centroid as one literal-array expression over the
     * (v, nv) columns of [[emb]]. */
-  private def centSimsFor(cents: Seq[Array[Double]]): Column =
+  private[graft] def centSimsFor(cents: Seq[Array[Double]]): Column =
     array(cents.map { cv =>
       val n = math.sqrt(cv.map(x => x * x).sum)
       dot(col("v"), typedlit(cv.toSeq)) / (col("nv") * lit(n))
@@ -347,7 +347,7 @@ object Similarity {
     * normalized vectors gives the cosine-consistent direction mean (an
     * unnormalized mean is dominated by long vectors and misassigns under
     * cosine). */
-  private def trainCentroids(e: DataFrame): Seq[Array[Double]] = {
+  private[graft] def trainCentroids(e: DataFrame): Seq[Array[Double]] = {
     val n = e.count()
     val stride = math.max(1L, n / SampleCap)
     val sample: Array[Array[Double]] = e

@@ -389,4 +389,36 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming EMBEDDING-space ingest — the continuous twin of
+    * SemanticIngest.ingestBatchSemantic, exactly as
+    * [[nearDupIngestIntoLakeTables]] twins the MinHash ingest: each
+    * micro-batch assigns map-only against the persisted centroids
+    * (bootstrap-trained on the first non-empty batch), rejects near-dups
+    * through the lake-resident cluster index, collapses intra-batch, and
+    * appends survivors corpus-before-index. The centroid + index tables
+    * are the dedup state, so restarts resume from the checkpoint +
+    * snapshot log with no state store; per-batch corpus-side work stays
+    * O(batch) (the index scan streams against the broadcast batch). */
+  def semanticIngestIntoLakeTables(
+      spark: SparkSession,
+      stream: DataFrame, // needs vec_id + embedding columns
+      corpusTable: String,
+      centroidTable: String,
+      indexTable: String,
+      checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.SemanticIngest.ingestBatchSemantic(
+            spark, batch, corpusTable, centroidTable, indexTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }

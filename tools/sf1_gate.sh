@@ -65,6 +65,11 @@ echo "== incremental near-dup ingest: online recall + candidate pin (r8) =="
 java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.NearDupIngestProbe "$SF1" \
   | grep '{"probe"' | tee /tmp/neardup_ingest_sf1.json
 
+echo "== incremental semantic ingest: drop recall vs global SemDeDup (r9) =="
+# shellcheck disable=SC2086
+java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.SemanticIngestProbe "$SF1" \
+  | grep '{"probe"' | tee /tmp/semantic_ingest_sf1.json
+
 echo "== vectorized COW-read ratio pin (>= 1.3x row path) =="
 # shellcheck disable=SC2086
 java $ADD_OPENS $JFLAGS -cp "$TCP" graft.CowReadGate "$SF1" \
