@@ -171,6 +171,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotStore(SnapshotStore.resolveTableDir(tablePath(ident), io),
       io = io)
 
+  /** Store handle for direct metadata operations (frame-sized retraction,
+    * probes) — uses this catalog's `io` seam, so object-store subclasses
+    * resolve through the same backend as their tables. */
+  private[graft] def storeForName(ns: String, table: String): SnapshotStore =
+    store(Identifier.of(Array(ns), table))
+
   // ---------- namespaces (D2-D4) ----------
 
   override def listNamespaces(): Array[Array[String]] =

@@ -317,6 +317,88 @@ object Ingest {
       corpusVersion = version)
   }
 
+  /** Resolve `cat.ns.table` to its SnapshotStore through the registered
+    * GraftCatalog — shares the catalog's io seam, so object-store
+    * catalogs resolve through the same backend as their tables. */
+  private def storeFor(spark: SparkSession,
+      tableRef: String): graft.lake.SnapshotStore = {
+    val parts = tableRef.split('.')
+    require(parts.length == 3,
+      s"need <catalog>.<namespace>.<table>, got '$tableRef'")
+    spark.sessionState.catalogManager.catalog(parts(0)) match {
+      case g: graft.lake.GraftCatalog => g.storeForName(parts(1), parts(2))
+      case other => throw new IllegalArgumentException(
+        s"'${parts(0)}' is not a graft catalog (${other.getClass.getName})")
+    }
+  }
+
+  /** Commit `keys` (a distinct `doc_id` frame) as ONE equality-delete
+    * file on `tableRef`: O(|keys|) write work regardless of table size —
+    * no data file is opened, readers subtract matches under sequence
+    * ordering, compaction folds the tombstones later. Returns the matched
+    * pre-count (one stats-prunable read-only scan — the only O(table)
+    * step, kept for the accounting contract; a count-free fire-and-forget
+    * retraction would skip it). Zero matches commit NOTHING. */
+  private def equalityRetract(spark: SparkSession, tableRef: String,
+      keys: DataFrame): Long = {
+    val store = storeFor(spark, tableRef)
+    val snap = store.head().getOrElse(
+      throw new IllegalStateException(s"no table at $tableRef"))
+    val matched = spark.table(tableRef)
+      .join(keys, Seq("doc_id"), "left_semi").count()
+    if (matched == 0) return 0L
+    val field = snap.schema.fields.find(_.name == "doc_id").getOrElse(
+      throw new IllegalStateException(s"$tableRef has no doc_id column"))
+    val phys = graft.lake.SchemaNames.physicalName(field)
+    val newDeletes = graft.lake.PositionDeletes.writeEqualityDeleteFiles(
+      spark, store, keys.select(col("doc_id").cast(field.dataType).as(phys)),
+      Seq(phys))
+    store.commit { prev =>
+      val p = prev.getOrElse(snap)
+      p.copy(
+        timestampMs = System.currentTimeMillis(),
+        operation = "delete",
+        deleteFiles = p.deleteFiles ++ newDeletes,
+        summary = Map(
+          "delete-mode" -> "merge-on-read",
+          "delete-kind" -> "equality",
+          "added-delete-files" -> newDeletes.size.toString,
+          "equality-delete-keys" -> newDeletes.map(_.rowCount).sum.toString))
+    }
+    matched
+  }
+
+  /** Frame-sized retraction (VERDICT r8 #3) — the overload that lifts the
+    * Seq form's driver IN-list bound: `keys` is a DataFrame with a
+    * `doc_id` column (a retraction MANIFEST TABLE join, a predicate scan,
+    * millions of keys), and both removals commit as EQUALITY-DELETE files
+    * through `PositionDeletes.writeEqualityDeleteFiles` — O(|keys|)
+    * commits with no data-file scan, the 100 TB shape, regardless of the
+    * tables' `graft.delete-mode` (readers always honor pending equality
+    * keys; compaction folds them). Same contract as the Seq overload:
+    * band index FIRST (stale bands silently rejecting clean docs is the
+    * unobservable failure; unbanded corpus docs merely re-admit benign
+    * duplicates), idempotent accounting with zero-match tables skipping
+    * their commit entirely, non-atomic pre-counts under a concurrent
+    * writer. RetractionProbe measures the million-key path in the sf1
+    * gate; IngestNearDupSpec pins law parity with the Seq overload. */
+  def retractBatch(spark: SparkSession, keys: DataFrame,
+      corpusTable: String, bandTable: String): RetractReport = {
+    require(keys.columns.contains("doc_id"),
+      s"retraction keys need a doc_id column, got ${keys.columns.mkString(",")}")
+    // one stable key set: both deletes and both pre-counts must see the
+    // identical manifest even if `keys` reads from a live source
+    val k = keys.select("doc_id").distinct().localCheckpoint()
+    val bandMatched = equalityRetract(spark, bandTable, k)
+    val corpusMatched = equalityRetract(spark, corpusTable, k)
+    val version = spark.table(s"$corpusTable.history")
+      .agg(max("snapshot_id")).head().getLong(0)
+    RetractReport(
+      corpusDocsRemoved = corpusMatched,
+      bandRowsRemoved = bandMatched,
+      corpusVersion = version)
+  }
+
   /** Recovery / bootstrap for the NEAR-dup index: rebuild the band table
     * from the corpus (full overwrite) — one signature pass over the
     * corpus, the same O(table) commit class as a compaction. Run after a

@@ -70,6 +70,11 @@ echo "== incremental semantic ingest: drop recall vs global SemDeDup (r9) =="
 java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.SemanticIngestProbe "$SF1" \
   | grep '{"probe"' | tee /tmp/semantic_ingest_sf1.json
 
+echo "== frame-sized retraction: million-key equality-delete path (r9) =="
+# shellcheck disable=SC2086
+java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.RetractionProbe \
+  | grep '{"probe"' | tee /tmp/retraction_sf1.json
+
 echo "== vectorized COW-read ratio pin (>= 1.3x row path) =="
 # shellcheck disable=SC2086
 java $ADD_OPENS $JFLAGS -cp "$TCP" graft.CowReadGate "$SF1" \
