@@ -75,6 +75,11 @@ echo "== frame-sized retraction: million-key equality-delete path (r9) =="
 java $ADD_OPENS $JFLAGS -cp "$CP" graft.operators.RetractionProbe \
   | grep '{"probe"' | tee /tmp/retraction_sf1.json
 
+echo "== BPE trainer at real merge counts: k=1024 driver-side (r9) =="
+# shellcheck disable=SC2086
+java $ADD_OPENS $JFLAGS -cp "$TCP" graft.BpeScaleProbe "$SF1" \
+  | grep '{"probe"' | tee /tmp/bpe_scale_sf1.json
+
 echo "== vectorized COW-read ratio pin (>= 1.3x row path) =="
 # shellcheck disable=SC2086
 java $ADD_OPENS $JFLAGS -cp "$TCP" graft.CowReadGate "$SF1" \
