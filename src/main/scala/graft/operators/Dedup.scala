@@ -1064,6 +1064,35 @@ object Dedup {
     * ran 50+ MINUTES vs minutes for this form). */
   private[operators] def prefixRepJaccardPairs(
       repDocs: DataFrame, p: Int, q: Int): (DataFrame, DataFrame) = {
+    val (pairs, shingled, _) =
+      prefixRepJaccardPairsCapped(repDocs, p, q, Long.MaxValue)
+    (pairs, shingled)
+  }
+
+  /** [[prefixRepJaccardPairs]] with an OPTIONAL per-shingle df cap
+    * (VERDICT r8 #6) — the production knob against boilerplate floods: a
+    * shingle shared by `df` documents contributes up to df·(df−1)/2
+    * candidate rows to the prefix join, so one boilerplate block
+    * replicated across a crawl can blow the edge build even when every
+    * candidate FAILS verification (the q_substring_best_match df≤64
+    * stop-fingerprint insight applied to the edge builder). Shingles
+    * with df > dfCap are excluded from CANDIDATE GENERATION only (the
+    * post-slice prefix filter; verification still merges full arrays),
+    * and the third return value reports the drop — one row
+    * `(capped_shingles, dropped_pair_slots)` where the slot count
+    * Σ df·(df−1)/2 upper-bounds the candidate mass the cap removed (the
+    * no-silent-caps rule: a capped run always SAYS what it skipped).
+    *
+    * Recall contract: a pair is missed only if EVERY shared prefix
+    * shingle is capped — i.e. the pair is related exclusively through
+    * ≥ dfCap-fold boilerplate. The exact form stays the ground-truth
+    * default (dfCap = MaxValue ⇒ zero drops, identical plan); capped
+    * output is row-identical on non-flooded corpora (CappedEdgesSpec)
+    * and the q_dedup_groups_capped oracle self-certifies zero overflow
+    * on the gate corpora via its summary row. */
+  private[operators] def prefixRepJaccardPairsCapped(
+      repDocs: DataFrame, p: Int, q: Int, dfCap: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     // everything runs over sorted distinct 64-bit shingle HASHES, one
     // per-row kernel pass (WordShingleHashes): 8-byte join keys instead of
     // ~30-byte strings through the df aggregate, the prefix build and the
@@ -1089,6 +1118,10 @@ object Dedup {
         count(lit(1)).cast("int").as("n"))
       .select(col("doc_id"), col("n"),
         explode(slice(col("ord"), lit(1), col("n") - ceilPnQ + 1)).as("p"))
+      // df cap: boilerplate shingles leave candidate generation here —
+      // AFTER the slice, so prefix lengths (and thus the uncapped form's
+      // plan) are unchanged; dfCap = MaxValue keeps every row
+      .filter(col("p.df") <= dfCap)
       .select(col("doc_id"), col("n"), col("p.shingle").as("shingle"))
     val cand = prefix.as("x")
       .join(prefix.as("y"),
@@ -1099,8 +1132,13 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         (col("x.n") + col("y.n")).as("nab"))
       .distinct()
+    val overflow = dfreq.filter(col("df") > dfCap)
+      .agg(count(lit(1)).as("capped_shingles"),
+        coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+          .cast("long").as("dropped_pair_slots"))
     (mergeVerifiedPairs(hashed, cand, p, q),
-      sizes.filter(col("n") > 0).select("doc_id"))
+      sizes.filter(col("n") > 0).select("doc_id"),
+      overflow)
   }
 
   /** Co-occurrence-candidate exact Jaccard REP pairs at rational threshold
