@@ -339,19 +339,19 @@ object Ingest {
     * pre-count (one stats-prunable read-only scan — the only O(table)
     * step, kept for the accounting contract; a count-free fire-and-forget
     * retraction would skip it). Zero matches commit NOTHING. */
-  private def equalityRetract(spark: SparkSession, tableRef: String,
-      keys: DataFrame): Long = {
+  private[operators] def equalityRetract(spark: SparkSession,
+      tableRef: String, keys: DataFrame, keyCol: String = "doc_id"): Long = {
     val store = storeFor(spark, tableRef)
     val snap = store.head().getOrElse(
       throw new IllegalStateException(s"no table at $tableRef"))
     val matched = spark.table(tableRef)
-      .join(keys, Seq("doc_id"), "left_semi").count()
+      .join(keys, Seq(keyCol), "left_semi").count()
     if (matched == 0) return 0L
-    val field = snap.schema.fields.find(_.name == "doc_id").getOrElse(
-      throw new IllegalStateException(s"$tableRef has no doc_id column"))
+    val field = snap.schema.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalStateException(s"$tableRef has no $keyCol column"))
     val phys = graft.lake.SchemaNames.physicalName(field)
     val newDeletes = graft.lake.PositionDeletes.writeEqualityDeleteFiles(
-      spark, store, keys.select(col("doc_id").cast(field.dataType).as(phys)),
+      spark, store, keys.select(col(keyCol).cast(field.dataType).as(phys)),
       Seq(phys))
     store.commit { prev =>
       val p = prev.getOrElse(snap)

@@ -256,4 +256,24 @@ object SemanticIngest {
       indexRowsRemoved = indexMatched,
       corpusVersion = version)
   }
+
+  /** Frame-sized [[retractVectors]] — the semantic twin of
+    * `Ingest.retractBatch(keys: DataFrame)`: a `vec_id` manifest of any
+    * size commits as ONE equality-delete file per table (O(|keys|), no
+    * data-file scan), index FIRST, zero-match tables skipping their
+    * commit so reruns are true no-ops. */
+  def retractVectors(spark: SparkSession, keys: DataFrame,
+      corpusTable: String, indexTable: String): SemanticRetractReport = {
+    require(keys.columns.contains("vec_id"),
+      s"retraction keys need a vec_id column, got ${keys.columns.mkString(",")}")
+    val k = keys.select("vec_id").distinct().localCheckpoint()
+    val indexMatched = Ingest.equalityRetract(spark, indexTable, k, "vec_id")
+    val corpusMatched = Ingest.equalityRetract(spark, corpusTable, k, "vec_id")
+    val version = spark.table(s"$corpusTable.history")
+      .agg(max("snapshot_id")).head().getLong(0)
+    SemanticRetractReport(
+      corpusVectorsRemoved = corpusMatched,
+      indexRowsRemoved = indexMatched,
+      corpusVersion = version)
+  }
 }

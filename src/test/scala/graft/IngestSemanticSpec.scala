@@ -169,6 +169,33 @@ class IngestSemanticSpec extends SparkSpec {
       s"no-op retraction must not commit: $versBefore -> $versAfter")
   }
 
+  test("frame-sized retractVectors: law parity with the Seq overload") {
+    val (c, k, x) = setup()
+    SemanticIngest.ingestBatchSemantic(spark,
+      Seq(1L -> unit(0), 2L -> unit(2)).toDF("vec_id", "embedding"), c, k, x)
+    val rr = SemanticIngest.retractVectors(spark,
+      Seq(1L).toDF("vec_id"), c, x)
+    assert(rr.corpusVectorsRemoved == 1 && rr.indexRowsRemoved == 1, s"got $rr")
+    assert(ids(c) == Seq(2L))
+    // equality commit kind, O(keys)
+    val last = spark.table(s"$c.snapshots")
+      .orderBy($"snapshot_id".desc).limit(1)
+      .select("operation", "summary").collect()(0)
+    assert(last.getString(0) == "delete" &&
+      last.getMap[String, String](1).get("delete-kind").contains("equality"))
+    // rejection lifted + idempotent no-op rerun commits nothing
+    val freed = SemanticIngest.ingestBatchSemantic(spark,
+      Seq(3L -> near(0, 1)).toDF("vec_id", "embedding"), c, k, x)
+    assert(freed.admitted == 1, s"got $freed")
+    val versBefore =
+      spark.table(s"$c.history").agg(max("snapshot_id")).head().getLong(0)
+    val rr2 = SemanticIngest.retractVectors(spark,
+      Seq(1L).toDF("vec_id"), c, x)
+    assert(rr2.corpusVectorsRemoved == 0 && rr2.indexRowsRemoved == 0)
+    assert(spark.table(s"$c.history").agg(max("snapshot_id")).head().getLong(0)
+      == versBefore, "no-op frame retraction must not commit")
+  }
+
   test("streaming twin rejects embedding near-dups across micro-batches") {
     val (c, k, x) = setup()
     implicit val sqlCtx = spark.sqlContext
