@@ -782,6 +782,60 @@ object TextOps {
     (merges.result(), enc)
   }
 
+  /** DuckDB twin of the k=8 BPE train+encode (ORACLE promotion, r9):
+    * "iterative training is not SQL-expressible" was only true for
+    * UNBOUNDED k — at the query's FIXED k=8 each round unrolls into
+    * three CTEs (pair counts over the current symbol table → the single
+    * best pair as a 1-row always-present frame via scalar subqueries,
+    * NULL on exhaustion → the merge folded into every word's symbols
+    * with the engine's exact left-to-right list_reduce). MATERIALIZED
+    * keeps the chain linear (DuckDB re-evaluates multiply-referenced
+    * CTEs otherwise: the un-hinted form never finished; hinted, 0.2 s
+    * at sf0.01 / 7.1 s at sf1). Tie-break is (n DESC, a, b) under
+    * DuckDB's binary UTF-8 collation — the trainer's utf8Lt, exactly. */
+  private def bpeEncodeSql: String = {
+    def round(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(c) AS n FROM (
+           SELECT c, syms[j] AS a, syms[j+1] AS b
+           FROM $prev, unnest(range(1, greatest(len(syms), 1))) t(j)
+           WHERE len(syms) >= 2 AND j < len(syms))
+          GROUP BY a, b),
+        b$i AS MATERIALIZED (
+          SELECT (SELECT a FROM (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1)) AS ma,
+                 (SELECT b FROM (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1)) AS mb),
+        s$i AS MATERIALIZED (SELECT tok, c,
+            CASE WHEN ma IS NULL THEN syms
+            ELSE list_reduce(list_prepend([]::VARCHAR[], [[x] FOR x IN syms]),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ma AND x[1] = mb
+                          THEN list_append(acc[1:len(acc)-1], ma || mb)
+                          ELSE list_append(acc, x[1]) END)
+            END AS syms
+          FROM $prev CROSS JOIN b$i)"""
+    }
+    val rounds = (1 to 8).map(round).mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+         SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+         FROM documents WHERE text IS NOT NULL),
+       vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       s0 AS MATERIALIZED (SELECT tok, c,
+         [substr(tok, CAST(i AS INTEGER), 1)
+          FOR i IN range(1, strlen(tok)+1)] AS syms FROM vocab),
+       $rounds,
+       enc AS (SELECT tok, len(syms)::BIGINT AS bpe_len,
+                      strlen(tok)::BIGINT AS n_chars FROM s8),
+       dt AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY 1, 2)
+       SELECT dt.doc_id,
+              CAST(sum(k) AS BIGINT) AS n_words,
+              CAST(sum(k * n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(k * bpe_len) AS BIGINT) AS n_bpe,
+              round(CAST(sum(k * n_chars) AS DOUBLE) / sum(k * bpe_len), 4)
+                AS chars_per_token
+       FROM dt JOIN enc USING (tok)
+       GROUP BY dt.doc_id ORDER BY doc_id"""
+  }
+
   /** BPE tokenizer application (N26): the step after q_bpe_merges — TRAIN
     * 8 merges on the corpus' own word histogram, then ENCODE every
     * document with them and report words / chars / BPE tokens per doc.
@@ -793,10 +847,12 @@ object TextOps {
     * (see trainBpe); encoding never re-runs BPE per token — the corpus
     * joins the vocab-sized encode table (broadcast under AQE) keyed by
     * word, so the per-doc pass is explode + count + one broadcast join,
-    * with all BPE arithmetic pre-computed per DISTINCT word. Iterative
-    * training is not ANSI-SQL-expressible — no DuckDB twin; the law suite
-    * pins it against an independent Scala reimplementation instead. */
-  val qBpeEncode: Q = Q.noOracle("q_bpe_encode") { (s, d) =>
+    * with all BPE arithmetic pre-computed per DISTINCT word.
+    * ORACLE-PROMOTED (r9): the fixed k=8 unrolls into a DuckDB CTE chain
+    * ([[bpeEncodeSql]]) — the driver now hash-compares the trained
+    * merges' OUTPUT across engines; the law suite keeps the independent
+    * Scala witness for the unbounded-k trainer. */
+  val qBpeEncode: Q = Q("q_bpe_encode", bpeEncodeSql) { (s, d) =>
     val corpusToks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
