@@ -642,10 +642,122 @@ object LakeOps {
       .orderBy("stage")
   }
 
+  /** Bands + Hamming-≤3 edges over a `(media_id, phash)` CTE — both
+    * directions (the component propagation consumes src→dst). */
+  private def mediaEdgesSql(sigCte: String, bandsName: String,
+      edgesName: String): String =
+    s"""$bandsName AS (
+         SELECT media_id, phash, b.b AS band_idx,
+                (phash >> (b.b * 16)) & 65535 AS band_val
+         FROM $sigCte, (VALUES (0), (1), (2), (3)) b(b)),
+       $edgesName AS (
+         SELECT DISTINCT x.media_id AS src, y.media_id AS dst
+         FROM $bandsName x JOIN $bandsName y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.media_id <> y.media_id
+         WHERE bit_count(xor(x.phash, y.phash)) <= 3)"""
+
+  /** Incremental MEDIA ingest against the lake-resident DHash64 band
+    * index (MediaIngest — the perceptual third leg of the ingest
+    * triptych). Unlike the MinHash and embedding twins, this ingest's
+    * END-TO-END ADMISSION DECISIONS are oracle-checked: dHash is pure
+    * integer math, pigeonhole banding is lossless at Hamming ≤ 3, and
+    * the component-min collapse is a recursive CTE — so the DuckDB twin
+    * recomputes every signature, replays both batches' greedy admission
+    * (batch 1 into empty tables, batch 2 against batch 1's admissions)
+    * and the driver hash-compares the full per-stage accounting. */
+  val qLakeIngestMedia: Q = Q(
+    "q_lake_ingest_media",
+    s"""WITH RECURSIVE
+       m AS (SELECT doc_id AS media_id, text FROM documents),
+       ${Multimodal.dhashSqlOver("m")},
+       b1 AS (SELECT * FROM m WHERE media_id % 5 <> 0),
+       g1 AS (SELECT * FROM b1 WHERE text IS NOT NULL AND strlen(text) > 0),
+       r1 AS (SELECT min(media_id) AS media_id FROM g1 GROUP BY text),
+       s1 AS (SELECT r.media_id, msig.phash FROM r1 r JOIN msig USING (media_id)),
+       ${mediaEdgesSql("s1", "bands1", "e1")},
+       reach1(id, root) AS (
+         SELECT media_id, media_id FROM s1
+         UNION
+         SELECT e.dst, r.root FROM reach1 r JOIN e1 e ON e.src = r.id),
+       a1 AS (SELECT id AS media_id FROM reach1 GROUP BY id
+              HAVING min(root) = id),
+       b2 AS (SELECT * FROM m WHERE media_id % 5 = 0),
+       g2 AS (SELECT * FROM b2 WHERE text IS NOT NULL AND strlen(text) > 0),
+       r2 AS (SELECT min(media_id) AS media_id FROM g2 GROUP BY text),
+       s2 AS (SELECT r.media_id, msig.phash FROM r2 r JOIN msig USING (media_id)),
+       sA AS (SELECT a.media_id, msig.phash FROM a1 a JOIN msig USING (media_id)),
+       bandsA AS (
+         SELECT media_id, phash, b.b AS band_idx,
+                (phash >> (b.b * 16)) & 65535 AS band_val
+         FROM sA, (VALUES (0), (1), (2), (3)) b(b)),
+       bands2 AS (
+         SELECT media_id, phash, b.b AS band_idx,
+                (phash >> (b.b * 16)) & 65535 AS band_val
+         FROM s2, (VALUES (0), (1), (2), (3)) b(b)),
+       rej2 AS (SELECT DISTINCT y.media_id
+                FROM bandsA x JOIN bands2 y
+                  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+       c2 AS (SELECT media_id, phash FROM s2
+              WHERE media_id NOT IN (SELECT media_id FROM rej2)),
+       ${mediaEdgesSql("c2", "bandsC", "e2")},
+       reach2(id, root) AS (
+         SELECT media_id, media_id FROM c2
+         UNION
+         SELECT e.dst, r.root FROM reach2 r JOIN e2 e ON e.src = r.id),
+       a2 AS (SELECT id AS media_id FROM reach2 GROUP BY id
+              HAVING min(root) = id)
+       SELECT '1_seed' AS stage,
+              (SELECT count(*) FROM b1) AS batch_rows,
+              (SELECT count(*) FROM b1) - (SELECT count(*) FROM g1) AS gate_rejected,
+              (SELECT count(*) FROM g1) - (SELECT count(*) FROM r1) AS intra_exact_dups,
+              CAST(0 AS BIGINT) AS corpus_neardups,
+              (SELECT count(*) FROM r1) - (SELECT count(*) FROM a1) AS intra_neardups,
+              (SELECT count(*) FROM a1) AS admitted
+       UNION ALL
+       SELECT '2_batch',
+              (SELECT count(*) FROM b2),
+              (SELECT count(*) FROM b2) - (SELECT count(*) FROM g2),
+              (SELECT count(*) FROM g2) - (SELECT count(*) FROM r2),
+              (SELECT count(*) FROM r2) - (SELECT count(*) FROM c2),
+              (SELECT count(*) FROM c2) - (SELECT count(*) FROM a2),
+              (SELECT count(*) FROM a2)
+       ORDER BY stage""") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.media_corpus")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.media_index")
+    s.sql(s"""CREATE TABLE $Cat.verify.media_corpus
+              (media_id BIGINT, payload BINARY) USING graft""")
+    s.sql(s"""CREATE TABLE $Cat.verify.media_index
+              (band_idx INT, band_val BIGINT, media_id BIGINT, phash BIGINT)
+              USING graft""")
+    val media = Multimodal.mediaTable(s, d).select("media_id", "payload")
+    val seed = MediaIngest.ingestBatchMedia(s,
+      media.filter(col("media_id") % 5 =!= 0),
+      s"$Cat.verify.media_corpus", s"$Cat.verify.media_index")
+    val batch = MediaIngest.ingestBatchMedia(s,
+      media.filter(col("media_id") % 5 === 0),
+      s"$Cat.verify.media_corpus", s"$Cat.verify.media_index")
+    import s.implicits._
+    Seq(
+      ("1_seed", seed.batchRows, seed.gateRejected, seed.intraBatchExactDups,
+        seed.corpusNearDups, seed.intraBatchNearDups, seed.admitted),
+      ("2_batch", batch.batchRows, batch.gateRejected,
+        batch.intraBatchExactDups, batch.corpusNearDups,
+        batch.intraBatchNearDups, batch.admitted))
+      .toDF("stage", "batch_rows", "gate_rejected", "intra_exact_dups",
+        "corpus_neardups", "intra_neardups", "admitted")
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(
     qLakeRoundtrip, qLakeTimeTravel, qLakePartitioned, qLakeEvolution,
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
     qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg,
-    qLakeIngestDedup, qLakeIngestNearDup, qLakeIngestSemantic)
+    qLakeIngestDedup, qLakeIngestNearDup, qLakeIngestSemantic,
+    qLakeIngestMedia)
 }

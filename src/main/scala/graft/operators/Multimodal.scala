@@ -192,6 +192,24 @@ object Multimodal {
        sig AS (SELECT doc_id, $bits AS phash FROM sums)"""
   }
 
+  /** [[dhashSql]] over an arbitrary `(media_id, text)` CTE — the reusable
+    * form the media-ingest oracle composes (emits `msums`/`msig`, keyed
+    * by media_id, signatures only for non-NULL texts). */
+  private[operators] def dhashSqlOver(src: String): String = {
+    val bits = (0 until 63).map(b =>
+      s"(CASE WHEN s[${b + 2}] > s[${b + 1}] THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ") +
+      " + (CASE WHEN s[65] > s[64] THEN -9223372036854775808 ELSE 0 END)"
+    s"""msums AS (
+         SELECT media_id,
+                [coalesce(list_sum([ascii(substr(text, CAST(j AS INTEGER), 1))
+                                    FOR j IN range((b*strlen(text)+64)//65 + 1,
+                                                   ((b+1)*strlen(text)+64)//65 + 1)]), 0)
+                 FOR b IN range(0, 65)] AS s
+         FROM $src WHERE text IS NOT NULL),
+       msig AS (SELECT media_id, $bits AS phash FROM msums)"""
+  }
+
   private def dhashCol(payload: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(

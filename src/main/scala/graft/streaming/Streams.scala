@@ -421,4 +421,32 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming MEDIA ingest — the continuous twin of
+    * MediaIngest.ingestBatchMedia, completing the streaming side of the
+    * ingest triptych: each micro-batch gates, exact-dedups, rejects
+    * perceptual near-dups (DHash64 Hamming ≤ 3) through the lake-resident
+    * band index, collapses intra-batch, and appends survivors
+    * corpus-before-index. The index table is the dedup state; restarts
+    * resume from the checkpoint + snapshot log with no state store. */
+  def mediaIngestIntoLakeTables(
+      spark: SparkSession,
+      stream: DataFrame, // needs media_id + payload columns
+      corpusTable: String,
+      indexTable: String,
+      checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.MediaIngest.ingestBatchMedia(
+            spark, batch, corpusTable, indexTable)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
 }
