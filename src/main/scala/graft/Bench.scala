@@ -68,6 +68,12 @@ object Bench {
       // progress line per query (stderr, not the JSON result line): lets a
       // stalled run name its slow query instead of going dark for minutes
       System.err.println(f"[bench] $name%-28s $t%8.2fs")
+      // between-queries block sweep (VERDICT r9 #1): the query's plan is
+      // fully consumed by the noop write, so any localCheckpoint blocks a
+      // pipeline pinned are dead weight — left alone they accumulate
+      // across 2×147 queries into block-manager/GC pressure that inflated
+      // later queries 4-18× on pass2. Single-threaded driver → safe.
+      org.apache.spark.sql.graftbridge.CheckpointBridge.sweep(spark)
       t
     }
 
@@ -121,6 +127,11 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(line)
+    // LAST line is a compact summary that always fits the driver's ~4 KB
+    // stdout tail (VERDICT r9 #5: the full per-query line outgrew it at
+    // 147 queries → "parsed": null). The complete per-query map lives in
+    // the full line above and in SPARK_GRAFT_BENCH_OUT.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","n_queries":${results.size},"queries_out":"$outPath"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free any localCheckpoint blocks the query pinned (VERDICT r9 #1);
+      // single-threaded dump loop → the sweep is safe
+      org.apache.spark.sql.graftbridge.CheckpointBridge.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

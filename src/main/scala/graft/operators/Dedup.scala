@@ -1132,9 +1132,12 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         (col("x.n") + col("y.n")).as("nab"))
       .distinct()
+    // integer DIV, not `/` (ADVICE r9): float division of df*(df-1) is
+    // exact only below 2^53 (~df 9.5e7) — an extreme-df shingle would
+    // make the accounting drift from the oracle's exact integer form
     val overflow = dfreq.filter(col("df") > dfCap)
       .agg(count(lit(1)).as("capped_shingles"),
-        coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+        coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L))
           .cast("long").as("dropped_pair_slots"))
     (mergeVerifiedPairs(hashed, cand, p, q),
       sizes.filter(col("n") > 0).select("doc_id"),

@@ -111,6 +111,10 @@ object Ingest {
     // superset pin of this batch)
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
+    // single-use pipeline: every consumer of the checkpointed frames has
+    // materialized (counts + both appends) — free their blocks now rather
+    // than letting them accumulate across batches (VERDICT r9 #1)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(gated, admitted)
     IngestReport(
       batchRows = batchRows,
       qualityRejected = batchRows - gatedRows,
@@ -236,6 +240,11 @@ object Ingest {
       .writeTo(bandTable).append()
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
+    // single-use pipeline: all consumers have materialized — free every
+    // checkpoint this call pinned (comps' leaf is the CC fixpoint frame)
+    // instead of accumulating ~7 dead block sets per batch (VERDICT r9 #1)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(
+      gated, sigs, bands, candPairs, clean, admitted, comps)
     NearDupIngestReport(
       batchRows = batchRows,
       qualityRejected = batchRows - gatedRows,
@@ -393,6 +402,7 @@ object Ingest {
     val corpusMatched = equalityRetract(spark, corpusTable, k)
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(k)
     RetractReport(
       corpusDocsRemoved = corpusMatched,
       bandRowsRemoved = bandMatched,

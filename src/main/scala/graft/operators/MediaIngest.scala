@@ -146,6 +146,10 @@ object MediaIngest {
       .writeTo(indexTable).append()
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
+    // single-use pipeline: all consumers materialized — free the pinned
+    // checkpoints eagerly (VERDICT r9 #1)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(
+      cut, sigs, bands, clean, admitted, comps)
     MediaIngestReport(
       batchRows = batchRows,
       gateRejected = batchRows - gatedRows,

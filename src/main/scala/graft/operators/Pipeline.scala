@@ -241,6 +241,11 @@ object Pipeline {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
       converged = step.filter(col("comp") =!= col("old_comp")).isEmpty
+      // step is materialized (the isEmpty probe) and fully replaces the
+      // previous round's labels — free those blocks NOW, not at GC time:
+      // a long driver (bench loop, ingest pipeline) otherwise accumulates
+      // one dead checkpoint per round (VERDICT r9 #1)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.free(labels)
       labels = step.select("id", "comp")
       iter += 1
     }
@@ -307,6 +312,9 @@ object Pipeline {
         .distinct().localCheckpoint()
       converged = small.exceptAll(edges).isEmpty &&
         edges.exceptAll(small).isEmpty
+      // small is materialized (the exceptAll probes) and replaces edges —
+      // free the superseded round's blocks eagerly (VERDICT r9 #1)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.free(edges)
       edges = small
       iter += 1
     }

@@ -133,9 +133,30 @@ object SemanticIngest {
     val batchRows = cut.count()
     val e = prep(cut)
     val nonzero = e.filter(col("nv") > 0)
+    // degenerate first batch (empty, or all zero-norm/NULL embeddings —
+    // ADVICE r9): nothing to train on. Skip bootstrap entirely — admit
+    // the degenerate rows unindexed with zero-count dedup accounting and
+    // leave centroid training to the first batch with signal, mirroring
+    // the streaming foreachBatch guard. Training on an empty frame would
+    // commit zero centroids and wedge every later batch.
+    val preloaded = loadCentroids(spark, centroidTable)
+    if (preloaded.isEmpty && nonzero.isEmpty) {
+      if (batchRows > 0) cut.writeTo(corpusTable).append()
+      val version = spark.table(s"$corpusTable.history")
+        .agg(max("snapshot_id")).head().getLong(0)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.free(cut)
+      return SemanticIngestReport(
+        batchRows = batchRows,
+        corpusNearDups = 0,
+        intraBatchNearDups = 0,
+        admitted = batchRows,
+        zeroNorm = batchRows,
+        centroidsTrained = false,
+        corpusVersion = version)
+    }
     // bootstrap: train on this batch's bounded driver sample and commit
     // the centroids BEFORE any data append (see the crash contract)
-    val (cents, trained) = loadCentroids(spark, centroidTable) match {
+    val (cents, trained) = preloaded match {
       case Some(cs) => (cs, false)
       case None =>
         val cs = Similarity.trainCentroids(nonzero)
@@ -178,7 +199,12 @@ object SemanticIngest {
     val admittedNonzero = reps
       .join(broadcast(droppedReps), Seq("vec_id"), "left_anti")
       .localCheckpoint() // both appends must write the identical row set
-    val zeros = e.filter(!(col("nv") > 0)).select("vec_id")
+    // null-tolerant complement of the nonzero gate (ADVICE r9): a NULL
+    // embedding fails BOTH `nv > 0` and `!(nv > 0)`, so the old predicate
+    // silently dropped it from the corpus append while the accounting
+    // still claimed it — NULL and zero-norm rows now land in `zeros`
+    // uniformly (admitted unindexed, no witness power)
+    val zeros = e.filter(coalesce(col("nv"), lit(0.0)) <= 0).select("vec_id")
     val nonzeroRows = assigned.count()
     val cleanRows = clean.count()
     val admittedNzRows = admittedNonzero.count()
@@ -194,6 +220,10 @@ object SemanticIngest {
     }
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
+    // single-use pipeline: all consumers materialized — free the pinned
+    // checkpoints eagerly (VERDICT r9 #1)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(
+      cut, assigned, clean, admittedNonzero)
     SemanticIngestReport(
       batchRows = batchRows,
       corpusNearDups = nonzeroRows - cleanRows,
@@ -271,6 +301,7 @@ object SemanticIngest {
     val corpusMatched = Ingest.equalityRetract(spark, corpusTable, k, "vec_id")
     val version = spark.table(s"$corpusTable.history")
       .agg(max("snapshot_id")).head().getLong(0)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(k)
     SemanticRetractReport(
       corpusVectorsRemoved = corpusMatched,
       indexRowsRemoved = indexMatched,
