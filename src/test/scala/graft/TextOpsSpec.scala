@@ -393,6 +393,28 @@ class TextOpsSpec extends SparkSpec {
     assert(again.sameElements(out), "BPE train+encode not deterministic")
   }
 
+  test("trainBpe top-V cap engages with exact accounting and is a no-op above the vocab size") {
+    import spark.implicits._
+    // heavy-tail synthetic vocab (VERDICT r9 #2): 4 head words carry the
+    // count mass, 60 junk tail words stand in for the URL/hash junk that
+    // would overflow a driver collect at web scale
+    val head = Seq(("aaab", 100L), ("aabb", 80L), ("abab", 60L), ("bbbb", 40L))
+    val tail = (1 to 60).map(i => (f"junk$i%03d", 1L))
+    val vocab = (head ++ tail).toDF("tok", "c")
+    val (mCapped, encCapped, rep) = TextOps.trainBpe(vocab, 4, topV = 4)
+    // no-silent-caps: the drop is named exactly — 60 words, 60 count mass
+    assert(rep == TextOps.BpeCapReport(60L, 60L))
+    assert(encCapped.count() == 4L, "encode table must hold only kept words")
+    // capped training ≡ training on the kept head alone
+    val (mHead, _) = TextOps.trainBpe(head.toDF("tok", "c"), 4)
+    assert(mCapped == mHead, "capped merges must equal head-only merges")
+    // a cap that doesn't engage: zero accounting, merge-sequence identity
+    val (mWide, _, rep2) = TextOps.trainBpe(vocab, 4, topV = 10000)
+    assert(rep2 == TextOps.BpeCapReport(0L, 0L))
+    val (mPlain, _) = TextOps.trainBpe(vocab, 4)
+    assert(mWide == mPlain, "non-engaging cap changed the merge sequence")
+  }
+
   test("q_bigram_lm matches a naive driver-side Jelinek-Mercer witness") {
     val out = TextOps.qBigramLm.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
