@@ -121,6 +121,109 @@ private[operators] object XxhashSqlTwin {
        xf AS (SELECT *, ${toSigned(xor64("h9", shr("h9", 32)))} AS hash FROM xa1)"""
   }
 
+  /** Signed BIGINT column → unsigned HUGEINT in [0, 2^64). */
+  private def toUnsigned(c: String): String =
+    s"(CASE WHEN ($c) < 0 THEN ($c)::HUGEINT + $M64 ELSE ($c)::HUGEINT END)"
+
+  /** CTE chain computing Spark's `XXH64.hashLong(v, sd)` for every row of
+    * `src` — the LONG-input sibling of [[ctes]]'s byte-string path, used
+    * by the band-hash twins (`xxhash64(mh_a, mh_b)` hashes each 8-byte
+    * long through hashLong with the carried seed). `v` and `sd` are
+    * unsigned-HUGEINT column/expression texts; the final CTE `<p>f`
+    * carries all src columns + `out` (unsigned HUGEINT, chainable as the
+    * next call's seed). Validated bit-for-bit against XXH64.hashLong on
+    * sign/extreme regimes (MinhashSmallSpec). */
+  private def hashLongCtes(src: String, v: String, sd: String,
+      p: String, out: String): String = {
+    val h0 = add(add(sd, P5), "8::HUGEINT")
+    val k1 = mul(rot(mul(v, P2), 31), P1)
+    s"""${p}0 AS (SELECT *, $h0 AS ${p}_h0, $k1 AS ${p}_k1 FROM $src),
+       ${p}1 AS (SELECT *, ${add(mul(rot(xor64(s"${p}_h0", s"${p}_k1"), 27), P1), P4)} AS ${p}_h2 FROM ${p}0),
+       ${p}2 AS (SELECT *, ${mul(xor64(s"${p}_h2", shr(s"${p}_h2", 33)), P2)} AS ${p}_h3 FROM ${p}1),
+       ${p}3 AS (SELECT *, ${mul(xor64(s"${p}_h3", shr(s"${p}_h3", 29)), P3)} AS ${p}_h4 FROM ${p}2),
+       ${p}f AS (SELECT *, ${xor64(s"${p}_h4", shr(s"${p}_h4", 32))} AS $out FROM ${p}3)"""
+  }
+
+  /** CTE chain for the BUDGET-SIZED minhash pipeline twins (VERDICT r9
+    * #3): from a `(doc_id, text)` source CTE, compute each document's
+    * 4-seed MinHash signature and its 2 LSH band hashes exactly as the
+    * engine does (band b = xxhash64(mh_{2b}, mh_{2b+1}), seed 42 — two
+    * chained hashLongs). Leaves these CTEs for downstream consumers:
+    *  - `sh (doc_id, shingle)`: per-doc DISTINCT word-3-gram shingles;
+    *  - `msigs (doc_id, mh0..mh3)`: signed signature minima;
+    *  - `bands (doc_id, band_idx, band_hash)`: signed band hashes.
+    * 4-seed hash volume is exactly the promoted q_minhash_signatures
+    * twin's — the budget the 32-seed full pipeline blows. */
+  def smallSigBandCtes(docsSrc: String): String = {
+    val seeds = (0 until 4).map(i => s"($i, ${seedLiteral(i)})").mkString(", ")
+    val mins = (0 until 4)
+      .map(i => s"min(hash) FILTER (WHERE si = $i) AS mh$i").mkString(",\n       ")
+    s"""toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         FROM $docsSrc WHERE text IS NOT NULL),
+       sh AS MATERIALIZED (
+         SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+         FROM toks, unnest(range(1, greatest(len(tk) - 1, 1))) AS t(i)
+         WHERE len(tk) >= 3),
+       shu AS (SELECT shingle, strlen(shingle) AS n,
+                      [unicode(substr(shingle, CAST(i AS INTEGER), 1))
+                       FOR i IN range(1, strlen(shingle)+1)] AS cp
+               FROM (SELECT DISTINCT shingle FROM sh)),
+       seeds(si, seed) AS (VALUES $seeds),
+       inp AS (SELECT * FROM shu CROSS JOIN seeds),
+       ${ctes("inp")},
+       hashes AS (SELECT shingle, si, hash FROM xf),
+       msigs AS MATERIALIZED (SELECT sh.doc_id,
+         $mins
+         FROM sh JOIN hashes USING (shingle) GROUP BY sh.doc_id),
+       bandin AS (
+         SELECT doc_id, 0 AS band_idx, ${toUnsigned("mh0")} AS bv1,
+                ${toUnsigned("mh1")} AS bv2 FROM msigs
+         UNION ALL
+         SELECT doc_id, 1 AS band_idx, ${toUnsigned("mh2")} AS bv1,
+                ${toUnsigned("mh3")} AS bv2 FROM msigs),
+       ${hashLongCtes("bandin", "bv1", "42::HUGEINT", "ba", "bh1")},
+       ${hashLongCtes("baf", "bv2", "bh1", "bb", "bh2")},
+       bands AS MATERIALIZED (SELECT doc_id, band_idx,
+                 ${toSigned("bh2")} AS band_hash FROM bbf)"""
+  }
+
+  /** Full budget-sized MinHash+LSH dedup-GROUPS oracle (VERDICT r9 #3 —
+    * the end-to-end twin the 32-seed pipeline's gate budget forbids):
+    * band → candidate → exact-Jaccard verify → connected-component
+    * collapse, at 4 seeds / 2 bands over all documents. The verify
+    * replicates the engine's rounded-intRatio threshold exactly:
+    * `round_half_up(i·10^4/u) ≥ 0.5 ⟺ 20000·i ≥ 19999·u` — pure integer
+    * on both engines. Candidates between exact-duplicate copies verify at
+    * J = 1, so the doc-level graph here equals the engine's rep-level
+    * graph expanded over its dup classes (the pre-collapse argument in
+    * Dedup.qMinhashDedup). */
+  def minhashDedupSmallOracle: String =
+    s"""WITH RECURSIVE
+       ${smallSigBandCtes("documents")},
+       mcand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM bands x JOIN bands y
+                   ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                  AND x.doc_id < y.doc_id),
+       msz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       mint AS MATERIALIZED (SELECT id_a, id_b, count(*) AS i
+                FROM mcand c
+                JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+                GROUP BY 1, 2),
+       mpairs AS MATERIALIZED (SELECT id_a, id_b FROM mint
+                  JOIN msz sa ON sa.doc_id = id_a
+                  JOIN msz sb ON sb.doc_id = id_b
+                  WHERE 20000 * i >= 9999 * (sa.n + sb.n - i)),
+       medges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mpairs
+                  UNION ALL SELECT id_b, id_a FROM mpairs),
+       mreach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM mreach r JOIN medges e ON e.src = r.id)
+       SELECT id AS doc_id, min(root) AS group_id
+       FROM mreach GROUP BY id ORDER BY doc_id"""
+
   /** Spark's per-seed prefix: `xxhash64(lit(i), s)` = hash of s's bytes
     * seeded with `XXH64.hashInt(i, 42)` — the unsigned HUGEINT literal. */
   def seedLiteral(i: Int): String = {
