@@ -171,7 +171,9 @@ object Dedup {
     * doc as the verification surface; ScalaTest checks the LSH recall
     * property and DedupSpec the explode-formulation equivalence. The
     * full-pipeline q_minhash_dedup stays no-oracle on gate BUDGET (32
-    * seeds ≈ 8× this twin's hash volume — analysis in COVERAGE.md). */
+    * seeds ≈ 8× this twin's hash volume — analysis in COVERAGE.md);
+    * [[qMinhashDedupSmall]] oracles the identical pipeline end-to-end at
+    * 4 seeds / 2 bands, where the volume fits. */
   val qMinhashSignatures: Q = Q(
     "q_minhash_signatures",
     XxhashSqlTwin.minhashSignaturesOracle) { (s, d) =>

@@ -186,7 +186,15 @@ object Ingest {
     * quality gate) are admitted unbanded. Caller contract: doc_ids unique
     * across corpus + batches (key-strided crawl ids). */
   def ingestBatchNearDup(spark: SparkSession, batch: DataFrame,
-      corpusTable: String, bandTable: String): NearDupIngestReport = {
+      corpusTable: String, bandTable: String): NearDupIngestReport =
+    ingestBatchNearDup(spark, batch, corpusTable, bandTable, 32, 8)
+
+  /** Parameterized banding (VERDICT r9 #3): the oracled budget-sized twin
+    * (q_lake_ingest_neardup_small) runs this identical code path at
+    * 4 hashes / 2 bands; production stays at 32/8. */
+  private[graft] def ingestBatchNearDup(spark: SparkSession, batch: DataFrame,
+      corpusTable: String, bandTable: String, numHashes: Int,
+      numBands: Int): NearDupIngestReport = {
     require(batch.columns.contains("doc_id") && batch.columns.contains("text"),
       s"ingest batch needs doc_id + text, got ${batch.columns.mkString(",")}")
     val batchRows = batch.count()
@@ -201,8 +209,8 @@ object Ingest {
       .filter(col("__rn") === 1).drop("__rn", "__fp")
     // batch signatures + band rows (batch-sized; cut once — the candidate
     // join, the intra-batch collapse and the index append all reuse them)
-    val sigs = Dedup.minhashSignatures(first).localCheckpoint()
-    val bands = Dedup.minhashBands(sigs).localCheckpoint()
+    val sigs = Dedup.minhashSignatures(first, numHashes).localCheckpoint()
+    val bands = Dedup.minhashBands(sigs, numHashes, numBands).localCheckpoint()
     // 3. corpus near-dup rejection (index streams, batch broadcasts)
     val candPairs = corpusBandCandidates(spark.table(bandTable), bands)
       .localCheckpoint()
@@ -219,7 +227,8 @@ object Ingest {
     // pipeline's convention)
     val cleanSigs = sigs
       .join(broadcast(clean.select("doc_id")), Seq("doc_id"), "left_semi")
-    val intraPairs = Dedup.exactJaccard(clean, Dedup.lshCandidates(cleanSigs))
+    val intraPairs = Dedup.exactJaccard(clean,
+        Dedup.lshCandidates(cleanSigs, numHashes, numBands))
       .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
     val edges = intraPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(intraPairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -599,6 +599,144 @@ object LakeOps {
       .orderBy("stage")
   }
 
+  /** One batch's LSH candidate→verify→component-min collapse as oracle
+    * CTEs (all MATERIALIZED — DuckDB re-evaluates per reference): over
+    * the doc-id set `docsCte`, band-collision candidates verify at the
+    * engine's rounded exact-Jaccard threshold (20000·i ≥ 9999·union —
+    * ExactSum.intRatio's half-up ≥ 0.5) and `admCte` keeps component
+    * minima via the recursive reach. Requires `sh`/`bands`/`msz` in
+    * scope (XxhashSqlTwin.smallSigBandCtes + a size CTE). */
+  private def lshCollapseSql(docsCte: String, p: String,
+      admCte: String): String =
+    s"""${p}cand AS MATERIALIZED (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id
+         WHERE x.doc_id IN (SELECT doc_id FROM $docsCte)
+           AND y.doc_id IN (SELECT doc_id FROM $docsCte)),
+       ${p}ver AS MATERIALIZED (
+         SELECT id_a, id_b FROM (
+           SELECT c.id_a, c.id_b, count(*) AS i
+           FROM ${p}cand c
+           JOIN sh x ON x.doc_id = c.id_a
+           JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           GROUP BY 1, 2) j
+         JOIN msz sa ON sa.doc_id = id_a
+         JOIN msz sb ON sb.doc_id = id_b
+         WHERE 20000 * i >= 9999 * (sa.n + sb.n - i)),
+       ${p}e AS MATERIALIZED (
+         SELECT id_a AS src, id_b AS dst FROM ${p}ver
+         UNION ALL SELECT id_b, id_a FROM ${p}ver),
+       ${p}reach(id, root) AS (
+         SELECT doc_id, doc_id FROM $docsCte
+         UNION
+         SELECT e.dst, r.root FROM ${p}reach r JOIN ${p}e e ON e.src = r.id),
+       $admCte AS MATERIALIZED (
+         SELECT id AS doc_id FROM ${p}reach GROUP BY id
+         HAVING min(root) = id)"""
+
+  /** Budget-sized ORACLED near-dup ingest (VERDICT r9 #3 — the accounting
+    * twin the 32-seed q_lake_ingest_neardup's gate budget forbids): the
+    * SAME Ingest.ingestBatchNearDup code path at 4 hashes / 2 bands, with
+    * a DuckDB twin that recomputes every signature and band hash
+    * bit-for-bit (XxhashSqlTwin hashLong chains), replays both batches'
+    * greedy admission — quality gate → intra-batch exact dedup → corpus
+    * band-index rejection → recursive-CTE component-min collapse — and
+    * hash-compares the full per-stage accounting: the
+    * q_lake_ingest_media pattern on the text leg. */
+  val qLakeIngestNearDupSmall: Q = Q(
+    "q_lake_ingest_neardup_small",
+    s"""WITH RECURSIVE
+       g AS MATERIALIZED (
+         SELECT doc_id, text, doc_id % 5 <> 0 AS is_seed,
+                md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents
+         WHERE text IS NOT NULL
+           AND len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               BETWEEN 10 AND 100000
+           AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+               / length(text) < 0.1),
+       f1 AS MATERIALIZED (
+         SELECT min(doc_id) AS doc_id FROM g WHERE is_seed GROUP BY fp),
+       f2 AS MATERIALIZED (
+         SELECT min(doc_id) AS doc_id FROM g WHERE NOT is_seed GROUP BY fp),
+       fdocs AS (SELECT g.doc_id, g.text FROM g
+                 JOIN (SELECT doc_id FROM f1
+                       UNION ALL SELECT doc_id FROM f2) f USING (doc_id)),
+       ${XxhashSqlTwin.smallSigBandCtes("fdocs")},
+       msz AS MATERIALIZED (
+         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       ${lshCollapseSql("f1", "s1", "a1")},
+       rejp AS MATERIALIZED (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         WHERE x.doc_id IN (SELECT doc_id FROM a1)
+           AND y.doc_id IN (SELECT doc_id FROM f2)),
+       rej2 AS MATERIALIZED (
+         SELECT DISTINCT id_b AS doc_id FROM (
+           SELECT c.id_a, c.id_b, count(*) AS i
+           FROM rejp c
+           JOIN sh x ON x.doc_id = c.id_a
+           JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           GROUP BY 1, 2) j
+         JOIN msz sa ON sa.doc_id = id_a
+         JOIN msz sb ON sb.doc_id = id_b
+         WHERE 20000 * i >= 9999 * (sa.n + sb.n - i)),
+       c2 AS MATERIALIZED (
+         SELECT doc_id FROM f2
+         WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+       ${lshCollapseSql("c2", "s2", "a2")}
+       SELECT '1_seed' AS stage,
+              (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS batch_rows,
+              (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0)
+                - (SELECT count(*) FROM g WHERE is_seed) AS quality_rejected,
+              (SELECT count(*) FROM g WHERE is_seed)
+                - (SELECT count(*) FROM f1) AS intra_exact_dups,
+              CAST(0 AS BIGINT) AS corpus_neardups,
+              (SELECT count(*) FROM f1)
+                - (SELECT count(*) FROM a1) AS intra_neardups,
+              (SELECT count(*) FROM a1) AS admitted
+       UNION ALL
+       SELECT '2_batch',
+              (SELECT count(*) FROM documents WHERE doc_id % 5 = 0),
+              (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+                - (SELECT count(*) FROM g WHERE NOT is_seed),
+              (SELECT count(*) FROM g WHERE NOT is_seed)
+                - (SELECT count(*) FROM f2),
+              (SELECT count(*) FROM f2) - (SELECT count(*) FROM c2),
+              (SELECT count(*) FROM c2) - (SELECT count(*) FROM a2),
+              (SELECT count(*) FROM a2)
+       ORDER BY stage""") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $Cat.verify")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nds_corpus")
+    s.sql(s"DROP TABLE IF EXISTS $Cat.verify.nds_bands")
+    s.sql(s"""CREATE TABLE $Cat.verify.nds_corpus
+              (doc_id BIGINT, text STRING) USING graft""")
+    s.sql(s"""CREATE TABLE $Cat.verify.nds_bands
+              (band_idx INT, band_hash BIGINT, doc_id BIGINT) USING graft""")
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val seed = Ingest.ingestBatchNearDup(s,
+      docs.filter(col("doc_id") % 5 =!= 0),
+      s"$Cat.verify.nds_corpus", s"$Cat.verify.nds_bands", 4, 2)
+    val batch = Ingest.ingestBatchNearDup(s,
+      docs.filter(col("doc_id") % 5 === 0),
+      s"$Cat.verify.nds_corpus", s"$Cat.verify.nds_bands", 4, 2)
+    import s.implicits._
+    Seq(
+      ("1_seed", seed.batchRows, seed.qualityRejected, seed.intraBatchDups,
+        seed.corpusNearDups, seed.intraBatchNearDups, seed.admitted),
+      ("2_batch", batch.batchRows, batch.qualityRejected,
+        batch.intraBatchDups, batch.corpusNearDups,
+        batch.intraBatchNearDups, batch.admitted))
+      .toDF("stage", "batch_rows", "quality_rejected", "intra_exact_dups",
+        "corpus_neardups", "intra_neardups", "admitted")
+      .orderBy("stage")
+  }
+
   /** Incremental EMBEDDING-space ingest against lake-resident k-means
     * state (VERDICT r8 #1 — the semantic twin of q_lake_ingest_neardup):
     * centroids train once on the seed batch's bounded driver sample and
@@ -758,6 +896,6 @@ object LakeOps {
     qLakeDynOverwrite, qLakeChanges, qSqlCosine, qLakeClustered,
     qLakeMorDelete, qLakeUpsert, qLakeDefaults, qLakeGenerated,
     qLakeExternal, qSpjJoin, qMetaGroupAgg, qMetaFilteredAgg,
-    qLakeIngestDedup, qLakeIngestNearDup, qLakeIngestSemantic,
-    qLakeIngestMedia)
+    qLakeIngestDedup, qLakeIngestNearDup, qLakeIngestNearDupSmall,
+    qLakeIngestSemantic, qLakeIngestMedia)
 }
