@@ -32,7 +32,7 @@ object Procedures {
     "expire_snapshots", "remove_orphan_files", "create_tag", "drop_tag",
     "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze",
     "create_branch", "drop_branch", "fast_forward", "changelog",
-    "register_table")
+    "register_table", "retrain_semantic_index")
 
   /** Parse a comma list of partition-field specs: `col` (identity),
     * `days(col)` / `months(col)` / `years(col)`, `bucket[N](col)`. */
@@ -263,6 +263,24 @@ object Procedures {
           val through = IncrementalAgg.refresh(SparkSession.active,
             storeFor(src), mvStore, keys, valueCol)
           Seq(Row(mv, through, 0L))
+        }
+      case "retrain_semantic_index" =>
+        // the drift response for SemanticIngest (VERDICT r9 #4): retrain
+        // centroids on a fresh bounded sample of the CURRENT corpus, then
+        // rebuild the cluster index in one map-only pass — run when the
+        // ingest reports' low_affinity share rises
+        simple(ident.name(),
+          "retrain semantic-ingest centroids and rebuild the cluster index",
+          Seq(ProcedureParameter.in("corpus", StringType).build(),
+            ProcedureParameter.in("centroids", StringType).build(),
+            ProcedureParameter.in("index", StringType).build())) { args =>
+          val corpus = args.getUTF8String(0).toString
+          val cents = args.getUTF8String(1).toString
+          val index = args.getUTF8String(2).toString
+          val r = graft.operators.SemanticIngest.retrainSemanticIndex(
+            SparkSession.active, s"$catalogName.$corpus",
+            s"$catalogName.$cents", s"$catalogName.$index")
+          Seq(Row(corpus, r.indexedVectors, r.centroids.toLong))
         }
       case "analyze" =>
         simple(ident.name(),

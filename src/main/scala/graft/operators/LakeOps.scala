@@ -771,12 +771,12 @@ object LakeOps {
     Seq(
       ("1_seed", seed.batchRows, seed.corpusNearDups,
         seed.intraBatchNearDups, seed.admitted, seed.zeroNorm,
-        seed.centroidsTrained),
+        seed.lowAffinity, seed.centroidsTrained),
       ("2_batch", batch.batchRows, batch.corpusNearDups,
         batch.intraBatchNearDups, batch.admitted, batch.zeroNorm,
-        batch.centroidsTrained))
+        batch.lowAffinity, batch.centroidsTrained))
       .toDF("stage", "batch_rows", "corpus_neardups", "intra_neardups",
-        "admitted", "zero_norm", "centroids_trained")
+        "admitted", "zero_norm", "low_affinity", "centroids_trained")
       .orderBy("stage")
   }
 

@@ -76,16 +76,27 @@ object SemanticIngest {
   /** The q_embedding_neardup / q_semantic_dedup near-dup threshold. */
   val Tau = 0.35
 
+  /** Drift floor (VERDICT r9 #4): a batch vector whose max cosine to ANY
+    * centroid is below this has no well-fitting cluster — its intra-
+    * cluster dedup decisions are fragile (near-identical vectors can
+    * argmax-flip into different clusters and miss each other). A rising
+    * `lowAffinity` share across batches is the operational signal to
+    * `CALL graft.system.retrain_semantic_index` (IngestSemanticSpec
+    * demonstrates the full degrade→retrain→recover cycle). */
+  val DriftFloor = 0.2
+
   /** Per-batch accounting: `batchRows` = `corpusNearDups` +
     * `intraBatchNearDups` + `admitted`; `zeroNorm` counts the admitted
-    * vectors that bypassed indexing (subset of `admitted`).
-    * `centroidsTrained` is true only on the bootstrap call. */
+    * vectors that bypassed indexing (subset of `admitted`);
+    * `lowAffinity` counts batch vectors under [[DriftFloor]] — the drift
+    * metric. `centroidsTrained` is true only on the bootstrap call. */
   final case class SemanticIngestReport(
       batchRows: Long,
       corpusNearDups: Long,
       intraBatchNearDups: Long,
       admitted: Long,
       zeroNorm: Long,
+      lowAffinity: Long,
       centroidsTrained: Boolean,
       corpusVersion: Long)
 
@@ -151,6 +162,7 @@ object SemanticIngest {
         intraBatchNearDups = 0,
         admitted = batchRows,
         zeroNorm = batchRows,
+        lowAffinity = 0,
         centroidsTrained = false,
         corpusVersion = version)
     }
@@ -169,9 +181,11 @@ object SemanticIngest {
     }
     val centSims = Similarity.centSimsFor(cents)
     // map-only assignment; cut once — the corpus probe, the intra-batch
-    // collapse and the index append all reuse it
+    // collapse, the drift metric and the index append all reuse it
     val assigned = nonzero
-      .withColumn("cluster_id", array_position(centSims, array_max(centSims)))
+      .withColumn("__maxsim", array_max(centSims))
+      .withColumn("cluster_id",
+        array_position(centSims, col("__maxsim")))
       .localCheckpoint()
     // 1. corpus rejection: index streams, batch broadcasts, exact cosine
     // fused into the join
@@ -205,7 +219,11 @@ object SemanticIngest {
     // still claimed it — NULL and zero-norm rows now land in `zeros`
     // uniformly (admitted unindexed, no witness power)
     val zeros = e.filter(coalesce(col("nv"), lit(0.0)) <= 0).select("vec_id")
-    val nonzeroRows = assigned.count()
+    // one agg job carries both the nonzero count and the drift metric
+    val countsRow = assigned.agg(count(lit(1)),
+      count(when(col("__maxsim") < DriftFloor, 1))).head()
+    val nonzeroRows = countsRow.getLong(0)
+    val lowAffinityRows = countsRow.getLong(1)
     val cleanRows = clean.count()
     val admittedNzRows = admittedNonzero.count()
     val zeroRows = batchRows - nonzeroRows
@@ -230,6 +248,7 @@ object SemanticIngest {
       intraBatchNearDups = cleanRows - admittedNzRows,
       admitted = admittedNzRows + zeroRows,
       zeroNorm = zeroRows,
+      lowAffinity = lowAffinityRows,
       centroidsTrained = trained,
       corpusVersion = version)
   }
@@ -251,6 +270,44 @@ object SemanticIngest {
       .select("cluster_id", "vec_id", "v", "nv")
       .writeTo(indexTable).overwrite(lit(true))
     spark.table(indexTable).count()
+  }
+
+  /** Accounting of [[retrainSemanticIndex]]. */
+  final case class RetrainReport(
+      corpusVectors: Long, indexedVectors: Long, centroids: Int)
+
+  /** Centroid refresh (VERDICT r9 #4 — the drift response the
+    * train-once bootstrap lacks): retrain the spherical k-means centroids
+    * on a fresh bounded driver sample of the CURRENT corpus
+    * (Similarity.trainCentroids — O(SampleCap·dim) driver memory
+    * regardless of corpus size), overwrite the centroid table, then
+    * reassign the whole index in one map-only pass ([[rebuildIndex]] —
+    * the same O(table) commit class as a compaction). Run it when the
+    * ingest reports' `lowAffinity` share rises (SURVEY's continuous-crawl
+    * deployment: offline, between batches — one writer, as ingest
+    * documents).
+    *
+    * Commit order: centroids FIRST, then the index overwrite. A crash
+    * between the two leaves index rows assigned under the OLD centroids
+    * while batches assign under the NEW — cluster-mates can be missed
+    * (benign duplicates, the ingest crash class; never data loss) until
+    * a rerun or [[rebuildIndex]] converges the state. The reverse order
+    * could never converge: an index built on centroids that were never
+    * committed is unreconstructible. */
+  def retrainSemanticIndex(spark: SparkSession, corpusTable: String,
+      centroidTable: String, indexTable: String): RetrainReport = {
+    val e = prep(spark.table(corpusTable)).filter(col("nv") > 0)
+    val corpusVectors = e.count()
+    require(corpusVectors > 0,
+      s"$corpusTable holds no nonzero-norm vectors to retrain on")
+    val cs = Similarity.trainCentroids(e)
+    import spark.implicits._
+    cs.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .writeTo(centroidTable).overwrite(lit(true))
+    val indexed = rebuildIndex(spark, corpusTable, centroidTable, indexTable)
+    RetrainReport(corpusVectors, indexed, cs.size)
   }
 
   /** Accounting of [[retractVectors]] — the semantic twin of

@@ -53,7 +53,7 @@ class IngestSemanticSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val r1 = SemanticIngest.ingestBatchSemantic(spark, seed, c, k, x)
     assert(r1.copy(corpusVersion = 0) == SemanticIngest.SemanticIngestReport(
-      3, 0, 0, 3, 0, centroidsTrained = true, 0), s"got $r1")
+      3, 0, 0, 3, 0, 0, centroidsTrained = true, 0), s"got $r1")
     assert(ids(c) == Seq(1L, 2L, 3L))
     assert(spark.table(x).count() == 3)
     assert(spark.table(k).count() >= 3) // one centroid per seed direction
@@ -67,7 +67,7 @@ class IngestSemanticSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val r2 = SemanticIngest.ingestBatchSemantic(spark, batch2, c, k, x)
     assert(r2.copy(corpusVersion = 0) == SemanticIngest.SemanticIngestReport(
-      6, 2, 1, 3, 1, centroidsTrained = false, 0), s"got $r2")
+      6, 2, 1, 3, 1, 3, centroidsTrained = false, 0), s"got $r2")
     assert(ids(c) == Seq(1L, 2L, 3L, 13L, 14L, 15L))
     // index rows exclude the zero vector
     assert(spark.table(x).count() == 5)
@@ -82,7 +82,7 @@ class IngestSemanticSpec extends SparkSpec {
       Seq(23L -> unit(6), 24L -> zero, 25L -> unit(1))
         .toDF("vec_id", "embedding"), c, k, x)
     assert(r3.copy(corpusVersion = 0) == SemanticIngest.SemanticIngestReport(
-      3, 2, 0, 1, 1, centroidsTrained = false, 0), s"got $r3")
+      3, 2, 0, 1, 1, 2, centroidsTrained = false, 0), s"got $r3")
     assert(ids(c) == Seq(1L, 2L, 3L, 13L, 14L, 15L, 24L))
   }
 
@@ -137,7 +137,7 @@ class IngestSemanticSpec extends SparkSpec {
       Seq(5L -> near(4, 1)).toDF("vec_id", "embedding"), c, k, x)
     assert(caught.copy(corpusVersion = 0) ==
       SemanticIngest.SemanticIngestReport(
-        1, 1, 0, 0, 0, centroidsTrained = false, 0), s"got $caught")
+        1, 1, 0, 0, 0, 1, centroidsTrained = false, 0), s"got $caught")
   }
 
   test("retractVectors removes corpus + index rows and lifts the rejection") {
@@ -167,6 +167,116 @@ class IngestSemanticSpec extends SparkSpec {
       spark.table(s"$x.history").agg(max("snapshot_id")).head().getLong(0))
     assert(versBefore == versAfter,
       s"no-op retraction must not commit: $versBefore -> $versAfter")
+  }
+
+  test("degenerate first batch: no training, admitted unindexed, later batch bootstraps") {
+    val (c, k, x) = setup()
+    // ADVICE r9: an all-zero-norm first batch must not train (empty
+    // k-means sample) or wedge the bootstrap — admit unindexed and wait
+    val r0 = SemanticIngest.ingestBatchSemantic(spark,
+      Seq(1L -> zero).toDF("vec_id", "embedding"), c, k, x)
+    assert(!r0.centroidsTrained && r0.admitted == 1 && r0.zeroNorm == 1,
+      s"got $r0")
+    assert(spark.table(k).count() == 0, "no centroids from a degenerate batch")
+    assert(ids(c) == Seq(1L))
+    // an EMPTY batch is a no-op, not a crash
+    val rEmpty = SemanticIngest.ingestBatchSemantic(spark,
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), c, k, x)
+    assert(rEmpty.batchRows == 0 && rEmpty.admitted == 0, s"got $rEmpty")
+    // the first batch with signal still bootstraps normally
+    val r1 = SemanticIngest.ingestBatchSemantic(spark,
+      Seq(2L -> unit(0)).toDF("vec_id", "embedding"), c, k, x)
+    assert(r1.centroidsTrained && r1.admitted == 1, s"got $r1")
+  }
+
+  test("NULL embeddings land in the corpus and the accounting matches state") {
+    val (c, k, x) = setup()
+    SemanticIngest.ingestBatchSemantic(spark,
+      Seq(1L -> unit(0)).toDF("vec_id", "embedding"), c, k, x)
+    // ADVICE r9: a NULL embedding failed BOTH null-rejecting filters —
+    // claimed admitted/zeroNorm but never appended. It must be state, too.
+    val withNull = Seq((2L, Some(unit(1))), (3L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val r = SemanticIngest.ingestBatchSemantic(spark, withNull, c, k, x)
+    assert(r.zeroNorm == 1 && r.admitted == 2, s"got $r")
+    assert(ids(c) == Seq(1L, 2L, 3L),
+      "the NULL-embedding row must actually land in the corpus")
+    assert(spark.table(x).filter($"vec_id" === 3L).count() == 0,
+      "NULL rows stay unindexed")
+  }
+
+  test("drift cycle: lowAffinity flags stale centroids, retrain restores dedup recall") {
+    // Two arms over IDENTICAL data: bootstrap on corpus A (structure in
+    // dims 0..31), then a drifted stream (structure in dims 32..543,
+    // 8 wide clusters; members at cos ≈ 0.2 < τ to each other, so the
+    // only τ-near-dups are the planted base→dup pairs at cos ≈ 0.9999).
+    // Under STALE centroids the drifted vectors' cluster assignment is
+    // decided by ~0.01-magnitude A-subspace noise, so a 0.02 perturbation
+    // argmax-flips pairs apart and intra-cluster dedup misses them; after
+    // CALL retrain_semantic_index the clusters live in the drifted
+    // subspace and assignment is robust. VERDICT r9 #4's done criterion.
+    val rnd = new scala.util.Random(11)
+    val D = 544
+    def aVec(k: Int): Seq[Float] = {
+      val v = Array.fill(D)(0.0)
+      v(4 * k) = 1.0
+      (0 until 32).foreach(i => v(i) += 0.05 / math.sqrt(32) * rnd.nextGaussian())
+      v.map(_.toFloat).toSeq
+    }
+    def bVec(k: Int): Array[Double] = {
+      val v = Array.fill(D)(0.0)
+      v(32 + k) = 1.0
+      (32 until D).foreach(i => v(i) += 2.0 / math.sqrt(512) * rnd.nextGaussian())
+      (0 until 32).foreach(i => v(i) += 0.01 / math.sqrt(32) * rnd.nextGaussian())
+      v
+    }
+    def perturb(v: Array[Double]): Array[Double] = {
+      val w = v.clone()
+      (0 until 32).foreach(i => w(i) += 0.02 / math.sqrt(32) * rnd.nextGaussian())
+      w
+    }
+    val corpusA = (0 until 200).map(i => (i + 1).toLong -> aVec(i % 8))
+    val d1 = (0 until 80).map(i => (1000 + i).toLong -> bVec(i % 8))
+    val bases = (0 until 80).map(i => (2000 + 2 * i).toLong -> bVec(i % 8))
+    val dups = bases.map { case (id, v) => (id + 1) -> perturb(v) }
+    def f(xs: Seq[(Long, Array[Double])]): Seq[(Long, Seq[Float])] =
+      xs.sortBy(_._1).map { case (id, v) => id -> v.map(_.toFloat).toSeq }
+    val dupIds = dups.map(_._1)
+
+    def runArm(retrain: Boolean) = {
+      val (c, k, x) = setup()
+      SemanticIngest.ingestBatchSemantic(spark,
+        corpusA.toDF("vec_id", "embedding"), c, k, x)
+      val rD1 = SemanticIngest.ingestBatchSemantic(spark,
+        f(d1).toDF("vec_id", "embedding"), c, k, x)
+      if (retrain) {
+        val row = spark.sql(s"CALL $Cat.system.retrain_semantic_index(" +
+          s"corpus => '${c.stripPrefix(s"$Cat.")}', " +
+          s"centroids => '${k.stripPrefix(s"$Cat.")}', " +
+          s"index => '${x.stripPrefix(s"$Cat.")}')").collect()(0)
+        assert(row.getLong(1) == spark.table(x).count(),
+          "retrain must reindex the whole nonzero corpus")
+      }
+      val rD2 = SemanticIngest.ingestBatchSemantic(spark,
+        f(bases ++ dups).toDF("vec_id", "embedding"), c, k, x)
+      val admittedDups = spark.table(c)
+        .filter($"vec_id".isin(dupIds: _*)).count()
+      (1.0 - admittedDups.toDouble / dups.size, rD1, rD2)
+    }
+    val (recallStale, staleD1, _) = runArm(retrain = false)
+    val (recallRetrained, _, retrD2) = runArm(retrain = true)
+    // the drift METRIC: stale centroids see the drifted batch as
+    // low-affinity; retrained centroids fit it
+    assert(staleD1.lowAffinity >= (0.9 * staleD1.batchRows).toLong,
+      s"drifted batch under stale centroids must read low-affinity: $staleD1")
+    assert(retrD2.lowAffinity <= (0.2 * retrD2.batchRows).toLong,
+      s"retrained centroids must fit the drifted stream: $retrD2")
+    // the RECALL law: stale measurably below the 0.95 bar, retrain restores
+    assert(recallStale < 0.95,
+      f"stale dedup recall $recallStale%.3f should be degraded on drift")
+    assert(recallRetrained >= 0.95,
+      f"retrained dedup recall $recallRetrained%.3f must clear 0.95")
+    assert(recallRetrained > recallStale)
   }
 
   test("frame-sized retractVectors: law parity with the Seq overload") {
