@@ -92,8 +92,12 @@ java $ADD_OPENS $JFLAGS -cp "$TCP" graft.ChaosGate "$SF1" \
 
 echo "== sf1 bench (runs=2 agg=min; run on an otherwise idle box) =="
 # shellcheck disable=SC2086
-SPARK_GRAFT_SF_DIR="$SF1" java $ADD_OPENS $JFLAGS -cp "$CP" graft.Bench \
+SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf1_full.json \
+  java $ADD_OPENS $JFLAGS -cp "$CP" graft.Bench \
   | grep '{"metric"' | tee /tmp/bench_sf1.json
+
+echo "== ingest pass2/pass1 flatness (<= 2x; r9's 232s pass2 class) =="
+python3 tools/check_pass_flatness.py /tmp/bench_sf1_full.json
 
 echo "== standing sf10 spot-probe (ratio <= 8x for 10x data; r8) =="
 tools/sf10_probe.sh "$SF1" /tmp/sf10
