@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver invokes sbt and parses the LAST stdout line as JSON
+// (BENCH_r{N}.json "parsed" — null in r9/r10). Two sbt defaults defeat
+// that parse for a forked run: the logger routes the child's stdout
+// through an "[info] " prefix, and a "[success] Total time" banner prints
+// after it. Pass forked output through raw and silence the banner so the
+// bench's one-line JSON is the true final line of stdout.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
