@@ -30,7 +30,8 @@ object Procedures {
   val names: Seq[String] = Seq("compact", "rewrite_deletes",
     "rewrite_delete_vectors",
     "expire_snapshots", "remove_orphan_files", "create_tag", "drop_tag",
-    "rollback_to_version", "refresh_mv", "set_partition_spec", "analyze",
+    "rollback_to_version", "refresh_mv", "refresh_mv_groups",
+    "set_partition_spec", "analyze",
     "create_branch", "drop_branch", "fast_forward", "changelog",
     "register_table", "retrain_semantic_index")
 
@@ -261,6 +262,25 @@ object Procedures {
           val mvStore = new SnapshotStore(
             mv.split('.').foldLeft(warehouse)((p, e) => p.resolve(e)))
           val through = IncrementalAgg.refresh(SparkSession.active,
+            storeFor(src), mvStore, keys, valueCol)
+          Seq(Row(mv, through, 0L))
+        }
+      case "refresh_mv_groups" =>
+        simple(ident.name(),
+          "incrementally refresh a count/sum/max/min aggregate " +
+            "(affected-groups merge for the non-subtractable max/min)",
+          Seq(ProcedureParameter.in("source", StringType).build(),
+            ProcedureParameter.in("mv", StringType).build(),
+            ProcedureParameter.in("keys", StringType).build(), // comma list
+            ProcedureParameter.in("value_col", StringType).build())) { args =>
+          val src = args.getUTF8String(0).toString
+          val mv = args.getUTF8String(1).toString
+          val keys = args.getUTF8String(2).toString
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val valueCol = args.getUTF8String(3).toString
+          val mvStore = new SnapshotStore(
+            mv.split('.').foldLeft(warehouse)((p, e) => p.resolve(e)))
+          val through = IncrementalAgg.refreshGroups(SparkSession.active,
             storeFor(src), mvStore, keys, valueCol)
           Seq(Row(mv, through, 0L))
         }
