@@ -2,14 +2,15 @@ package graft.lake
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.analysis.{CurrentNamespace, NoSuchViewException, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, Project, SetViewProperties, ShowCreateTable, ShowViews, SubqueryAlias, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ViewInfo}
+import org.apache.spark.sql.catalyst.util.StringUtils
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
 
 /** SQL surface for GraftCatalog's persistent views (VERDICT r9 #7).
   *
@@ -35,10 +36,24 @@ import org.apache.spark.sql.types.StructType
   *    views substitute on subsequent fixed-point iterations; a cyclic
   *    view fails the analyzer's iteration cap loudly.
   *
+  * The same hook covers the rest of the DDL surface (VERDICT r10 #4):
+  * `SHOW VIEWS [IN ns] [LIKE 'pat']`, `SHOW CREATE TABLE <view>` (Spark's
+  * spelling of SHOW CREATE VIEW — the session catalog answers it for its
+  * views the same way), and `ALTER VIEW ... AS / SET TBLPROPERTIES /
+  * UNSET TBLPROPERTIES`.
+  *
+  * NAME-SHADOWING PRECEDENCE (pinned by ViewsSpec): a session TEMP view
+  * always shadows a graft view of the same 1-part name — for reads
+  * because the analyzer's own ResolveRelations substitutes temp views
+  * earlier in the resolution batch than this extension's injected rule,
+  * and for DDL because every rewrite below explicitly defers when
+  * `isTempView` matches the name (exactly the session catalog's own
+  * temp-before-persistent rule). Dropping the temp view un-shadows the
+  * graft view.
+  *
   * Enabled via `spark.sql.extensions=graft.lake.GraftSqlExtensions`
-  * (SparkSpec/Verify/Bench all set it). Not covered (documented): SHOW
-  * VIEWS / SHOW CREATE VIEW SQL (the `listViews` API works), ALTER VIEW,
-  * and streaming reads of views. */
+  * (SparkSpec/Verify/Bench all set it). Not covered (documented):
+  * streaming reads of views. */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftViewParser(session, delegate))
@@ -69,6 +84,31 @@ private[lake] object GraftViewSupport {
       case _ => None
     }
   }
+
+  /** Resolve a (possibly empty) multipart NAMESPACE to a graft catalog,
+    * following the same rule: a first part naming a registered catalog
+    * wins; empty parts mean the current catalog + current namespace. */
+  def graftNamespace(session: SparkSession,
+      parts: Seq[String]): Option[(String, GraftCatalog, Seq[String])] = {
+    val cm = session.sessionState.catalogManager
+    def catalogFor(name: String): Option[CatalogPlugin] =
+      try Some(cm.catalog(name)) catch { case _: Exception => None }
+    val (plugin, ns) =
+      if (parts.isEmpty) (cm.currentCatalog, cm.currentNamespace.toSeq)
+      else if (catalogFor(parts.head).isDefined)
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    plugin match {
+      case g: GraftCatalog => Some((plugin.name(), g, ns))
+      case _ => None
+    }
+  }
+
+  /** The session catalog's temp-before-persistent precedence: a temp view
+    * (local 1-part or global_temp 2-part) shadows a graft view of the
+    * same name, so DDL naming one must stay with the delegate. */
+  def isTempView(session: SparkSession, parts: Seq[String]): Boolean =
+    session.sessionState.catalog.isTempView(parts)
 }
 
 /** Delegating parser that intercepts view DDL aimed at a GraftCatalog.
@@ -89,10 +129,53 @@ private[lake] class GraftViewParser(session: SparkSession,
         }
       case _ => plan
     }
-    case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+    case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if !GraftViewSupport.isTempView(session, parts) =>
       GraftViewSupport.graftTarget(session, parts) match {
         case Some((cat, _, ident)) =>
           GraftDropViewCommand(cat, ident, ifExists)
+        case None => plan
+      }
+    case sv @ ShowViews(child, pattern, _) =>
+      val nsParts: Option[Seq[String]] = child match {
+        case UnresolvedNamespace(parts, _) => Some(parts)
+        case CurrentNamespace => Some(Seq.empty)
+        case _ => None
+      }
+      nsParts.flatMap(GraftViewSupport.graftNamespace(session, _)) match {
+        case Some((cat, _, ns)) => GraftShowViewsCommand(cat, ns, pattern)
+        case None => plan
+      }
+    // SHOW CREATE TABLE is Spark's spelling of SHOW CREATE VIEW too (the
+    // session catalog answers it for views); intercept only when the name
+    // resolves to an EXISTING graft view, so graft TABLES keep Spark's
+    // own DSv2 ShowCreateTableExec path untouched.
+    case ShowCreateTable(UnresolvedTableOrView(parts, _, _), false, _)
+        if !GraftViewSupport.isTempView(session, parts) =>
+      GraftViewSupport.graftTarget(session, parts) match {
+        case Some((cat, g, ident)) if g.viewExists(ident) =>
+          GraftShowCreateViewCommand(cat, ident)
+        case _ => plan
+      }
+    case AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _)
+        if !GraftViewSupport.isTempView(session, parts) =>
+      GraftViewSupport.graftTarget(session, parts) match {
+        case Some((cat, _, ident)) =>
+          GraftAlterViewAsCommand(cat, ident, originalText)
+        case None => plan
+      }
+    case SetViewProperties(UnresolvedView(parts, _, _, _), props)
+        if !GraftViewSupport.isTempView(session, parts) =>
+      GraftViewSupport.graftTarget(session, parts) match {
+        case Some((cat, _, ident)) =>
+          GraftSetViewPropertiesCommand(cat, ident, props)
+        case None => plan
+      }
+    case UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, ifExists)
+        if !GraftViewSupport.isTempView(session, parts) =>
+      GraftViewSupport.graftTarget(session, parts) match {
+        case Some((cat, _, ident)) =>
+          GraftUnsetViewPropertiesCommand(cat, ident, keys, ifExists)
         case None => plan
       }
     case other => other
@@ -179,6 +262,111 @@ private[lake] final case class GraftDropViewCommand(
       .asInstanceOf[GraftCatalog]
     if (!cat.dropView(ident) && !ifExists)
       throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+/** `SHOW VIEWS [IN <graft-cat>[.<ns>]] [LIKE 'pattern']`: lists the
+  * namespace's persistent views with the session catalog's output shape
+  * (namespace, viewName, isTemporary). Pattern semantics are Spark's own
+  * `StringUtils.filterPattern` ('*' wildcard, '|' alternation,
+  * case-insensitive). Temp views are session-scoped, not catalog-scoped,
+  * so they are never listed under a graft namespace. */
+private[lake] final case class GraftShowViewsCommand(
+    catalogName: String, ns: Seq[String],
+    pattern: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val names = cat.listViews(ns: _*).map(_.name()).toSeq
+    val filtered = pattern.fold(names)(StringUtils.filterPattern(names, _))
+    filtered.sorted.map(n => Row(ns.mkString("."), n, false))
+  }
+}
+
+/** `SHOW CREATE TABLE <graft-view>`: reconstructs runnable DDL from the
+  * stored definition — aliases, comment, TBLPROPERTIES, query text. */
+private[lake] final case class GraftShowCreateViewCommand(
+    catalogName: String, ident: Identifier) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    val v = cat.loadView(ident)
+    def q(s: String) = "'" + s.replace("'", "\\'") + "'"
+    val name = (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+      .map(p => s"`$p`").mkString(".")
+    val cols =
+      if (v.columnAliases() == null || v.columnAliases().isEmpty) ""
+      else v.columnAliases().map(a => s"`$a`").mkString(" (", ", ", ")")
+    import scala.jdk.CollectionConverters._
+    val props = v.properties().asScala.toSeq.sortBy(_._1)
+    val comment = props.collectFirst { case ("comment", c) =>
+      s"\nCOMMENT ${q(c)}" }.getOrElse("")
+    val tblProps = props.filterNot(_._1 == "comment") match {
+      case Seq() => ""
+      case ps => ps.map { case (k, vl) => s"${q(k)} = ${q(vl)}" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    }
+    Seq(Row(s"CREATE VIEW $name$cols$comment$tblProps AS\n${v.query()}\n"))
+  }
+}
+
+/** `ALTER VIEW <graft-view> AS <query>`: replaces the stored query and
+  * schema; the new body is captured under the CURRENT resolution context
+  * (like CREATE), column aliases reset (the session catalog's semantics —
+  * ALTER ... AS takes the query's own output names), properties kept. */
+private[lake] final case class GraftAlterViewAsCommand(
+    catalogName: String, ident: Identifier,
+    sqlText: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cm = session.sessionState.catalogManager
+    val cat = cm.catalog(catalogName).asInstanceOf[GraftCatalog]
+    if (!cat.viewExists(ident)) throw new NoSuchViewException(ident)
+    val querySchema = session.sql(sqlText).schema
+    val info = new ViewInfo(ident, sqlText, cm.currentCatalog.name(),
+      cm.currentNamespace, querySchema, querySchema.fieldNames,
+      Array.empty, Array.empty, cat.loadView(ident).properties())
+    cat.replaceView(info, orCreate = false)
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW <graft-view> SET TBLPROPERTIES (...)`. */
+private[lake] final case class GraftSetViewPropertiesCommand(
+    catalogName: String, ident: Identifier,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    cat.alterView(ident, props.toSeq.map { case (k, v) =>
+      ViewChange.setProperty(k, v) }: _*)
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW <graft-view> UNSET TBLPROPERTIES [IF EXISTS] (...)`:
+  * missing keys are ignored either way — Spark 4 removed the legacy
+  * UNSET_NONEXISTENT_PROPERTIES failure (the session catalog treats
+  * every UNSET as IF EXISTS), and this command matches that contract.
+  * The view itself must exist (alterView throws NoSuchViewException). */
+private[lake] final case class GraftUnsetViewPropertiesCommand(
+    catalogName: String, ident: Identifier, keys: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+    cat.alterView(ident, keys.map(ViewChange.removeProperty): _*)
     Seq.empty
   }
 }

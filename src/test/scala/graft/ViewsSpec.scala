@@ -147,4 +147,96 @@ class ViewsSpec extends AnyFunSuite {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW sql_tmp AS SELECT 5 AS x")
     assert(spark.sql("SELECT x FROM sql_tmp").head().getInt(0) == 5)
   }
+
+  test("SHOW VIEWS / SHOW CREATE TABLE / ALTER VIEW SQL (VERDICT r10 #4)") {
+    spark.sql("CREATE TABLE IF NOT EXISTS vw.t.showbase (id INT) USING graft")
+    spark.sql("INSERT INTO vw.t.showbase VALUES (1), (2)")
+    spark.sql("DROP VIEW IF EXISTS vw.t.show_a")
+    spark.sql("DROP VIEW IF EXISTS vw.t.show_b")
+    spark.sql("CREATE VIEW vw.t.show_a (ident) AS SELECT id FROM vw.t.showbase")
+    spark.sql("CREATE VIEW vw.t.show_b AS SELECT id * 2 AS d FROM vw.t.showbase")
+
+    // SHOW VIEWS IN <cat>.<ns>, with and without LIKE; session-catalog
+    // output shape (namespace, viewName, isTemporary)
+    val shown = spark.sql("SHOW VIEWS IN vw.t")
+    assert(shown.columns.toSeq == Seq("namespace", "viewName", "isTemporary"))
+    val names = shown.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(names.contains(("t", "show_a", false)))
+    assert(names.contains(("t", "show_b", false)))
+    assert(spark.sql("SHOW VIEWS IN vw.t LIKE 'show_*'")
+      .collect().map(_.getString(1)).toSeq == Seq("show_a", "show_b"))
+    assert(spark.sql("SHOW VIEWS IN vw.t LIKE 'show_a|nope'")
+      .collect().map(_.getString(1)).toSeq == Seq("show_a"))
+    // bare SHOW VIEWS under USE <graft ns> lists the current namespace
+    spark.sql("USE vw.t")
+    assert(spark.sql("SHOW VIEWS").collect()
+      .map(_.getString(1)).toSet.contains("show_a"))
+    spark.sql("USE spark_catalog")
+
+    // SHOW CREATE TABLE on the view reconstructs runnable DDL
+    spark.sql("ALTER VIEW vw.t.show_a SET TBLPROPERTIES ('team' = 'ml')")
+    val ddl = spark.sql("SHOW CREATE TABLE vw.t.show_a").head().getString(0)
+    assert(ddl.contains("CREATE VIEW `vw`.`t`.`show_a` (`ident`)"))
+    assert(ddl.contains("TBLPROPERTIES"))
+    assert(ddl.contains("'team' = 'ml'"))
+    assert(ddl.contains("SELECT id FROM vw.t.showbase"))
+    // the emitted DDL round-trips through the parser hook
+    spark.sql(ddl.replace("`show_a`", "`show_rt`"))
+    assert(spark.sql("SELECT ident FROM vw.t.show_rt ORDER BY ident")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    spark.sql("DROP VIEW vw.t.show_rt")
+
+    // ALTER VIEW ... AS replaces body + schema, keeps properties
+    spark.sql("ALTER VIEW vw.t.show_a AS SELECT id + 100 AS big FROM vw.t.showbase")
+    assert(spark.sql("SELECT big FROM vw.t.show_a ORDER BY big")
+      .collect().map(_.getInt(0)).toSeq == Seq(101, 102))
+    assert(catalog.loadView(ident("show_a")).properties().get("team") == "ml")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchViewException] {
+      spark.sql("ALTER VIEW vw.t.show_missing AS SELECT 1 AS x")
+    }
+
+    // UNSET TBLPROPERTIES: Spark 4 treats every UNSET as IF EXISTS
+    // (the legacy missing-key failure was removed upstream) — both forms
+    // tolerate missing keys; a missing VIEW still fails
+    spark.sql("ALTER VIEW vw.t.show_a UNSET TBLPROPERTIES IF EXISTS ('team', 'nope')")
+    assert(!catalog.loadView(ident("show_a")).properties().containsKey("team"))
+    spark.sql("ALTER VIEW vw.t.show_a UNSET TBLPROPERTIES ('never_set')")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchViewException] {
+      spark.sql("ALTER VIEW vw.t.show_missing UNSET TBLPROPERTIES ('x')")
+    }
+    spark.sql("DROP VIEW vw.t.show_b")
+  }
+
+  test("temp view shadows a graft view of the same name (pinned precedence)") {
+    // 1-part name, current catalog = vw: the session temp view wins for
+    // reads (ResolveRelations runs before the injected rule) AND for DDL
+    // (every rewrite defers on isTempView). Dropping the temp un-shadows.
+    spark.sql("CREATE TABLE IF NOT EXISTS vw.t.shadowbase (id INT) USING graft")
+    spark.sql("INSERT INTO vw.t.shadowbase VALUES (7)")
+    spark.sql("USE vw.t")
+    spark.sql("CREATE VIEW shadow_v AS SELECT id FROM shadowbase")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW shadow_v AS SELECT 99 AS id")
+    try {
+      // read: temp wins
+      assert(spark.sql("SELECT id FROM shadow_v").head().getInt(0) == 99)
+      // qualified name still reaches the graft view
+      assert(spark.sql("SELECT id FROM vw.t.shadow_v").head().getInt(0) == 7)
+      // DDL: ALTER VIEW ... AS on the bare name goes to the session
+      // catalog, which alters the TEMP view — the graft view must NOT
+      // be modified
+      spark.sql("ALTER VIEW shadow_v AS SELECT 1 AS id")
+      assert(spark.sql("SELECT id FROM shadow_v").head().getInt(0) == 1)
+      assert(catalog.loadView(ident("shadow_v")).query()
+        .contains("FROM shadowbase"))
+      assert(spark.sql("SELECT id FROM vw.t.shadow_v").head().getInt(0) == 7)
+      // DROP VIEW on the bare name drops the TEMP view first
+      spark.sql("DROP VIEW shadow_v")
+      assert(spark.sql("SELECT id FROM shadow_v").head().getInt(0) == 7)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS shadow_v")
+      spark.sql("USE spark_catalog")
+      spark.catalog.dropTempView("shadow_v")
+    }
+  }
 }
