@@ -942,7 +942,139 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  // ---------- integer k-means budget twin (VERDICT r10 #3) ----------
+
+  /** The xxhash playbook applied to clustering: the production k-means
+    * queries can't be oracled because Lloyd iterations on doubles are
+    * float-order-sensitive, so this budget-sized twin runs the SAME
+    * algorithm — stride sample, fixed init, assign-argmin, mean update,
+    * empty clusters keep their centroid — entirely in INTEGER arithmetic,
+    * where a DuckDB CTE chain can replay every iteration bit-exactly:
+    *  - quantize dims 1..8 as floor(v*32 + 0.5) (scale 2^5 ⇒ v*32 is
+    *    EXACT in double, so both engines see identical integers),
+    *  - train on the ≤64-row `vec_id % 7 = 0` stride sample (bounded
+    *    driver work — the exact SampleCap discipline of the float path),
+    *  - K=4 centroids init from sample rows 1/17/33/49, two Lloyd
+    *    iterations with floor-division means (floorDiv ≡ floor(sum/cnt):
+    *    sums ≤ 2^15, exact in double on the oracle side),
+    *  - assignment = argmin of integer L2, ties to the lowest cluster
+    *    (row_number ORDER BY dist, k on the oracle).
+    * The distributed part keeps the production plan shape: a map-only
+    * projection of the corpus against centroid literals — no shuffle, no
+    * join. This witnesses the full train→assign structure; the float
+    * production rows stay no-oracle on float math alone. */
+  private val IkDim = 8
+  private val IkK = 4
+  private val IkIters = 2
+  private val IkInitRns = Seq(1, 17, 33, 49)
+
+  private def ikTrain(sample: Array[Array[Long]]): Array[Array[Long]] = {
+    require(sample.length >= IkInitRns.max,
+      s"integer k-means twin needs >= ${IkInitRns.max} sample rows")
+    var cents: Array[Array[Long]] = IkInitRns.map(rn => sample(rn - 1)).toArray
+    for (_ <- 1 to IkIters) {
+      val sums = Array.fill(IkK)(new Array[Long](IkDim))
+      val counts = new Array[Long](IkK)
+      sample.foreach { x =>
+        var best = 0
+        var bestD = Long.MaxValue
+        var k = 0
+        while (k < IkK) {
+          var d = 0L
+          var i = 0
+          while (i < IkDim) {
+            val t = x(i) - cents(k)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        var i = 0
+        while (i < IkDim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { k =>
+        if (counts(k) > 0)
+          Array.tabulate(IkDim)(i => Math.floorDiv(sums(k)(i), counts(k)))
+        else cents(k)
+      }.toArray
+    }
+    cents
+  }
+
+  val qEmbeddingClustersSmall: Q = Q("q_embedding_clusters_small",
+    ikOracleSql) { (s, d) =>
+    val quant = Tables.embeddings(s, d)
+      .select(col("vec_id") +: (0 until IkDim).map(i =>
+        floor(element_at(toDouble(col("embedding")), i + 1) * 32.0 + lit(0.5))
+          .cast("long").as(s"x$i")): _*)
+    val sample = quant.filter(col("vec_id") % 7 === 0)
+      .orderBy("vec_id").limit(64).collect()
+      .map(r => Array.tabulate(IkDim)(i => r.getLong(i + 1)))
+    val cents = ikTrain(sample)
+    val dists = cents.map { c =>
+      (0 until IkDim).map { i =>
+        val t = col(s"x$i") - lit(c(i)); t * t
+      }.reduce(_ + _)
+    }
+    val m = least(dists: _*)
+    // first-match CASE in ascending k = the oracle's ORDER BY dist, k
+    val cluster = dists.zipWithIndex.tail.foldLeft(
+        when(dists.head === m, lit(0))) { case (acc, (dk, k)) =>
+      acc.when(dk === m, lit(k))
+    }
+    quant.select(col("vec_id"), cluster.as("cluster_id"), m.as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** The DuckDB twin: the whole train loop unrolled as CTEs — one
+    * assign+update pair per Lloyd iteration — then the final corpus-wide
+    * assignment. Generated, not hand-written, so dims/K/iters stay in
+    * lockstep with the engine constants. */
+  private def ikOracleSql: String = {
+    val dims = 0 until IkDim
+    val quantCols = dims.map(i =>
+      s"CAST(floor(v[${i + 1}] * 32.0 + 0.5) AS BIGINT) AS x$i").mkString(", ")
+    def distExpr(sa: String, ca: String) = dims.map(i =>
+      s"($sa.x$i - $ca.c$i) * ($sa.x$i - $ca.c$i)").mkString(" + ")
+    val init = IkInitRns.zipWithIndex.map { case (rn, k) =>
+      s"SELECT $k AS k, ${dims.map(i => s"x$i AS c$i").mkString(", ")} " +
+        s"FROM samp WHERE rn = $rn"
+    }.mkString(" UNION ALL ")
+    val iters = (1 to IkIters).map { t =>
+      val prev = s"cent${t - 1}"
+      s"""asg$t AS (
+         SELECT vec_id, k, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rnn
+         FROM (SELECT s.vec_id, c.k, ${distExpr("s", "c")} AS dist
+               FROM samp s CROSS JOIN $prev c)),
+       cent$t AS (
+         SELECT p.k, ${dims.map(i =>
+           s"CASE WHEN g.cnt > 0 THEN CAST(floor(g.sx$i * 1.0 / g.cnt) AS BIGINT) ELSE p.c$i END AS c$i")
+           .mkString(", ")}
+         FROM $prev p LEFT JOIN (
+           SELECT a.k, count(*) AS cnt,
+                  ${dims.map(i => s"CAST(sum(s.x$i) AS BIGINT) AS sx$i").mkString(", ")}
+           FROM asg$t a JOIN samp s ON a.vec_id = s.vec_id
+           WHERE a.rnn = 1 GROUP BY a.k) g ON p.k = g.k)"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+         SELECT vec_id, $quantCols
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+       samp AS (
+         SELECT *, row_number() OVER (ORDER BY vec_id) AS rn
+         FROM (SELECT * FROM q WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 64)),
+       cent0 AS ($init),
+       $iters,
+       fin AS (
+         SELECT vec_id, k, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rnn
+         FROM (SELECT q.vec_id, c.k, ${distExpr("q", "c")} AS dist
+               FROM q CROSS JOIN cent$IkIters c))
+       SELECT vec_id, k AS cluster_id, dist AS dist2
+       FROM fin WHERE rnn = 1 ORDER BY vec_id"""
+  }
+
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
-    qKnnQuantized, qEmbeddingClusters, qSemanticDedup, qClusterSample,
-    qSemanticDecontaminate, qKnnPq, qKnnIvfPq)
+    qKnnQuantized, qEmbeddingClusters, qEmbeddingClustersSmall, qSemanticDedup,
+    qClusterSample, qSemanticDecontaminate, qKnnPq, qKnnIvfPq)
 }

@@ -30,7 +30,7 @@ RATIO_MAX=${RATIO_MAX:-8.0}
 # died before writing — e.g. on a truncated bench JSON)
 BADFILE=$(mktemp /tmp/probe_bad.XXXXXX)
 trap 'rm -f "$BADFILE"' EXIT
-FILTER='^(q_snm_pairs|q_substring_best_match|q_knn_pq|q_knn_ivfpq|q_hybrid_search|q_minhash_dedup|q_minhash_dedup_small|q_retained_spans|q_lake_ingest_neardup|q_lake_ingest_neardup_small|q_lake_ingest_semantic|q_lake_ingest_media|q_dedup_groups_capped|q_importance_weights|q_dedup_pipeline)$'
+FILTER='^(q_snm_pairs|q_substring_best_match|q_knn_pq|q_knn_ivfpq|q_hybrid_search|q_minhash_dedup|q_minhash_dedup_small|q_embedding_clusters_small|q_retained_spans|q_lake_ingest_neardup|q_lake_ingest_neardup_small|q_lake_ingest_semantic|q_lake_ingest_media|q_dedup_groups_capped|q_importance_weights|q_dedup_pipeline)$'
 EXEMPT='q_dedup_pipeline'
 
 if [ ! -f "$SF10/lineitem.parquet" ] || \
