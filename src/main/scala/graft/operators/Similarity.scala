@@ -1001,8 +1001,9 @@ object Similarity {
     cents
   }
 
-  val qEmbeddingClustersSmall: Q = Q("q_embedding_clusters_small",
-    ikOracleSql) { (s, d) =>
+  /** Quantize → train (driver, bounded sample) → assign (map-only against
+    * centroid literals): the shared engine half of both integer twins. */
+  private def ikAssigned(s: SparkSession, d: String): DataFrame = {
     val quant = Tables.embeddings(s, d)
       .select(col("vec_id") +: (0 until IkDim).map(i =>
         floor(element_at(toDouble(col("embedding")), i + 1) * 32.0 + lit(0.5))
@@ -1023,14 +1024,32 @@ object Similarity {
       acc.when(dk === m, lit(k))
     }
     quant.select(col("vec_id"), cluster.as("cluster_id"), m.as("dist2"))
-      .orderBy("vec_id")
+  }
+
+  val qEmbeddingClustersSmall: Q = Q("q_embedding_clusters_small",
+    ikOracleSql) { (s, d) => ikAssigned(s, d).orderBy("vec_id") }
+
+  /** N21's structure — top-M per cluster by distance-to-centroid — on the
+    * integer pipeline, so the SAMPLING step of the float-blocked family
+    * has an exact oracle too (the float q_cluster_sample stays law-pinned).
+    * M=8 mirrors production; ties break on vec_id, all-integer ordering. */
+  val qClusterSampleSmall: Q = Q("q_cluster_sample_small",
+    ikSampleOracleSql) { (s, d) =>
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    ikAssigned(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .orderBy("cluster_id", "rn")
   }
 
   /** The DuckDB twin: the whole train loop unrolled as CTEs — one
     * assign+update pair per Lloyd iteration — then the final corpus-wide
     * assignment. Generated, not hand-written, so dims/K/iters stay in
     * lockstep with the engine constants. */
-  private def ikOracleSql: String = {
+  /** Shared WITH-prefix through `fin` (per-vector best cluster) — both
+    * integer-twin oracles append their own final SELECT. */
+  private def ikPrefixSql: String = {
     val dims = 0 until IkDim
     val quantCols = dims.map(i =>
       s"CAST(floor(v[${i + 1}] * 32.0 + 0.5) AS BIGINT) AS x$i").mkString(", ")
@@ -1069,12 +1088,25 @@ object Similarity {
          SELECT vec_id, k, dist,
                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rnn
          FROM (SELECT q.vec_id, c.k, ${distExpr("q", "c")} AS dist
-               FROM q CROSS JOIN cent$IkIters c))
+               FROM q CROSS JOIN cent$IkIters c))"""
+  }
+
+  private def ikOracleSql: String =
+    s"""$ikPrefixSql
        SELECT vec_id, k AS cluster_id, dist AS dist2
        FROM fin WHERE rnn = 1 ORDER BY vec_id"""
-  }
+
+  private def ikSampleOracleSql: String =
+    s"""$ikPrefixSql,
+       ranked AS (
+         SELECT vec_id, k, dist,
+                row_number() OVER (PARTITION BY k ORDER BY dist, vec_id) AS rn
+         FROM fin WHERE rnn = 1)
+       SELECT vec_id, k AS cluster_id, dist AS dist2, CAST(rn AS INTEGER) AS rn
+       FROM ranked WHERE rn <= 8 ORDER BY cluster_id, rn"""
 
   val all: Seq[Q] = Seq(qCosineTopPairs, qKnnExact, qKnnLsh, qKnnIvf, qCentroids,
     qKnnQuantized, qEmbeddingClusters, qEmbeddingClustersSmall, qSemanticDedup,
-    qClusterSample, qSemanticDecontaminate, qKnnPq, qKnnIvfPq)
+    qClusterSample, qClusterSampleSmall, qSemanticDecontaminate, qKnnPq,
+    qKnnIvfPq)
 }

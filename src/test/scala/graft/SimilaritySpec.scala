@@ -181,6 +181,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("integer cluster-sample twin keeps exactly the per-cluster top-8") {
+    // N21's structure on the integer pipeline: the kept rows must be the
+    // 8 smallest (dist2, vec_id) per cluster of the FULL assignment —
+    // cross-checked against q_embedding_clusters_small, which shares the
+    // centroids by construction.
+    val full = Similarity.qEmbeddingClustersSmall.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val kept = Similarity.qClusterSampleSmall.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    kept.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.length <= 8)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length)) // contiguous
+      val expect = full.filter(_._2 == cl).sortBy(t => (t._3, t._1))
+        .take(rows.length).map(t => (t._1, t._3)).toSeq
+      assert(rows.sortBy(_._4).map(t => (t._1, t._3)).toSeq == expect,
+        s"cluster $cl kept set is not the top-${rows.length}")
+    }
+    val again = Similarity.qClusterSampleSmall.fn(spark, sf).collect()
+    assert(again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sameElements(kept))
+  }
+
   test("semantic dedup obeys the within-cluster witness law vs brute force") {
     val out = Similarity.qSemanticDedup.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
