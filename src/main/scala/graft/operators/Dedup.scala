@@ -155,7 +155,12 @@ object Dedup {
     val candArr = arr.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val a = candArr.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = candArr.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    // broadcast the candidate-doc array dim EXPLICITLY (r11): candidates
+    // ≪ corpus by construction (the scaladoc's scale argument), and the
+    // explicit hint removes the two shuffle exchanges AQE would otherwise
+    // plan-then-convert — the pair frame never shuffles, exactly
+    // [[mergeVerifiedPairs]]'s shape.
+    pairs.join(broadcast(a), Seq("id_a")).join(broadcast(b), Seq("id_b"))
       .withColumn("inter", sortedIntersectSize(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         ExactSum.intRatio(col("inter"),
@@ -864,16 +869,27 @@ object Dedup {
     // NULL keys, which would lose NULL-text docs from every downstream
     // group/pair output. The sentinel classes them together; they yield
     // zero shingles, so they stay singletons — same as the naive join.
-    val classed = docs.select(col("doc_id"),
-      coalesce(md5(col("text")), lit("__null__")).as("__fp"))
-    classed.join(classed.groupBy("__fp").agg(min("doc_id").as("__rep")), "__fp")
+    //
+    // ONE corpus exchange (r11): the class minimum is a window aggregate
+    // over the fingerprint partition instead of the old groupBy + join
+    // back, which paid an aggregate exchange plus a second corpus scan
+    // (md5 recomputed) per consumer — and degraded to a 3-exchange
+    // sort-merge join once the class dimension outgrew broadcast. The
+    // window sort is per-partition and spillable; every doc column rides
+    // along, so [[repDocsOf]] is now a filter, not a third scan + join.
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__fp", coalesce(md5(col("text")), lit("__null__")))
+      .withColumn("__rep",
+        min("doc_id").over(Window.partitionBy("__fp")))
   }
 
-  /** Representative rows of `docs` under `members` (= [[dupClasses]]). */
+  /** Representative rows of `docs` under `members` (= [[dupClasses]]):
+    * the class-min rows, with the bookkeeping columns dropped — a pure
+    * filter over the members frame (which carries every doc column since
+    * the r11 window form), no join back to the corpus. */
   private[operators] def repDocsOf(docs: DataFrame, members: DataFrame): DataFrame =
-    docs.join(
-      members.filter(col("doc_id") === col("__rep")).select("doc_id"),
-      "doc_id")
+    members.filter(col("doc_id") === col("__rep")).drop("__fp", "__rep")
 
   /** Expand representative-level pairs `(id_a, id_b, <valueCol>)` to
     * member-level pairs: cross-class member pairs inherit their reps'

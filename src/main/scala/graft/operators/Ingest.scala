@@ -42,6 +42,16 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** Label the Spark jobs of one pipeline step (guide §1.5): the UI and
+    * the QueryProfile attribution then name the step that owns each job
+    * instead of showing an anonymous 150-job wall. Thread-local, cleared
+    * after the step. */
+  private[operators] def labeled[T](spark: SparkSession, desc: String)(
+      f: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** Per-batch accounting: `batchRows` = `qualityRejected` +
     * `intraBatchDups` + `alreadyIndexed` + `admitted`. `corpusVersion` is
     * the corpus table's snapshot id after this ingest — pin it in a
@@ -197,23 +207,26 @@ object Ingest {
       numBands: Int): NearDupIngestReport = {
     require(batch.columns.contains("doc_id") && batch.columns.contains("text"),
       s"ingest batch needs doc_id + text, got ${batch.columns.mkString(",")}")
-    val batchRows = batch.count()
+    val batchRows = labeled(spark, "nd-ingest: batch count")(batch.count())
     // eager cut, as ingestBatch: the appended rows MUST be the counted rows
-    val gated = qualityFilter(batch)
-      .withColumn("__fp", TextOps.normalizedFp(col("text")))
-      .localCheckpoint()
-    val gatedRows = gated.count()
+    val gated = labeled(spark, "nd-ingest: gate+fp checkpoint")(
+      qualityFilter(batch)
+        .withColumn("__fp", TextOps.normalizedFp(col("text")))
+        .localCheckpoint())
+    val gatedRows = labeled(spark, "nd-ingest: gated count")(gated.count())
     val first = gated
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__fp").orderBy("doc_id")))
       .filter(col("__rn") === 1).drop("__rn", "__fp")
     // batch signatures + band rows (batch-sized; cut once — the candidate
     // join, the intra-batch collapse and the index append all reuse them)
-    val sigs = Dedup.minhashSignatures(first, numHashes).localCheckpoint()
-    val bands = Dedup.minhashBands(sigs, numHashes, numBands).localCheckpoint()
+    val sigs = labeled(spark, "nd-ingest: signatures checkpoint")(
+      Dedup.minhashSignatures(first, numHashes).localCheckpoint())
+    val bands = labeled(spark, "nd-ingest: bands checkpoint")(
+      Dedup.minhashBands(sigs, numHashes, numBands).localCheckpoint())
     // 3. corpus near-dup rejection (index streams, batch broadcasts)
-    val candPairs = corpusBandCandidates(spark.table(bandTable), bands)
-      .localCheckpoint()
+    val candPairs = labeled(spark, "nd-ingest: corpus band candidates")(
+      corpusBandCandidates(spark.table(bandTable), bands).localCheckpoint())
     val candIds = candPairs.select(col("id_a").as("doc_id")).distinct()
     val corpusCand = spark.table(corpusTable).select("doc_id", "text")
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
@@ -221,8 +234,9 @@ object Ingest {
     val rejected = Dedup.exactJaccard(combined, candPairs)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
-    val clean = first.join(broadcast(rejected), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val clean = labeled(spark, "nd-ingest: corpus-reject checkpoint")(
+      first.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+        .localCheckpoint())
     // 4. intra-batch near-dup collapse (component-min, the global
     // pipeline's convention)
     val cleanSigs = sigs
@@ -232,23 +246,29 @@ object Ingest {
       .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
     val edges = intraPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(intraPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val comps = Pipeline.connectedComponents(spark,
-      clean.select(col("doc_id").as("id")), edges)
-    val admitted = clean.join(
-      broadcast(comps.filter(col("id") === col("comp"))
-        .select(col("id").as("doc_id"))),
-      Seq("doc_id"), "left_semi")
-      .localCheckpoint() // both appends must write the identical row set
-    val firstRows = first.count()
-    val cleanRows = clean.count()
-    val admittedRows = admitted.count()
+    val comps = labeled(spark, "nd-ingest: intra-batch CC")(
+      Pipeline.connectedComponents(spark,
+        clean.select(col("doc_id").as("id")), edges))
+    val admitted = labeled(spark, "nd-ingest: admitted checkpoint")(
+      clean.join(
+        broadcast(comps.filter(col("id") === col("comp"))
+          .select(col("id").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint()) // both appends must write the identical row set
+    val firstRows = labeled(spark, "nd-ingest: first count")(first.count())
+    val cleanRows = labeled(spark, "nd-ingest: clean count")(clean.count())
+    val admittedRows = labeled(spark, "nd-ingest: admitted count")(
+      admitted.count())
     // corpus first, index second — see the crash contract above
-    admitted.writeTo(corpusTable).append()
-    bands.join(broadcast(admitted.select("doc_id")), Seq("doc_id"), "left_semi")
-      .select("band_idx", "band_hash", "doc_id")
-      .writeTo(bandTable).append()
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    labeled(spark, "nd-ingest: corpus append")(
+      admitted.writeTo(corpusTable).append())
+    labeled(spark, "nd-ingest: band-index append")(
+      bands.join(broadcast(admitted.select("doc_id")), Seq("doc_id"), "left_semi")
+        .select("band_idx", "band_hash", "doc_id")
+        .writeTo(bandTable).append())
+    val version = labeled(spark, "nd-ingest: corpus version")(
+      spark.table(s"$corpusTable.history")
+        .agg(max("snapshot_id")).head().getLong(0))
     // single-use pipeline: all consumers have materialized — free every
     // checkpoint this call pinned (comps' leaf is the CC fixpoint frame)
     // instead of accumulating ~7 dead block sets per batch (VERDICT r9 #1)

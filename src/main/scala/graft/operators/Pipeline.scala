@@ -195,9 +195,11 @@ object Pipeline {
       Dedup.prefixRepJaccardPairsCapped(Dedup.repDocsOf(docs, members), 1, 2,
         dfCap)
     val pairs = repPairs.select("id_a", "id_b")
+    // no checkpoint here (r11): both component algorithms materialize the
+    // edge list exactly once themselves (propagation at entry, star via
+    // its canonicalized distinct) — a caller-side cut would double it
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // edges are reused every round; cut the 3-join lineage
     val repNodes = members.filter(col("doc_id") === col("__rep"))
       .select(col("doc_id").as("id"))
     val repComps =
@@ -224,12 +226,24 @@ object Pipeline {
   private[operators] def connectedComponents(
       s: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 100): DataFrame = {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // materialize the edge list ONCE (r11): every round joins against it,
+    // and an unmaterialized `edges` plan (e.g. the full LSH candidate →
+    // exact-verify subtree in the ingest pipelines) would re-execute per
+    // round — measured at half of q_lake_ingest_neardup's 150 jobs before
+    // this cut. Callers no longer pre-checkpoint.
+    val e = edges.localCheckpoint()
+    // seed comp(v) = min(v, min Γ(v)) — the first propagation round fused
+    // into initialization (edge frames here are symmetric by contract):
+    // one aggregate instead of a join round, and the identity-seeded
+    // trajectory is identical one step later, so the fixpoint (and every
+    // consumer's output) is unchanged.
+    var labels = e.groupBy("src").agg(min("dst").as("__m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__m")).as("comp")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+      val nbrMin = e.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("comp").as("nbr_comp"))
         .withColumnRenamed("src", "id")
       // one materialized step carries (old, new) label per node: the
@@ -254,6 +268,8 @@ object Pipeline {
     // that silently split a component
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds")
+    // labels are materialized; the edge blocks are dead weight from here
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(e)
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
