@@ -14,6 +14,28 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Ensure at least the session's default parallelism ahead of CPU-heavy
+    * per-row kernel passes when the source collapsed to fewer input
+    * splits (guide §2.5 "input skew — one huge unsplittable file"): a
+    * single-row-group parquet file scans as ONE task no matter how many
+    * cores the executor has, serializing every shingle/minhash/profile
+    * kernel that runs before the first exchange. Scale-adaptive by
+    * construction — a real multi-file/multi-row-group dataset already
+    * scans at ≥ defaultParallelism splits and this is a no-op, so no
+    * exchange is ever added at 100 TB. Round-robin repartition is
+    * deterministic (local sort-before-repartition is Spark's default).
+    * Applied SURGICALLY at kernel-dominant call sites only: an A/B over
+    * the text pack showed blanket application on `documents` is a net
+    * loss (the exchange + 32-way partials cost more than light kernels
+    * save — q_word_freq 1.77×, q_dedup_exact 1.92×) while
+    * kernel-dominant passes win big (q_minhash_signatures 0.64×). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -91,7 +91,11 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sig = ColumnBridge.column(graft.functions.MinHashSignatures(
       ColumnBridge.expression(col("text")), 3, numHashes))
-    docs.select(col("doc_id"), sig.as("__sig"))
+    // numHashes×(shingle count) hash lanes per row — the most kernel-
+    // dominant pass in the repo: spread a collapsed input (single-row-
+    // group file, post-AQE-coalesced 1-partition frame) across the
+    // executor's cores first (no-op at scale — Tables.spread)
+    Tables.spread(docs).select(col("doc_id"), sig.as("__sig"))
       .where(col("__sig").isNotNull)
       .select(col("doc_id") +: (0 until numHashes).map(i =>
         element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)

@@ -65,6 +65,20 @@ object Ingest {
       admitted: Long,
       corpusVersion: Long)
 
+  /** Current head snapshot id of `tableRef` — the value
+    * `max(snapshot_id)` over the history metadata table returns, read
+    * from the catalog's snapshot store directly (r11): the head pointer
+    * is one metadata fetch, not a Spark job over the history scan
+    * (~2 scheduler round-trips per ingest call saved). Falls back to the
+    * metadata-table read for non-graft or non-3-part refs. */
+  private[operators] def currentVersion(spark: SparkSession,
+      tableRef: String): Long =
+    (try storeFor(spark, tableRef).head().map(_.version)
+     catch { case _: Exception => None }).getOrElse {
+      spark.table(s"$tableRef.history")
+        .agg(max("snapshot_id")).head().getLong(0)
+    }
+
   /** The q_text_quality/q_corpus_prep keep rule: 10 ≤ tokens ≤ 100000 and
     * punctuation ratio < 0.1, one TextProfile kernel pass. NULL text
     * fails the gate (its profile is NULL → predicate is not true). */
@@ -72,7 +86,10 @@ object Ingest {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val prof = ColumnBridge.column(
       graft.functions.TextProfile(ColumnBridge.expression(col("text"))))
-    batch.withColumn("__p", prof)
+    // TextProfile + the fp regex are the batch's heavy per-row pass;
+    // spread a collapsed batch (single split, tiny file) across cores
+    // first — no-op whenever the batch already scans wide (Tables.spread)
+    graft.Tables.spread(batch).withColumn("__p", prof)
       .filter(col("__p.n_tokens").between(10, 100000) &&
         TextOps.perCharRatio(col("__p.n_punct")) < 0.1)
       .drop("__p")
@@ -94,7 +111,11 @@ object Ingest {
     val gated = qualityFilter(batch)
       .withColumn("__fp", TextOps.normalizedFp(col("text")))
       .localCheckpoint()
-    val gatedRows = gated.count()
+    // ONE aggregate job carries both counts (r11): `first` keeps exactly
+    // one row per fingerprint class, so firstRows IS the distinct-fp
+    // count of the gated frame — no second pass through the dedup window.
+    val cRow = gated.agg(count(lit(1)), count_distinct(col("__fp"))).head()
+    val (gatedRows, firstRows) = (cRow.getLong(0), cRow.getLong(1))
     // intra-batch exact dedup: first doc_id wins per fingerprint class
     val first = gated
       .withColumn("__rn", row_number().over(
@@ -109,7 +130,6 @@ object Ingest {
       .join(broadcast(dupFps.withColumnRenamed("fp", "__dupfp")),
         col("__fp") === col("__dupfp"), "left_anti")
       .localCheckpoint() // both appends must write the identical row set
-    val firstRows = first.count()
     val admittedRows = admitted.count()
     // corpus first, index second — see the crash contract above
     admitted.drop("__fp").writeTo(corpusTable).append()
@@ -119,8 +139,7 @@ object Ingest {
     // ingest's commit when it admitted anything; under a concurrent
     // ingest the head may already include a later commit — still a valid,
     // superset pin of this batch)
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = currentVersion(spark, corpusTable)
     // single-use pipeline: every consumer of the checkpointed frames has
     // materialized (counts + both appends) — free their blocks now rather
     // than letting them accumulate across batches (VERDICT r9 #1)
@@ -213,7 +232,12 @@ object Ingest {
       qualityFilter(batch)
         .withColumn("__fp", TextOps.normalizedFp(col("text")))
         .localCheckpoint())
-    val gatedRows = labeled(spark, "nd-ingest: gated count")(gated.count())
+    // ONE aggregate job carries gatedRows AND firstRows (r11): `first`
+    // keeps one row per fingerprint class, so firstRows is the gated
+    // frame's distinct-fp count — no second pass through the dedup window.
+    val cRow = labeled(spark, "nd-ingest: gated counts")(
+      gated.agg(count(lit(1)), count_distinct(col("__fp"))).head())
+    val (gatedRows, firstRows) = (cRow.getLong(0), cRow.getLong(1))
     val first = gated
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__fp").orderBy("doc_id")))
@@ -255,7 +279,6 @@ object Ingest {
           .select(col("id").as("doc_id"))),
         Seq("doc_id"), "left_semi")
         .localCheckpoint()) // both appends must write the identical row set
-    val firstRows = labeled(spark, "nd-ingest: first count")(first.count())
     val cleanRows = labeled(spark, "nd-ingest: clean count")(clean.count())
     val admittedRows = labeled(spark, "nd-ingest: admitted count")(
       admitted.count())
@@ -267,8 +290,7 @@ object Ingest {
         .select("band_idx", "band_hash", "doc_id")
         .writeTo(bandTable).append())
     val version = labeled(spark, "nd-ingest: corpus version")(
-      spark.table(s"$corpusTable.history")
-        .agg(max("snapshot_id")).head().getLong(0))
+      currentVersion(spark, corpusTable))
     // single-use pipeline: all consumers have materialized — free every
     // checkpoint this call pinned (comps' leaf is the CC fixpoint frame)
     // instead of accumulating ~7 dead block sets per batch (VERDICT r9 #1)
@@ -347,8 +369,7 @@ object Ingest {
       spark.sql(s"DELETE FROM $bandTable WHERE doc_id IN ($inList)")
     if (corpusMatched > 0)
       spark.sql(s"DELETE FROM $corpusTable WHERE doc_id IN ($inList)")
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = currentVersion(spark, corpusTable)
     RetractReport(
       corpusDocsRemoved = corpusMatched,
       bandRowsRemoved = bandMatched,
@@ -429,8 +450,7 @@ object Ingest {
     val k = keys.select("doc_id").distinct().localCheckpoint()
     val bandMatched = equalityRetract(spark, bandTable, k)
     val corpusMatched = equalityRetract(spark, corpusTable, k)
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = currentVersion(spark, corpusTable)
     org.apache.spark.sql.graftbridge.CheckpointBridge.free(k)
     RetractReport(
       corpusDocsRemoved = corpusMatched,

@@ -164,7 +164,12 @@ object MediaIngest {
     // validity gate: the "decodable payload" stand-in
     val gated = cut.filter(col("payload").isNotNull &&
       length(col("payload")) > 0)
-    val gatedRows = gated.count()
+    // ONE aggregate job carries gatedRows AND firstRows (r11): `first`
+    // keeps one row per payload-md5 class, so firstRows is the gated
+    // frame's distinct-fingerprint count — no second dedup-window pass.
+    val cRow = gated.agg(count(lit(1)),
+      count_distinct(md5(col("payload")))).head()
+    val (gatedRows, firstRows) = (cRow.getLong(0), cRow.getLong(1))
     // intra-batch exact dedup: first media_id wins per payload class
     val first = gated
       .withColumn("__fp", md5(col("payload")))
@@ -219,7 +224,6 @@ object MediaIngest {
       org.apache.spark.sql.graftbridge.CheckpointBridge.free(comps)
       adm
     }
-    val firstRows = first.count()
     val admittedRows = admitted.count()
     // corpus first, index second — the triptych's crash contract
     admitted.writeTo(corpusTable).append()
@@ -227,8 +231,7 @@ object MediaIngest {
         Seq("media_id"), "left_semi")
       .select("band_idx", "band_val", "media_id", "phash")
       .writeTo(indexTable).append()
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = Ingest.currentVersion(spark, corpusTable)
     // single-use pipeline: all consumers materialized — free the pinned
     // checkpoints eagerly (VERDICT r9 #1)
     org.apache.spark.sql.graftbridge.CheckpointBridge.free(

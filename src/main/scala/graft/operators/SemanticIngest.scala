@@ -153,8 +153,7 @@ object SemanticIngest {
     val preloaded = loadCentroids(spark, centroidTable)
     if (preloaded.isEmpty && nonzero.isEmpty) {
       if (batchRows > 0) cut.writeTo(corpusTable).append()
-      val version = spark.table(s"$corpusTable.history")
-        .agg(max("snapshot_id")).head().getLong(0)
+      val version = Ingest.currentVersion(spark, corpusTable)
       org.apache.spark.sql.graftbridge.CheckpointBridge.free(cut)
       return SemanticIngestReport(
         batchRows = batchRows,
@@ -236,8 +235,7 @@ object SemanticIngest {
       admittedNonzero.select("cluster_id", "vec_id", "v", "nv")
         .writeTo(indexTable).append()
     }
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = Ingest.currentVersion(spark, corpusTable)
     // single-use pipeline: all consumers materialized — free the pinned
     // checkpoints eagerly (VERDICT r9 #1)
     org.apache.spark.sql.graftbridge.CheckpointBridge.free(
@@ -336,8 +334,7 @@ object SemanticIngest {
       spark.sql(s"DELETE FROM $indexTable WHERE vec_id IN ($inList)")
     if (corpusMatched > 0)
       spark.sql(s"DELETE FROM $corpusTable WHERE vec_id IN ($inList)")
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = Ingest.currentVersion(spark, corpusTable)
     SemanticRetractReport(
       corpusVectorsRemoved = corpusMatched,
       indexRowsRemoved = indexMatched,
@@ -356,8 +353,7 @@ object SemanticIngest {
     val k = keys.select("vec_id").distinct().localCheckpoint()
     val indexMatched = Ingest.equalityRetract(spark, indexTable, k, "vec_id")
     val corpusMatched = Ingest.equalityRetract(spark, corpusTable, k, "vec_id")
-    val version = spark.table(s"$corpusTable.history")
-      .agg(max("snapshot_id")).head().getLong(0)
+    val version = Ingest.currentVersion(spark, corpusTable)
     org.apache.spark.sql.graftbridge.CheckpointBridge.free(k)
     SemanticRetractReport(
       corpusVectorsRemoved = corpusMatched,

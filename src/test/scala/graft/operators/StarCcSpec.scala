@@ -46,6 +46,28 @@ class StarCcSpec extends AnyFunSuite {
       Seq((0L, 100L), (100L, 1L), (1L, 99L), (99L, 2L), (2L, 98L)))
   }
 
+  test("driver union-find fast path equals distributed propagation") {
+    // r11: connectedComponents folds ≤cap edge lists on the driver; force
+    // the distributed path with driverCap = 0 and pin label equality on
+    // the same adversarial shapes (path, two components, dup edges,
+    // self-loops, zigzag extremes)
+    val shapes = Seq(
+      (0L to 10L, (0L until 10L).map(i => (i, i + 1))),
+      (0L to 9L, Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (7L, 5L))),
+      (0L to 4L, Seq((3L, 3L))),
+      (0L to 3L, Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 3L))),
+      (Seq(0L, 100L, 1L, 99L, 2L, 98L),
+        Seq((0L, 100L), (100L, 1L), (1L, 99L), (99L, 2L), (2L, 98L))))
+    shapes.foreach { case (ids, es) =>
+      val sym = es ++ es.map(_.swap)
+      val driver = labelsOf(
+        Pipeline.connectedComponents(spark, nodes(ids), edges(sym)))
+      val dist = labelsOf(Pipeline.connectedComponents(
+        spark, nodes(ids), edges(sym), driverCap = 0))
+      assert(driver == dist, s"driver $driver\ndistributed $dist\nedges $es")
+    }
+  }
+
   test("star converges in O(log n) rounds on a 64-path (propagation: 63)") {
     val ids = 0L to 64L
     val es = (0L until 64L).map(i => (i, i + 1))
