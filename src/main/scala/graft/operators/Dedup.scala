@@ -1021,8 +1021,12 @@ object Dedup {
       // zero class simply never pairs — same outcome the NaN threshold
       // would have produced
       .filter(col("nv") > 0)
-    val ra = repE.select(col("vec_id").as("ra"), col("v").as("va"),
-      col("nv").as("na"))
+    // spread the streamed side of the rep-pair nested-loop join: the
+    // O(reps²) dot-product triangle otherwise runs in one task on a
+    // collapsed input (Tables.spread — no-op at scale)
+    val ra = graft.Tables.spread(
+      repE.select(col("vec_id").as("ra"), col("v").as("va"),
+        col("nv").as("na")))
     val rb = repE.select(col("vec_id").as("rb"), col("v").as("vb"),
       col("nv").as("nb"))
     val repPairs = ra.join(rb, col("ra") < col("rb"))

@@ -640,6 +640,13 @@ object Pipeline {
       .select(col("doc_id"), col("class_size"),
         col("c.lang").as("lang"), col("c.source").as("source"),
         col("c.n_chars").cast("long").as("x"), col("c.n_toks").as("n_toks"))
+      // materialize the deduped frame ONCE (r11): med, dev→mad, the final
+      // agg and the curriculum branch all re-derive from it — without the
+      // cut the scan + TextProfile + fingerprint aggregate subtree
+      // executes ~4× inside one query (the bench sweeps the blocks
+      // between queries; on a cluster this is the reliable-checkpoint /
+      // persist point, as the dedup-graph scaladocs note)
+      .localCheckpoint()
     // q_length_outliers stage: per-language lower median +/- 3 MAD
     def lowerMedian(df: org.apache.spark.sql.DataFrame, value: String,
         out: String) = {

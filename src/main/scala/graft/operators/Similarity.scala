@@ -89,7 +89,12 @@ object Similarity {
       ceil(count(lit(1)) / lit(2000.0)).cast("long")).as("stride"))
     val es = e.crossJoin(broadcast(stride))
       .filter(col("vec_id") % col("stride") === 0)
-    val a = es.select(col("vec_id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    // the O(cap²) dot-product triangle is the whole cost: spread the
+    // streamed side of the nested-loop join across cores (a single-row-
+    // group embeddings file otherwise runs the entire triangle in ONE
+    // task); no-op at scale (Tables.spread)
+    val a = graft.Tables.spread(
+      es.select(col("vec_id").as("id_a"), col("v").as("va"), col("nv").as("na")))
     val b = es.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
