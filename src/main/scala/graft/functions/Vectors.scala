@@ -30,6 +30,18 @@ object Vectors {
     * [[Int8Quantize]] for why this is an expression, not HOFs). */
   def int8Quantize(a: Column): Column = column(Int8Quantize(expression(a)))
 
+  /** All M product-quantization codes of a vector in one per-row pass
+    * (see [[PqEncode]] for why this is an expression, not slice+argmin
+    * HOF trees). */
+  def pqEncode(v: Column, nv: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(v), expression(nv), books))
+
+  /** Codegen'd ADC lookup-table score Σ_m tabs[m][codes[m]] (see
+    * [[PqAdcScore]]). */
+  def pqAdcScore(codes: Column, tabs: Column): Column =
+    column(PqAdcScore(expression(codes), expression(tabs)))
+
   /** Cosine similarity of two array<double> columns. Prefer
     * `dot(a,b) / (normA * normB)` with norms precomputed per side when the
     * same vector participates in many pairs. */

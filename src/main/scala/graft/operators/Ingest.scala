@@ -255,7 +255,9 @@ object Ingest {
     val corpusCand = spark.table(corpusTable).select("doc_id", "text")
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val combined = corpusCand.unionByName(first.select("doc_id", "text"))
-    val rejected = Dedup.exactJaccard(combined, candPairs)
+    // batch-bounded candidates (≤ batch × band collisions, the standing
+    // candidates/doc gate) → the broadcast hint is structurally safe here
+    val rejected = Dedup.exactJaccard(combined, candPairs, hintBroadcast = true)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
     val clean = labeled(spark, "nd-ingest: corpus-reject checkpoint")(
@@ -266,7 +268,8 @@ object Ingest {
     val cleanSigs = sigs
       .join(broadcast(clean.select("doc_id")), Seq("doc_id"), "left_semi")
     val intraPairs = Dedup.exactJaccard(clean,
-        Dedup.lshCandidates(cleanSigs, numHashes, numBands))
+        Dedup.lshCandidates(cleanSigs, numHashes, numBands),
+        hintBroadcast = true) // batch-bounded, as above
       .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
     val edges = intraPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(intraPairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -770,15 +770,11 @@ object Similarity {
     }
   }
 
-  /** 1-based code of one subvector: argmin_k ‖x_m − c_k‖², computed as
-    * argmin(‖c_k‖² − 2⟨x_m, c_k⟩) — the ‖x_m‖² term is constant across k.
-    * First-min-wins (array_position) keeps encoding deterministic. */
-  private def pqCodeFor(book: Array[Array[Double]], sub: Column): Column = {
-    val costs = array(book.toIndexedSeq.map { c =>
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedlit(c.toSeq))
-    }: _*)
-    array_position(costs, array_min(costs)).cast("int")
-  }
+  /** Codes come from the one-pass [[graft.functions.PqEncode]] kernel
+    * (r12): 1-based argmin_k ‖x_m − c_k‖² per subspace, computed as
+    * argmin(‖c_k‖² − 2⟨x_m, c_k⟩) with first-min-wins — PqEncodeSpec pins
+    * it code-for-code against the declarative slice + array_position
+    * (array_min) form it replaced. */
 
   /** Approximate k-NN via product quantization (Jégou et al. 2011) — the
     * compression side of a FAISS-style IVFPQ index, complementing
@@ -806,14 +802,11 @@ object Similarity {
   val qKnnPq: Q = Q.noOracle("q_knn_pq") { (s, d) =>
     val e = emb(s, d)
     val books = trainPqCodebooks(e)
-    // 2. encode: codes[m] = nearest codeword of the m-th 4-dim slice
-    val vn = transform(col("v"), _ / col("nv"))
+    // 2. encode: all M codes in ONE codegen'd per-row pass (r12 — the
+    // declarative slice+argmin tree was M·K interpreted array builds per
+    // row; PqEncode is arithmetic-identical, spec-pinned vs pqCodeFor)
     val corpus = e
-      .withColumn("vn", vn)
-      .withColumn("codes", array((0 until PqM).map { m =>
-        pqCodeFor(books(m), slice(col("vn"), m * PqSub + 1, PqSub))
-      }: _*))
-      .drop("vn")
+      .withColumn("codes", pqEncode(col("v"), col("nv"), books.toArray))
     // 3. query-side ADC tables (5 queries × 16×16 doubles — driver-tiny)
     val qRows = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("v"), col("nv")).collect()
@@ -833,11 +826,9 @@ object Similarity {
     import s.implicits._
     val qdf = qRows.toSeq.toDF("query_id", "qv", "tabs")
       .withColumn("qn", norm(col("qv")))
-    // ADC score = M table lookups; fold order is fixed → deterministic
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-      (acc, m) => acc +
-        element_at(element_at(col("tabs"), m + 1),
-          element_at(col("codes"), m + 1)))
+    // ADC score = M table lookups, codegen'd (r12): same ascending-m
+    // double fold as the interpreted aggregate() it replaces
+    val adc = pqAdcScore(col("codes"), col("tabs"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = corpus.crossJoin(broadcast(qdf))
@@ -889,11 +880,7 @@ object Similarity {
     val centSims = centSimsFor(cents)
     val corpus = e
       .withColumn("list_id", array_position(centSims, array_max(centSims)))
-      .withColumn("vn", transform(col("v"), _ / col("nv")))
-      .withColumn("codes", array((0 until PqM).map { m =>
-        pqCodeFor(books(m), slice(col("vn"), m * PqSub + 1, PqSub))
-      }: _*))
-      .drop("vn")
+      .withColumn("codes", pqEncode(col("v"), col("nv"), books.toArray))
     // 3. query prep (driver-tiny): normalized q, probe lists, ADC table
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("v"), col("nv")).collect()
@@ -923,11 +910,9 @@ object Similarity {
     val qdf = qRows.toSeq.toDF("query_id", "qv", "probe", "tabs")
       .select(col("query_id"), col("qv"), col("tabs"),
         explode(col("probe")).as("list_id"))
-    // 4. ADC inside probed lists only, then exact re-rank of the top-100
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-      (acc, m) => acc +
-        element_at(element_at(col("tabs"), m + 1),
-          element_at(col("codes"), m + 1)))
+    // 4. ADC inside probed lists only (codegen'd lookup fold — r12),
+    // then exact re-rank of the top-100
+    val adc = pqAdcScore(col("codes"), col("tabs"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = corpus.join(broadcast(qdf),

@@ -211,7 +211,15 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_substring_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fingerprint pairing fell back to an all-pairs join:\n$p")
-    assert(p.matches("(?s).*hashpartitioning\\(fp.*"),
+    // the candidate join must be an EQUI-join keyed by the fingerprint —
+    // either shuffled (hashpartitioning on fp) at scale or, at this toy SF
+    // where the fp frame fits the auto-broadcast threshold, a broadcast
+    // hash join whose keys are the fp column (r12: the leaner dupClasses
+    // shape shrank size estimates below 10 MB here, which is correct
+    // planning — what stays pinned is that the join is fp-KEYED, the
+    // property that makes it banded rather than all-pairs)
+    assert(p.matches("(?s).*hashpartitioning\\(fp#.*") ||
+      p.matches("(?s).*Left keys \\[1\\]: \\[fp#.*"),
       s"candidate join not keyed by fingerprint:\n$p")
   }
 
@@ -512,8 +520,18 @@ class PlanQualitySpec extends SparkSpec {
 
   test("prefix Jaccard builds prefixes with aggregates, not windows") {
     val p = plan("q_prefix_jaccard")
-    assert(!p.contains("Window"),
-      s"prefix selection should be a per-doc aggregate, not a window:\n$p")
+    // the ONLY window allowed is dupClasses' class-min (min(doc_id) over
+    // the __fp partition — the r11 one-exchange exact-dup pre-collapse);
+    // prefix SELECTION itself must stay a per-doc aggregate: a rank/sort
+    // window there would funnel every hot shingle's rows through one
+    // reducer sort (the r6 flood-skew shape this pin exists to prevent)
+    val windows = "windowspecdefinition\\(".r.findAllIn(p).length
+    val classMin =
+      "min\\(doc_id[^\\n]*windowspecdefinition\\(__fp".r.findAllIn(p).length
+    assert(windows == classMin,
+      s"prefix selection grew a non-class-min window ($windows vs $classMin):\n$p")
+    assert(!p.contains("row_number"),
+      s"prefix selection uses a rank window:\n$p")
     assert(!p.contains("CartesianProduct"), "prefix join degraded to cartesian")
   }
 
