@@ -31,9 +31,35 @@ object Tables {
     * kernel-dominant passes win big (q_minhash_signatures 0.64×). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target)
-    else df
+    // ADVICE r11: the probe below EXECUTES upstream exchanges under AQE
+    // (toRdd materializes shuffle stages), and `df.repartition(target)`
+    // was a NEW QueryExecution that re-executed them — double work
+    // exactly in the collapsed-input case this helper targets.
+    //
+    // Two widening paths (r12):
+    //  - scan-only plans (leaf + Project/Filter — the common call shape):
+    //    the probe materializes NOTHING, so `df.repartition` replans the
+    //    scan once, codegen-fused into the exchange — reusing the probed
+    //    RDD here was MEASURED SLOWER (per-row defensive copy + an unfused
+    //    scan stage: q_minhash_signatures +21%).
+    //  - exchange-bearing plans (e.g. the ingest window frames): build the
+    //    repartition ON the probed RDD via LogicalRDD.fromDataset (stats
+    //    preserved — see RddFrameBridge) — same RDD identity → the probe's
+    //    materialized shuffle stages are skipped, not re-executed.
+    // Caveat (ADVICE): keyless repartition sorts its input rows first,
+    // which rejects MapType columns — no spread call site carries maps.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val rdd = df.queryExecution.toRdd
+    if (rdd.getNumPartitions >= target) df
+    else {
+      val scanOnly = df.queryExecution.optimizedPlan.collectFirst {
+        case n if n.children.nonEmpty &&
+          !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] => n
+      }.isEmpty
+      if (scanOnly) df.repartition(target)
+      else org.apache.spark.sql.graftbridge.RddFrameBridge.wrap(df, rdd)
+        .repartition(target)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -33,17 +33,25 @@ object Streams {
     * the batch loader does — declaring the WRONG physical type here would
     * silently read micros as nanos and compress a month of event time
     * 1000-fold. */
-  private def rawSchema(spark: SparkSession, sfDir: String): StructType = {
-    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
-      .schema("ts").dataType
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", tsType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-  }
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  private def rawSchema(spark: SparkSession, sfDir: String): StructType =
+    // one footer probe per fixture dir per JVM (r12): the probe is a
+    // driver-side parquet footer read, and q_stream_dedup alone paid it
+    // twice per run (two stream legs) — the physical ts type of a fixture
+    // file cannot change under a running session
+    schemaCache.getOrElseUpdate(sfDir, {
+      val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+    })
 
   /** File-based stream over the events parquet: each file = a micro-batch
     * (the snapshot-log streaming pattern: commits arrive as new files).
@@ -213,9 +221,19 @@ object Streams {
     // stream start only: the value is captured into the checkpoint at
     // planning, so batch queries and the restore below are unaffected.
     // (Measured: q_stream_join 8.5s → ~2s at sf0.1, identical results.)
+    // Parameterized (r12): state-partition count is a deployment-scale
+    // knob — production sizes it to stateful-key cardinality and state
+    // bytes per partition, NOT to a constant. Local default re-measured
+    // this round across {2, 4, 8, 16, 32}: total task time scales
+    // superlinearly with the partition count on batch-sized state (the
+    // per-partition store init + commit + snapshot is the cost, the data
+    // is not) — q_stream_join 2.6 s @4 vs 4.7 s @8 vs 6+ s @32 — and 4
+    // was the family-wide minimum, so 4 replaces r2's 8.
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    val stateParts = spark.conf.get("graft.stream.state-partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4"))
+    spark.conf.set(key, stateParts)
     val q = try stream.writeStream
       .outputMode(mode)
       .format("memory")
@@ -231,13 +249,20 @@ object Streams {
     // accumulate into GC pressure that the r8 sf10 sweep measured as a
     // 12-60× "slowdown" of whichever streaming query ran late (the
     // operator itself re-measured 15 s in a fresh JVM vs 241 s mid-sweep).
-    // Copy the result off the sink (localCheckpoint: distributed,
-    // ContextCleaner-managed), then drop the view so the sink is GC-able.
-    // The memory sink remains what it is — the ORACLE HARNESS; production
-    // streams land in lake tables (streamIntoLakeTable) or real sinks.
-    val out = spark.table(name).localCheckpoint()
+    // Copy the result off the sink into a LOCAL relation (r12; was
+    // localCheckpoint): the rows already live in the driver, so the
+    // executeCollect below runs NO distributed job, where the checkpoint
+    // paid a 32-task job + block-manager round-trip to push driver rows
+    // out to executors only to read them back. The LocalRelation frame is
+    // plain driver memory owned by the returned plan — dropped with it,
+    // same GC story the checkpoint had, one job fewer per streaming
+    // query. The memory sink remains what it is — the ORACLE HARNESS;
+    // production streams land in lake tables (streamIntoLakeTable).
+    val t = spark.table(name)
+    val rows = t.collect() // LocalTableScan: driver-side, no job
     spark.catalog.dropTempView(name)
-    out
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), t.schema)
   }
 
   /** Stream into a Graft lake table via foreachBatch: each micro-batch
