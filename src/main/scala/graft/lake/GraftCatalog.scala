@@ -179,12 +179,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---------- namespaces (D2-D4) ----------
 
+  // every Files.list/walk below materializes inside try/finally: the
+  // returned stream holds an open directory fd until closed (the r12
+  // fd-exhaustion fix — see LocalMetaIO.list)
   override def listNamespaces(): Array[Array[String]] =
     if (!Files.isDirectory(warehouse)) Array.empty
-    else Files.list(warehouse).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
-      .map(p => Array(p.getFileName.toString))
-      .toArray
+    else {
+      val s = Files.list(warehouse)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTableDir(p))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
@@ -226,7 +233,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if ((tables.nonEmpty || Views.list(p).nonEmpty) && !cascade)
       throw new NonEmptyNamespaceException(namespace)
     tables.foreach(dropTable)
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val s = Files.walk(p)
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all.reverse.foreach(Files.deleteIfExists(_))
     true
   }
 
@@ -236,10 +245,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(namespace)
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     if (!Files.isDirectory(p)) Array.empty
-    else Files.list(p).iterator().asScala
-      .filter(isTableDir)
-      .map(d => Identifier.of(namespace, d.getFileName.toString))
-      .toArray
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(isTableDir)
+        .map(d => Identifier.of(namespace, d.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =

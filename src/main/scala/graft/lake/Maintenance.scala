@@ -336,16 +336,23 @@ object Maintenance {
       .flatMap(s => s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
         s.manifests.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - staleStagingMillis
+    // every Files.list/walk here closes its stream — an open stream holds
+    // a directory fd (r12 fd fix, see LocalMetaIO.list)
     val staleStaging =
       if (!Files.isDirectory(store.tableDir)) Seq.empty
-      else Files.list(store.tableDir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(".staging-") &&
-          Files.isDirectory(p) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        .toSeq
+      else {
+        val s = Files.list(store.tableDir)
+        try s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(".staging-") &&
+            Files.isDirectory(p) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq
+        finally s.close()
+      }
     staleStaging.foreach { dir =>
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val s = Files.walk(dir)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
     // orphan manifest chunks (crashed/raced commits wrote them before the
     // version link): same age guard — an in-flight commit's fresh chunks
@@ -353,11 +360,15 @@ object Maintenance {
     val mDir = store.tableDir.resolve("metadata").resolve("manifests")
     val orphanManifests =
       if (!Files.isDirectory(mDir)) Seq.empty
-      else Files.list(mDir).iterator().asScala
-        .filter(p =>
-          !referenced.contains(s"metadata/manifests/${p.getFileName}") &&
-            Files.getLastModifiedTime(p).toMillis < cutoff)
-        .toSeq
+      else {
+        val s = Files.list(mDir)
+        try s.iterator().asScala
+          .filter(p =>
+            !referenced.contains(s"metadata/manifests/${p.getFileName}") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq
+        finally s.close()
+      }
     orphanManifests.foreach(Files.deleteIfExists(_))
     if (!Files.isDirectory(store.dataDir))
       return (staleStaging ++ orphanManifests).map(_.getFileName.toString)
@@ -365,10 +376,14 @@ object Maintenance {
     // their commit (deletion-vector blobs, procedure outputs) are
     // unreferenced for a moment by design; a concurrent cleanup must not
     // collect a file whose commit is still in flight
-    val orphans = Files.list(store.dataDir).iterator().asScala
-      .filter(p => !referenced.contains(s"data/${p.getFileName}") &&
-        Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toSeq
+    val orphans = {
+      val s = Files.list(store.dataDir)
+      try s.iterator().asScala
+        .filter(p => !referenced.contains(s"data/${p.getFileName}") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+      finally s.close()
+    }
     orphans.foreach(Files.deleteIfExists(_))
     orphans.map(_.getFileName.toString) ++
       (staleStaging ++ orphanManifests).map(_.getFileName.toString)

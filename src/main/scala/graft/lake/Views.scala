@@ -37,11 +37,14 @@ object Views {
   def list(nsDir: Path): Seq[String] = {
     if (!Files.isDirectory(nsDir)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    Files.list(nsDir).iterator().asScala
+    // close the stream: it holds an open directory fd (r12 fd fix)
+    val s = Files.list(nsDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(Suffix))
       .map(_.stripSuffix(Suffix))
       .toSeq.sorted
+    finally s.close()
   }
 
   def write(nsDir: Path, name: String, d: ViewDef, replace: Boolean): Unit = {

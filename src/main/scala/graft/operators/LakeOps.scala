@@ -367,8 +367,10 @@ object LakeOps {
       System.getProperty("java.io.tmpdir"), "graft-external-verify")
     if (java.nio.file.Files.exists(locPath)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(locPath).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // close the walk stream — it holds a directory fd (r12 fd fix)
+      val st = java.nio.file.Files.walk(locPath)
+      val all = try st.iterator().asScala.toSeq finally st.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
     val loc = locPath.toString
     s.sql(s"""CREATE TABLE $Cat.verify.region_ext

@@ -94,12 +94,15 @@ class CrossProcessCrashSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM xcrash.d.ct").collect().head.getLong(0)
       == count0.toLong, "reads changed after the sweep")
     // no staging leftovers survive the sweep
-    val staging = Files.list(store.tableDir).iterator()
-    while (staging.hasNext) {
-      val d = staging.next()
-      assert(!d.getFileName.toString.startsWith(".staging-"),
-        s"dead writer's staging dir survived: $d")
-    }
+    val stagingStream = Files.list(store.tableDir)
+    try {
+      val staging = stagingStream.iterator()
+      while (staging.hasNext) {
+        val d = staging.next()
+        assert(!d.getFileName.toString.startsWith(".staging-"),
+          s"dead writer's staging dir survived: $d")
+      }
+    } finally stagingStream.close()
 
     // 4. a new writer continues the chain normally
     sql("INSERT INTO xcrash.d.ct VALUES (999999, 'after', -1)")

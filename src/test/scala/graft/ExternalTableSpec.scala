@@ -91,7 +91,8 @@ class ExternalTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(_ != "keep"))
     // the external tree survives the drop — user-managed data
     assert(Files.isDirectory(Paths.get(loc, "metadata")))
-    assert(Files.list(Paths.get(loc, "data")).count() > 0)
+    val dataList = Files.list(Paths.get(loc, "data"))
+    try assert(dataList.count() > 0) finally dataList.close()
 
     // ...and register_table re-attaches it under a new name with its
     // full history intact

@@ -154,7 +154,9 @@ class ManifestBoundsSpec extends AnyFunSuite {
 
   private def copyTree(src: Path, dst: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+    val st = Files.walk(src)
+    val all = try st.iterator().asScala.toSeq finally st.close()
+    all.foreach { p =>
       val t = dst.resolve(src.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t,

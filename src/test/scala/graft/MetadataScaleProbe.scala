@@ -55,7 +55,10 @@ object MetadataScaleProbe {
     // cold store on a copy: the chunk cache is keyed by absolute path
     val cold = Files.createTempDirectory("graft-scale-probe-cold")
     import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq.foreach { p =>
+    val walkStream = Files.walk(dir)
+    val walked = try walkStream.iterator().asScala.toSeq
+      finally walkStream.close()
+    walked.foreach { p =>
       val t = cold.resolve(dir.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t)

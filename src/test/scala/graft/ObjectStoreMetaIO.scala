@@ -153,16 +153,25 @@ final class ObjectStoreMetaIO(latencyMs: Long = 0L) extends MetaIO {
     Files.deleteIfExists(src)
   }
 
+  // streams closed via try/finally — unclosed Files.list/walk holds a
+  // directory fd each (the r12 suite fd-exhaustion fix, as LocalMetaIO)
   override def list(dir: Path): Seq[Path] = {
     op("LIST", dir)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.toSeq
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
   }
 
   override def listTree(root: Path): Seq[Path] = {
     op("LIST", root)
     if (!Files.exists(root)) Seq.empty
-    else Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      finally s.close()
+    }
   }
 
   override def isDirectory(p: Path): Boolean = Files.isDirectory(p)
@@ -183,8 +192,9 @@ final class ObjectStoreMetaIO(latencyMs: Long = 0L) extends MetaIO {
   override def deleteTree(root: Path): Unit = {
     op("DELETE", root)
     if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val s = Files.walk(root)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }
